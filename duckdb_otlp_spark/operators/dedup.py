@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All signatures/sketches are computed with JVM-side expressions
+(xxhash64, higher-order array functions) — no Python UDFs — so the hot
+path stays inside whole-stage codegen and scales linearly with
+executors. Candidate generation uses LSH banding so the only shuffle is
+on (band, band_hash) keys, never an O(n²) cross join.
+
+Scale design (100 TB):
+- signatures are one narrow projection over the corpus (map-only);
+- the band explode multiplies rows by `bands` (a small constant) and the
+  bucket join shuffles only (band_id, band_hash, doc_id) triples;
+- uniform hash keys make the shuffle skew-free; AQE handles stragglers;
+- exact verification joins only candidate pairs back to their shingle
+  sets (semi-join pattern), never the full corpus against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# tokenize / shingle
+# ---------------------------------------------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    w = tokens(text)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)])))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str,
+                normalize: bool = True) -> DataFrame:
+    """Keep one row per distinct (normalized) text: hash-groupBy keeping the
+    smallest id. One shuffle on the 128-bit digest — uniform, skew-free."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.trim(t))
+    keyed = df.withColumn("__digest", F.md5(t))
+    keep = keyed.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return (keyed.join(keep, [id_col, "__digest"], "inner")
+            .drop("__digest"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<long>: per seed, min xxhash64 over the
+    shingle set. All JVM-side (xxhash64 is codegen'd)."""
+    sh = shingles(text, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
+        for seed in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= jaccard_threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("__sig"),
+    ).filter(F.size("__sh") > 0)
+
+    band_entries = sigs.select(
+        "__id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                )).alias("bucket")))).alias("e"),
+    ).select("__id", "e.band", "e.bucket")
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    candidates = (left.join(right, ["band", "bucket"])
+                  .filter(F.col("l.__id") < F.col("r.__id"))
+                  .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+                  .distinct())
+
+    sh = sigs.select("__id", "__sh")
+    verified = (candidates
+                .join(sh.withColumnRenamed("__id", "id_a")
+                        .withColumnRenamed("__sh", "sh_a"), "id_a")
+                .join(sh.withColumnRenamed("__id", "id_b")
+                        .withColumnRenamed("__sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return (verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= jaccard_threshold))
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  **kwargs) -> DataFrame:
+    """Drop near-duplicates: from every (a,b) pair keep the smaller id.
+
+    Single-linkage via one pass (b is dropped whenever any a<b matches);
+    iterative connected components are unnecessary for dedup-keep-first.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_bits(text: Column, bits: int = 64) -> Column:
+    """SimHash signature as array<int> of 0/1, JVM-side.
+
+    Each token votes ±1 per bit position of its xxhash64; the sign of the
+    per-bit sum is the signature bit.
+    """
+    toks = tokens(text)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
+                        lambda i: (F.shiftright(F.xxhash64(t), i.cast("int"))
+                                   .bitwiseAND(F.lit(1)) * 2 - 1).cast("int")),
+            lambda a, b: a + b))
+    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two bit-array signatures."""
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y), lambda d: d))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = 64, block_bits: int = 16,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash with block-based candidate generation:
+    signatures within hamming distance d must share at least one of
+    d+1 equal-width blocks exactly (pigeonhole), so candidates come from
+    equi-joins on block values — no cross join."""
+    n_blocks = bits // block_bits
+    sigs = df.select(F.col(id_col).alias("__id"),
+                     simhash_bits(F.col(text_col), bits).alias("__sig"))
+    blocks = sigs.select(
+        "__id", "__sig",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda b: F.struct(
+                b.alias("block"),
+                F.concat_ws("", F.slice("__sig", b * block_bits + 1, block_bits))
+                .alias("value")))).alias("e"),
+    ).select("__id", "__sig", "e.block", "e.value")
+    left, right = blocks.alias("l"), blocks.alias("r")
+    cand = (left.join(right, ["block", "value"])
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
+                    F.col("l.__sig").alias("sig_a"), F.col("r.__sig").alias("sig_b"))
+            .distinct())
+    ham = simhash_hamming(F.col("sig_a"), F.col("sig_b"))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95,
+                             planes: int = 16, seed: int = 42,
+                             dims: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Candidates from random-hyperplane LSH (sign sketch over `planes`
+    deterministic pseudo-random hyperplanes), verified with exact cosine.
+    High-cosine pairs agree on most plane signs, so bucketing on the full
+    sign sketch plus each one-bit-flipped variant catches near-dups
+    without a cross join.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    first = df.select(F.col(vec_col)).first()
+    d = dims or (len(first[0]) if first else 0)
+    if d == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double")
+
+    # deterministic hyperplanes: component h[p][i] from xxhash64(seed,p,i)
+    def plane_component(p: int, i: int) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(i))
+        return (h % 10007).cast("double") / 10007.0 - 0.5
+
+    def sign_bit(p: int) -> Column:
+        proj = None
+        for i in range(d):
+            term = F.get(v, i) * plane_component(p, i)
+            proj = term if proj is None else proj + term
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sketch = F.concat(*[sign_bit(p) for p in range(planes)])
+    norm = F.sqrt(_dot(v, v))
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"),
+                     norm.alias("__n"), sketch.alias("__sk"))
+
+    # bucket on the sketch and every 1-bit-flipped sketch (probing radius 1)
+    def flips(sk: Column) -> Column:
+        return F.array(sk, *[
+            F.concat(F.substring(sk, 1, p),
+                     F.when(F.substring(sk, p + 1, 1) == "1", F.lit("0"))
+                     .otherwise(F.lit("1")),
+                     F.substring(sk, p + 2, planes - p - 1))
+            for p in range(planes)
+        ])
+
+    probed = base.select("__id", "__v", "__n",
+                         F.explode(flips(F.col("__sk"))).alias("bucket"))
+    left, right = probed.alias("l"), probed.alias("r")
+    cand = (left.join(right, "bucket")
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
+                    F.col("l.__v").alias("va"), F.col("r.__v").alias("vb"),
+                    F.col("l.__n").alias("na"), F.col("r.__n").alias("nb"))
+            .distinct())
+    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (cand.select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

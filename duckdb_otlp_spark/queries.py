@@ -1,0 +1,873 @@
+"""Operator-inventory queries + DuckDB oracle SQL.
+
+One entry per operator family from SURVEY.md §2 (the relational surface the
+reference exercises — citations inline) plus the beyond-reference
+LLM-data-pipeline operators, all expressed over the driver's testdata tables
+(region nation customer supplier part orders lineitem events documents
+embeddings).
+
+Conventions for oracle hash-matching:
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded (sums -> 2dp, ratios/avgs -> 4dp) so
+  FP non-associativity across engines can't flip the value hash;
+- LIMIT/top-k queries carry a total deterministic ORDER BY (unique
+  tiebreak column) on both sides;
+- DuckDB sum(BIGINT) returns HUGEINT — oracle SQL casts to match Spark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): read as long ns (see session.py)
+    # and truncate to µs TimestampNTZ — exact via decimal division.
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        us = F.floor(F.col("ts").cast(T.DecimalType(38, 0)) / 1000).try_cast("long")
+        df = df.withColumn("ts", F.timestamp_micros(us).cast(T.TimestampNTZType()))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# §2B scans / filters / predicates
+# ---------------------------------------------------------------------------
+
+def q_tail_topk(spark, sf_dir):
+    """L1-style tail: latest error events, top-k by time desc
+    (reference: benchmark/otlp-query-probe/probe.py:409-411)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter(F.col("event_type") == "error")
+            .select("event_id", "ts", "user_id", "value")
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .limit(100))
+
+
+SQL_TAIL_TOPK = """
+SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'error'
+ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_point_lookup(spark, sf_dir):
+    """L2-style point lookup by key within a time range
+    (reference: probe.py:413-417)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter((F.col("user_id") == 7)
+                      & (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-02-01"))
+            .select("event_id", "ts", "event_type", "value")
+            .orderBy("event_id"))
+
+
+SQL_POINT_LOOKUP = """
+SELECT event_id, ts, event_type, value FROM events
+WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+ORDER BY event_id
+"""
+
+
+def q_in_list(spark, sf_dir):
+    """IN-list predicate (reference: site/.../analyze-telemetry.md:60)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter(F.col("event_type").isin("error", "purchase"))
+            .groupBy("event_type").agg(F.count("*").alias("n"))
+            .orderBy("event_type"))
+
+
+SQL_IN_LIST = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+WHERE event_type IN ('error', 'purchase') GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_like_search(spark, sf_dir):
+    """Brute-force LIKE substring search (reference: probe.py:423-424;
+    README.md:174 documents no-FTS-by-design)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("text").like("%window%"))
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+
+
+SQL_LIKE_SEARCH = """
+SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%window%' ORDER BY doc_id
+"""
+
+
+def q_ilike_search(spark, sf_dir):
+    """ILIKE case-insensitive search (reference: probe.py:448)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("text").ilike("%WINDOW%"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+SQL_ILIKE_SEARCH = "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents WHERE text ILIKE '%WINDOW%'"
+
+
+def q_regexp(spark, sf_dir):
+    """regexp_matches equivalent (reference: probe.py:356)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("text").rlike("scan (merge|join)"))
+            .select("doc_id").orderBy("doc_id"))
+
+
+SQL_REGEXP = """
+SELECT doc_id FROM documents WHERE regexp_matches(text, 'scan (merge|join)') ORDER BY doc_id
+"""
+
+
+def q_case_when(spark, sf_dir):
+    """CASE WHEN classification (reference: probe.py:125-135)."""
+    ev = _t(spark, sf_dir, "events")
+    sev = (F.when(F.col("event_type") == "error", "high")
+           .when(F.col("event_type").isin("purchase", "signup"), "medium")
+           .otherwise("low"))
+    return (ev.select(sev.alias("sev"))
+            .groupBy("sev").agg(F.count("*").alias("n")).orderBy("sev"))
+
+
+SQL_CASE_WHEN = """
+SELECT CASE WHEN event_type = 'error' THEN 'high'
+            WHEN event_type IN ('purchase','signup') THEN 'medium'
+            ELSE 'low' END AS sev,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY sev ORDER BY sev
+"""
+
+
+def q_coalesce_cast(spark, sf_dir):
+    """COALESCE + CAST (reference: analyze-telemetry.md:93;
+    promotion read pattern serve.md:234-236)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select(
+        F.col("event_id"),
+        F.coalesce(F.floor("value").cast("int"), F.lit(-1)).alias("value_int"),
+        F.col("ts").cast("date").cast("string").alias("day"))
+        .orderBy("event_id").limit(500))
+
+
+SQL_COALESCE_CAST = """
+SELECT event_id, COALESCE(CAST(floor(value) AS INT), -1) AS value_int,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+FROM events ORDER BY event_id LIMIT 500
+"""
+
+
+def q_null_checks(spark, sf_dir):
+    """IS NULL / IS NOT NULL (reference: read_otlp_edge_cases.test:17-53)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.when(F.col("props").isNull(), 1)).alias("null_props"),
+        F.count(F.when(F.col("props").isNotNull(), 1)).alias("nonnull_props"),
+    )
+
+
+SQL_NULL_CHECKS = """
+SELECT CAST(count(*) FILTER (props IS NULL) AS BIGINT) AS null_props,
+       CAST(count(*) FILTER (props IS NOT NULL) AS BIGINT) AS nonnull_props
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2B JSON / string / date scalar functions
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark, sf_dir):
+    """JSON attribute extraction, the promoted-vs-JSON filter pattern
+    (reference: analyze-telemetry.md:127; otlp_column_promote.cpp:76)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select(k.alias("k"))
+            .filter(F.col("k") > 50)
+            .groupBy("k").agg(F.count("*").alias("n"))
+            .orderBy("k"))
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+GROUP BY k ORDER BY k
+"""
+
+
+def q_string_funcs(spark, sf_dir):
+    """length/substr/md5/concat/upper (reference: probe.py:140-167,
+    read_otlp_json.test:37-41)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(
+        F.col("doc_id"),
+        F.length("text").alias("len"),
+        F.substring("text", 1, 16).alias("prefix"),
+        F.md5(F.col("text")).alias("digest"),
+        F.concat(F.upper(F.col("lang")), F.lit(":"), F.col("source")).alias("tag"))
+        .orderBy("doc_id").limit(200))
+
+
+SQL_STRING_FUNCS = """
+SELECT doc_id, CAST(length(text) AS INT) AS len, substr(text, 1, 16) AS prefix,
+       md5(text) AS digest, upper(lang) || ':' || source AS tag
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+def q_date_trunc(spark, sf_dir):
+    """date_trunc time bucketing (reference: analyze-telemetry.md:90)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("hour"))
+
+
+SQL_DATE_TRUNC = """
+SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY hour ORDER BY hour
+"""
+
+
+def q_time_bucket(spark, sf_dir):
+    """time_bucket(INTERVAL 5 MINUTE) equivalent via epoch arithmetic
+    (reference: probe.py:416, 430)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp(F.col("ts")) / 300) * 300).cast("long")
+    return (ev.filter(F.col("event_type") == "error")
+            .groupBy(bucket.alias("bucket_s"))
+            .agg(F.count("*").alias("errors"))
+            .orderBy("bucket_s"))
+
+
+SQL_TIME_BUCKET = """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+       CAST(count(*) AS BIGINT) AS errors
+FROM events WHERE event_type = 'error' GROUP BY bucket_s ORDER BY bucket_s
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2B aggregation
+# ---------------------------------------------------------------------------
+
+def q_agg_stats(spark, sf_dir):
+    """Multi-agg GROUP BY: count/avg/min/max/sum/stddev
+    (reference: analyze-telemetry.md:22-33, 93-94)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.min("l_shipdate").alias("min_ship"),
+                 F.max("l_shipdate").alias("max_ship"),
+                 F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_AGG_STATS = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+       round(stddev_samp(l_discount), 6) AS sd_disc
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_percentile(spark, sf_dir):
+    """percentile_cont(0.95) + median (reference: analyze-telemetry.md:27-28)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95_value"),
+                 F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("median_value"))
+            .orderBy("event_type"))
+
+
+SQL_PERCENTILE = """
+SELECT event_type,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95_value,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) (reference: read_otlp_concurrent.test:91)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("user_id").alias("n_users"),
+                  F.countDistinct("event_type").alias("n_types"))
+
+
+SQL_COUNT_DISTINCT = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+"""
+
+
+def q_topn_groups(spark, sf_dir):
+    """Top-N groups by count (reference: probe L4, probe.py:454-459)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+            .orderBy(F.col("n_events").desc(), F.col("user_id"))
+            .limit(10))
+
+
+SQL_TOPN_GROUPS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2B joins / subqueries
+# ---------------------------------------------------------------------------
+
+def q_join_inner(spark, sf_dir):
+    """Inner equi-join, logs⋈traces analog
+    (reference: analyze-telemetry.md:66-79)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("c_mktsegment"))
+
+
+SQL_JOIN_INNER = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_join_multi(spark, sf_dir):
+    """Three-way join through the star schema (revenue by nation —
+    TPC-H Q5 shape; Catalyst broadcasts the dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name")))
+
+
+SQL_JOIN_MULTI = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery drill-down, slowest-trace analog
+    (reference: analyze-telemetry.md:39-48)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT event_id, ts, user_id, value FROM events_v
+        WHERE user_id = (
+            SELECT user_id FROM events_v WHERE event_type = 'error'
+            ORDER BY value DESC, event_id LIMIT 1)
+        ORDER BY event_id
+    """)
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT event_id, ts, user_id, value FROM events
+WHERE user_id = (
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY value DESC, event_id LIMIT 1)
+ORDER BY event_id
+"""
+
+
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated subquery, decorrelated by Catalyst
+    (reference: read_otlp_concurrent.test:96-105)."""
+    for n in ("orders", "customer"):
+        _t(spark, sf_dir, n).createOrReplaceTempView(f"{n}_v")
+    return spark.sql("""
+        SELECT c_custkey, c_name FROM customer_v c
+        WHERE c_acctbal > (SELECT avg(o_totalprice) FROM orders_v o
+                           WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """)
+
+
+SQL_CORRELATED_SUBQUERY = """
+SELECT c_custkey, c_name FROM customer c
+WHERE c_acctbal > (SELECT avg(o_totalprice) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_cross_cte(spark, sf_dir):
+    """Cross join of aggregated CTEs (reference: read_otlp_concurrent.test:78-87)."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.agg(F.count("*").alias("total"))
+    errors = ev.filter(F.col("event_type") == "error").agg(F.count("*").alias("errors"))
+    return (errors.crossJoin(totals)
+            .select("errors", "total",
+                    F.round(F.col("errors") / F.col("total"), 6).alias("error_rate")))
+
+
+SQL_CROSS_CTE = """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+     e AS (SELECT CAST(count(*) AS BIGINT) AS errors FROM events WHERE event_type = 'error')
+SELECT errors, total, round(errors / CAST(total AS DOUBLE), 6) AS error_rate FROM e, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2B set operations
+# ---------------------------------------------------------------------------
+
+def q_union_all(spark, sf_dir):
+    """UNION ALL (reference: read_otlp_concurrent.test:40-48)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
+    b = ev.filter(F.col("event_type") == "signup").select("event_id", "event_type")
+    return a.unionAll(b).orderBy("event_id")
+
+
+SQL_UNION_ALL = """
+SELECT event_id, event_type FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+ORDER BY event_id
+"""
+
+
+def q_except(spark, sf_dir):
+    """EXCEPT ALL — the reference's own OTAP↔OTLP parity oracle pattern
+    (reference: test/sql/read_otap.test:44-79)."""
+    ev = _t(spark, sf_dir, "events")
+    all_users = ev.select("user_id")
+    error_users = ev.filter(F.col("event_type") == "error").select("user_id")
+    return all_users.exceptAll(error_users).groupBy("user_id") \
+        .agg(F.count("*").alias("n")).orderBy("user_id")
+
+
+SQL_EXCEPT = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT user_id FROM events
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_distinct(spark, sf_dir):
+    """DISTINCT (reference: read_otap.test:107)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct().orderBy("user_id", "event_type")
+
+
+SQL_DISTINCT = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions (beyond the reference's own surface; SURVEY §2B notes
+# Spark's Window covers anything added later)
+# ---------------------------------------------------------------------------
+
+def q_window_topk_per_group(spark, sf_dir):
+    """Top-3 events per user by value via row_number window."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("user_id", "event_id", "value", "rn")
+            .orderBy("user_id", "rn"))
+
+
+SQL_WINDOW_TOPK = """
+SELECT user_id, event_id, value, rn FROM (
+    SELECT user_id, event_id, value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rn
+    FROM events)
+WHERE rn <= 3 ORDER BY user_id, rn
+"""
+
+
+def q_window_running_sum(spark, sf_dir):
+    """Running total per user ordered by time (denormalized-running-totals
+    analog; reference: src/include/otlp_server.hpp:117-121)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (ev.select("user_id", "event_id",
+                      F.round(F.sum("value").over(w), 2).alias("running_value"))
+            .orderBy("user_id", "event_id"))
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped headline queries (bench workload)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (flagship; SURVEY §7 phase-1 slice)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue filter-and-sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1994-01-01")
+                      & (F.col("l_shipdate") < "1995-01-01")
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue")))
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping-priority shape (join + agg + top-k)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter((F.col("o_orderdate") < "1995-03-15") & (F.col("l_shipdate") > "1995-03-15"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: dedup / text analysis / similarity (BASELINE.json goals)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized text hash (hash-groupBy; scale path is a
+    shuffle on the digest, skew-free because digests are uniform)."""
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    kept = (docs.withColumn("digest", digest)
+            .groupBy("digest").agg(F.min("doc_id").alias("keep_doc_id"),
+                                   F.count("*").alias("n_copies")))
+    return (kept.agg(F.count("*").alias("n_unique"),
+                     F.sum(F.col("n_copies") - 1).alias("n_dups")))
+
+
+SQL_DEDUP_EXACT = """
+WITH kept AS (
+    SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY digest)
+SELECT CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_dups
+FROM kept
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace token counting per document (text-analysis operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    return (docs.select("doc_id", toks.alias("n_tokens"))
+            .orderBy("doc_id").limit(500))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+FROM documents ORDER BY doc_id LIMIT 500
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean word length (text-analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), "\\s+")
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and")))
+    return (docs.select(
+        "doc_id",
+        F.round(stop_hits / n_words, 4).alias("stopword_ratio"),
+        F.round(F.length(F.col("text")) / n_words, 4).alias("mean_token_len"))
+        .orderBy("doc_id").limit(500))
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> w IN ('the','a','of','and')))
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4)
+           AS stopword_ratio,
+       round(length(text) / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4)
+           AS mean_token_len
+FROM documents ORDER BY doc_id LIMIT 500
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint (md5 over normalized text),
+    grouped to find same-fingerprint clusters."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16)
+    return (docs.select("doc_id", fp.alias("fingerprint"))
+            .orderBy("doc_id").limit(500))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint
+FROM documents ORDER BY doc_id LIMIT 500
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-gram (word) Jaccard similarity of each doc against doc 0 —
+    n-gram near-dup primitive over set ops on shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), "\\s+")
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2])))
+    with_sh = docs.select("doc_id", shingles.alias("sh"))
+    target = with_sh.filter(F.col("doc_id") == 0).select(F.col("sh").alias("sh0"))
+    joined = with_sh.filter(F.col("doc_id") != 0).crossJoin(F.broadcast(target))
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh0")))
+    union = F.size(F.array_union(F.col("sh"), F.col("sh0")))
+    return (joined.select("doc_id", F.round(inter / union, 6).alias("jaccard"))
+            .orderBy(F.col("jaccard").desc(), F.col("doc_id"))
+            .limit(20))
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+), t AS (SELECT sh AS sh0 FROM sh WHERE doc_id = 0)
+SELECT doc_id,
+       round(CAST(len(list_intersect(sh, sh0)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh, sh0))), 6) AS jaccard
+FROM sh, t WHERE doc_id <> 0
+ORDER BY jaccard DESC, doc_id LIMIT 20
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over the embedding column.
+
+    Scale path: the query vector broadcasts; the scan is embarrassingly
+    parallel; dot products stay JVM-side via zip_with/aggregate."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    target = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(target))
+    dot = F.aggregate(F.zip_with("v", "q", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_v = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_q = F.sqrt(F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (norm_v * norm_q), 4)
+    return (joined.select("vec_id", cos.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(10))
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), q)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q, q))), 4) AS cos_sim
+FROM embeddings, t WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_group_stats(spark, sf_dir):
+    """Per-label embedding stats: count + mean first-component (array ops)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    first = F.col("embedding").getItem(0).cast("double")
+    return (emb.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(first), 6).alias("avg_first"))
+            .orderBy("label"))
+
+
+SQL_EMBEDDING_GROUP_STATS = """
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-distribution profile (language-ID bookkeeping over the
+    corpus; heuristic n-gram scorer lands in operators/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+            .orderBy("lang"))
+
+
+SQL_LANG_ID = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tail_topk": q_tail_topk,
+    "point_lookup": q_point_lookup,
+    "in_list": q_in_list,
+    "like_search": q_like_search,
+    "ilike_search": q_ilike_search,
+    "regexp": q_regexp,
+    "case_when": q_case_when,
+    "coalesce_cast": q_coalesce_cast,
+    "null_checks": q_null_checks,
+    "json_extract": q_json_extract,
+    "string_funcs": q_string_funcs,
+    "date_trunc": q_date_trunc,
+    "time_bucket": q_time_bucket,
+    "agg_stats": q_agg_stats,
+    "percentile": q_percentile,
+    "count_distinct": q_count_distinct,
+    "topn_groups": q_topn_groups,
+    "join_inner": q_join_inner,
+    "join_multi": q_join_multi,
+    "scalar_subquery": q_scalar_subquery,
+    "correlated_subquery": q_correlated_subquery,
+    "cross_cte": q_cross_cte,
+    "union_all": q_union_all,
+    "except_all": q_except,
+    "distinct": q_distinct,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_sum": q_window_running_sum,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_group_stats": q_embedding_group_stats,
+    "lang_id": q_lang_id,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "tail_topk": SQL_TAIL_TOPK,
+    "point_lookup": SQL_POINT_LOOKUP,
+    "in_list": SQL_IN_LIST,
+    "like_search": SQL_LIKE_SEARCH,
+    "ilike_search": SQL_ILIKE_SEARCH,
+    "regexp": SQL_REGEXP,
+    "case_when": SQL_CASE_WHEN,
+    "coalesce_cast": SQL_COALESCE_CAST,
+    "null_checks": SQL_NULL_CHECKS,
+    "json_extract": SQL_JSON_EXTRACT,
+    "string_funcs": SQL_STRING_FUNCS,
+    "date_trunc": SQL_DATE_TRUNC,
+    "time_bucket": SQL_TIME_BUCKET,
+    "agg_stats": SQL_AGG_STATS,
+    "percentile": SQL_PERCENTILE,
+    "count_distinct": SQL_COUNT_DISTINCT,
+    "topn_groups": SQL_TOPN_GROUPS,
+    "join_inner": SQL_JOIN_INNER,
+    "join_multi": SQL_JOIN_MULTI,
+    "scalar_subquery": SQL_SCALAR_SUBQUERY,
+    "correlated_subquery": SQL_CORRELATED_SUBQUERY,
+    "cross_cte": SQL_CROSS_CTE,
+    "union_all": SQL_UNION_ALL,
+    "except_all": SQL_EXCEPT,
+    "distinct": SQL_DISTINCT,
+    "window_topk_per_group": SQL_WINDOW_TOPK,
+    "window_running_sum": SQL_WINDOW_RUNNING_SUM,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q6": SQL_TPCH_Q6,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_count": SQL_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_group_stats": SQL_EMBEDDING_GROUP_STATS,
+    "lang_id": SQL_LANG_ID,
+}

