@@ -144,9 +144,9 @@ def simhash_bits(text: Column, bits: int = 64) -> Column:
         F.array_repeat(F.lit(0), bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
-                        lambda i: (F.shiftright(F.xxhash64(t), i.cast("int"))
-                                   .bitwiseAND(F.lit(1)) * 2 - 1).cast("int")),
+            F.array(*[(F.shiftright(F.xxhash64(t), i)
+                       .bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                      for i in range(bits)]),
             lambda a, b: a + b))
     return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
 

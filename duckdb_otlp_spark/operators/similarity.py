@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (map-only scan + TakeOrdered — no
+shuffle of the corpus, only of the k winners per partition).
+Scale path: IVF-style coarse quantization — vectors are assigned to the
+nearest of C centroids once (a narrow map + broadcast of C·d floats);
+queries probe only the closest `nprobe` partitions, cutting the scan by
+~C/nprobe. Centroids come from a deterministic k-means++-ish seed +
+Lloyd iterations, all in DataFrame ops.
+
+Dot products use zip_with/aggregate (JVM-side, codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(vec_col: str | Column) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return c.cast("array<double>")
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
+                query: list[float], k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    The query broadcasts as a literal; ordering ties break on id for
+    determinism. Returns (id, cosine) rows.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _as_double(vec_col)
+    cos = F.round(dot(v, q) / (l2_norm(v) * l2_norm(q)), 6)
+    return (df.select(F.col(id_col), cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def build_ivf_index(df: DataFrame, id_col: str, vec_col: str,
+                    n_centroids: int = 16, iters: int = 2,
+                    seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse index: (assigned, centroids).
+
+    - seeds = deterministic hash-sample of n_centroids vectors;
+    - `iters` Lloyd rounds: assign (broadcast centroids) -> new means;
+    - returns the corpus with a `centroid_id` column, and the centroid
+      table. Both are plain DataFrames — persist them as parquet
+      partitioned by centroid_id for the 100 TB layout, so a probe scan
+      touches only nprobe/C of the data (partition pruning).
+    """
+    from pyspark.sql import Window as W
+
+    v = df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+
+    # deterministic seeds: the n_centroids smallest-hashed vectors
+    seeds = (v.withColumn("__h", F.xxhash64(F.lit(seed), F.col("__id")))
+             .orderBy("__h").limit(n_centroids)
+             .select((F.row_number().over(W.orderBy("__h")) - 1).alias("centroid_id"),
+                     F.col("__v").alias("centroid")))
+
+    centroids = seeds
+    for _ in range(iters):
+        assigned = _assign(v, centroids)
+        # memory-bounded mean: positional explode -> per-(centroid,pos) avg
+        # -> re-assemble ordered array; never collects whole vectors.
+        centroids = (assigned
+                     .select("centroid_id", F.posexplode("__v").alias("pos", "x"))
+                     .groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+                     .groupBy("centroid_id")
+                     .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                     .select("centroid_id",
+                             F.transform("pm", lambda e: e["m"]).alias("centroid")))
+    assigned = _assign(v, centroids)
+    return (assigned.select(F.col("__id").alias(id_col), "centroid_id",
+                            F.col("__v").alias(vec_col)),
+            centroids)
+
+
+def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast join)."""
+    joined = v.crossJoin(F.broadcast(
+        centroids.groupBy().agg(
+            F.collect_list(F.struct("centroid_id", "centroid")).alias("cands"))))
+    best = F.array_min(F.transform(
+        F.col("cands"),
+        lambda c: F.struct(
+            (-dot(F.col("__v"), c["centroid"])
+             / (l2_norm(F.col("__v")) * l2_norm(c["centroid"]))).alias("negcos"),
+            c["centroid_id"].alias("cid"))))
+    return joined.select("__id", "__v", best["cid"].alias("centroid_id"))
+
+
+def ivf_search(assigned: DataFrame, centroids: DataFrame, id_col: str,
+               vec_col: str, query: list[float], k: int = 10,
+               nprobe: int = 4) -> DataFrame:
+    """Search the IVF index: rank centroids by query cosine, scan only the
+    nprobe nearest partitions, brute-force within them."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probe_ids = [r["centroid_id"] for r in
+                 (centroids.select(
+                     "centroid_id",
+                     (dot(F.col("centroid"), q)
+                      / (l2_norm(F.col("centroid")) * l2_norm(q))).alias("c"))
+                  .orderBy(F.col("c").desc()).limit(nprobe).collect())]
+    subset = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(subset, id_col, vec_col, query, k)

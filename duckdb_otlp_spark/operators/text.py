@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is JVM-side column expressions (split / higher-order array
+functions / hashes) — map-only over the corpus, no shuffle, so the
+operators scale linearly and compose with any downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword-hit
+# language-ID heuristic. Deliberately deterministic and dependency-free;
+# swap for a real model via map_in_pandas when libs are available.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "人"],
+}
+
+
+def tokenize_ws(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def tokenize_bpe_ish(text: Column) -> Column:
+    """BPE-ish subword segmentation via regex: splits words, numbers,
+    punctuation runs — a deterministic stand-in for a learned tokenizer
+    with the same Spark plumbing (one array column per doc)."""
+    return F.filter(
+        F.split(F.regexp_replace(
+            F.lower(text), r"([a-z]+|[0-9]+|[^a-z0-9\s])", "$1"), ""),
+        lambda t: F.trim(t) != "")
+
+
+def token_count(text: Column, tokenizer: str = "ws") -> Column:
+    toks = tokenize_ws(text) if tokenizer == "ws" else tokenize_bpe_ish(text)
+    return F.size(toks)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals: length, token stats, punctuation and
+    stopword ratios, uppercase ratio — the usual pre-training filters."""
+    toks = tokenize_ws(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    en_stops = LANG_PROFILES["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*en_stops)))
+    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": F.round(n_chars / n_tok, 4),
+        "stopword_ratio": F.round(stop_hits / n_tok, 4),
+        "punct_ratio": F.round(punct / n_chars, 4),
+        "upper_ratio": F.round(upper / n_chars, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score from the features (heuristic weights)."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000), 1.0).otherwise(0.0)
+    token_len_ok = F.when(f["mean_token_len"].between(2.0, 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
+    return F.round((length_ok + token_len_ok + punct_ok) / 3.0, 4)
+
+
+def lang_scores(text: Column) -> Column:
+    """Per-language stopword-hit counts as a map<lang,int>."""
+    toks = F.transform(tokenize_ws(text), lambda t: F.lower(t))
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in LANG_PROFILES]),
+        F.array(*[
+            F.size(F.filter(toks, lambda t: t.isin(*words)))
+            for words in LANG_PROFILES.values()
+        ]))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when no hits.
+
+    Ties break by profile order (en, de, es, fr, zh) deterministically.
+    """
+    toks = F.transform(tokenize_ws(text), lambda t: F.lower(t))
+    scores = [(k, F.size(F.filter(toks, lambda t: t.isin(*words))))
+              for k, words in LANG_PROFILES.items()]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for k, s in reversed(scores):  # reversed so earlier profiles win ties
+        cond = s > best_score
+        best = F.when(cond, F.lit(k)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over rolling
+    character n-grams of the normalized text, as a hex string. Robust to
+    local edits, unlike a whole-document digest."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(window)))
+    return F.lower(F.hex(F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))))
+
+
+def profile_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass document profile: tokens, quality features + score,
+    language guess, fingerprint."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.select(
+        F.col(id_col),
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        rolling_fingerprint(t).alias("fingerprint"),
+    )

@@ -570,7 +570,13 @@ def _load_envelopes(spark: SparkSession, path: str | list[str], signal: str,
 
 def read_otlp_logs(spark: SparkSession, path: str | list[str], mode: str = "auto") -> DataFrame:
     """Equivalent of ``read_otlp_logs`` (reference: src/function/read_otlp.cpp:139-142)."""
-    env = _load_envelopes(spark, path, "logs", mode)
+    return flatten_logs(_load_envelopes(spark, path, "logs", mode))
+
+
+def flatten_logs(env: DataFrame) -> DataFrame:
+    """Envelope rows (column ``env``) -> 18-col logs table. Reused by the
+    streaming ingest path (the seal parses spooled request bodies with
+    exactly this plan)."""
     rec = (
         env.select(F.explode("env.resourceLogs").alias("rl"))
         .select(F.col("rl.resource").alias("resource"), F.explode("rl.scopeLogs").alias("sl"))
@@ -609,7 +615,11 @@ def read_otlp_traces(spark: SparkSession, path: str | list[str], mode: str = "au
     ``duration_time_unix_nano`` = end − start in raw ns
     (reference: test/sql/read_otlp_json.test:55-60).
     """
-    env = _load_envelopes(spark, path, "traces", mode)
+    return flatten_traces(_load_envelopes(spark, path, "traces", mode))
+
+
+def flatten_traces(env: DataFrame) -> DataFrame:
+    """Envelope rows -> 24-col traces table."""
     rec = (
         env.select(F.explode("env.resourceSpans").alias("rs"))
         .select(F.col("rs.resource").alias("resource"), F.explode("rs.scopeSpans").alias("ss"))
@@ -668,7 +678,7 @@ def _exemplars_json(ex: Column) -> Column:
     return F.when(ex.isNull(), F.lit("[]")).otherwise(body)
 
 
-def _metric_records(spark: SparkSession, path: str | list[str], mode: str) -> DataFrame:
+def _metric_records(env: DataFrame) -> DataFrame:
     """Shared metrics fan-out: one row per (resource, scope, metric).
 
     The reference parses a metrics payload once and fans out to up to four
@@ -676,7 +686,6 @@ def _metric_records(spark: SparkSession, path: str | list[str], mode: str) -> Da
     here each typed reader selects its shape from this common exploded view
     and Catalyst prunes the untouched shapes out of the JSON parse.
     """
-    env = _load_envelopes(spark, path, "metrics", mode)
     return (
         env.select(F.explode("env.resourceMetrics").alias("rm"))
         .select(F.col("rm.resource").alias("resource"), F.explode("rm.scopeMetrics").alias("sm"))
@@ -716,7 +725,11 @@ def _number_point_cols(dp: Column) -> dict[str, Column]:
 def read_otlp_metrics_gauge(spark: SparkSession, path: str | list[str],
                             mode: str = "auto") -> DataFrame:
     """Equivalent of ``read_otlp_metrics_gauge`` (reference: read_otlp.cpp:149-152)."""
-    rec = _metric_records(spark, path, mode)
+    return flatten_metrics_gauge(_load_envelopes(spark, path, "metrics", mode))
+
+
+def flatten_metrics_gauge(env: DataFrame) -> DataFrame:
+    rec = _metric_records(env)
     rec = rec.filter(F.col("m.gauge").isNotNull()) \
              .select("resource", "scope", "m", F.explode(_validated(F.col("m.gauge.dataPoints"),
                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
@@ -742,7 +755,11 @@ def read_otlp_metrics_gauge(spark: SparkSession, path: str | list[str],
 def read_otlp_metrics_sum(spark: SparkSession, path: str | list[str],
                           mode: str = "auto") -> DataFrame:
     """Equivalent of ``read_otlp_metrics_sum`` (reference: read_otlp.cpp:154-157)."""
-    rec = _metric_records(spark, path, mode)
+    return flatten_metrics_sum(_load_envelopes(spark, path, "metrics", mode))
+
+
+def flatten_metrics_sum(env: DataFrame) -> DataFrame:
+    rec = _metric_records(env)
     rec = rec.filter(F.col("m.sum").isNotNull()) \
              .select("resource", "scope", "m", F.explode(_validated(F.col("m.sum.dataPoints"),
                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
@@ -771,7 +788,11 @@ def read_otlp_metrics_sum(spark: SparkSession, path: str | list[str],
 def read_otlp_metrics_histogram(spark: SparkSession, path: str | list[str],
                                 mode: str = "auto") -> DataFrame:
     """Equivalent of ``read_otlp_metrics_histogram`` (reference: read_otlp.cpp:177-181)."""
-    rec = _metric_records(spark, path, mode)
+    return flatten_metrics_histogram(_load_envelopes(spark, path, "metrics", mode))
+
+
+def flatten_metrics_histogram(env: DataFrame) -> DataFrame:
+    rec = _metric_records(env)
     rec = rec.filter(F.col("m.histogram").isNotNull()) \
              .select("resource", "scope", "m", F.explode(_validated(F.col("m.histogram.dataPoints"),
                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
@@ -801,7 +822,11 @@ def read_otlp_metrics_histogram(spark: SparkSession, path: str | list[str],
 def read_otlp_metrics_exp_histogram(spark: SparkSession, path: str | list[str],
                                     mode: str = "auto") -> DataFrame:
     """Equivalent of ``read_otlp_metrics_exp_histogram`` (reference: read_otlp.cpp:183-188)."""
-    rec = _metric_records(spark, path, mode)
+    return flatten_metrics_exp_histogram(_load_envelopes(spark, path, "metrics", mode))
+
+
+def flatten_metrics_exp_histogram(env: DataFrame) -> DataFrame:
+    rec = _metric_records(env)
     rec = rec.filter(F.col("m.exponentialHistogram").isNotNull()) \
              .select("resource", "scope", "m",
                      F.explode(_validated(F.col("m.exponentialHistogram.dataPoints"),
@@ -852,6 +877,44 @@ def read_otlp_metrics_summary(spark: SparkSession, path: str | list[str],
         "read_otlp_metrics_summary is not implemented; summary data points are "
         "skipped by the typed readers")
 
+
+def envelopes_from_lines(lines: DataFrame, signal: str,
+                         strict: bool = True) -> DataFrame:
+    """Raw NDJSON lines (column ``value``) -> envelope rows (column ``env``).
+
+    The streaming-ingest seal path: each spooled request body line parses
+    with the same schema/error contract as the file readers. With
+    ``strict=False`` malformed lines are dropped instead of failing the
+    batch (receiver-side skip-and-count semantics,
+    reference: src/otlp_server.cpp:699-702).
+    """
+    field, env_schema = _ENVELOPES[signal]
+    parsed = F.from_json(F.col("value"), env_schema)
+    nonblank = lines.filter(F.trim(F.col("value")) != "")
+    if strict:
+        env = (
+            F.when(F.try_parse_json(F.col("value")).isNull(),
+                   F.raise_error(F.concat(F.lit("OTLP parse error: invalid JSON: "),
+                                          F.substring(F.col("value"), 1, 120))))
+            .when(parsed[field].isNull(),
+                  F.raise_error(F.concat(
+                      F.lit(f"OTLP parse error: expected '{field}' envelope: "),
+                      F.substring(F.col("value"), 1, 120))))
+            .otherwise(parsed)
+        )
+        return nonblank.select(env.alias("env"))
+    return (nonblank.select(parsed.alias("env"))
+            .filter(F.col("env")[field].isNotNull()))
+
+
+FLATTEN = {
+    "logs": flatten_logs,
+    "traces": flatten_traces,
+    "metrics_gauge": flatten_metrics_gauge,
+    "metrics_sum": flatten_metrics_sum,
+    "metrics_histogram": flatten_metrics_histogram,
+    "metrics_exp_histogram": flatten_metrics_exp_histogram,
+}
 
 READERS = {
     "logs": read_otlp_logs,

@@ -1,0 +1,521 @@
+"""OTLP protobuf decoding without a protobuf library.
+
+Implements the proto3 wire format (varint / fixed64 / length-delimited /
+fixed32 — public encoding spec) against the public opentelemetry-proto
+v1 field numbers, producing the same proto3-JSON-shaped envelope dicts
+the JSON readers parse — so protobuf files flow through the identical
+Spark flatten plan (reference equivalent: the Rust otlp2records parse
+behind src/function/read_otlp.cpp:261-344).
+
+Executor-side usage: the decoder runs inside ``mapInPandas`` over
+``binaryFile`` rows — one file per task, the reference's own parallelism
+unit (reference: read_otlp.cpp:62-77).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any
+
+# ---------------------------------------------------------------------------
+# proto3 wire primitives
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a message buffer."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:
+            val = buf[pos:pos + 8]
+            if len(val) != 8:
+                raise ValueError("truncated fixed64")
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            if len(val) != ln:
+                raise ValueError("truncated length-delimited field")
+            pos += ln
+        elif wt == 5:
+            val = buf[pos:pos + 4]
+            if len(val) != 4:
+                raise ValueError("truncated fixed32")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _u64(b: bytes) -> int:
+    return struct.unpack("<Q", b)[0]
+
+
+def _i64(b: bytes) -> int:
+    return struct.unpack("<q", b)[0]
+
+
+def _f64(b: bytes) -> float:
+    return struct.unpack("<d", b)[0]
+
+
+def _u32(b: bytes) -> int:
+    return struct.unpack("<I", b)[0]
+
+
+def _packed(buf: bytes, wt: int, reader) -> list:
+    """Decode a packed repeated numeric payload."""
+    out = []
+    pos = 0
+    while pos < len(buf):
+        if reader is _read_varint:
+            v, pos = _read_varint(buf, pos)
+            out.append(v)
+        else:
+            width, fn = reader
+            out.append(fn(buf[pos:pos + width]))
+            pos += width
+    return out
+
+
+# ---------------------------------------------------------------------------
+# opentelemetry-proto v1 message decoders (field numbers from the public
+# .proto definitions at github.com/open-telemetry/opentelemetry-proto)
+# ---------------------------------------------------------------------------
+
+
+def _any_value(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["stringValue"] = v.decode("utf-8", "replace")
+        elif f == 2:
+            out["boolValue"] = bool(v)
+        elif f == 3:
+            sv = v - (1 << 64) if v >= (1 << 63) else v  # int64 from varint
+            out["intValue"] = str(sv)
+        elif f == 4:
+            out["doubleValue"] = _f64(v)
+        elif f == 5:
+            out["arrayValue"] = {"values": [_any_value(x) for _, _, x in _fields(v) ]}
+        elif f == 6:
+            out["kvlistValue"] = {"values": [_key_value(x) for _, _, x in _fields(v)]}
+        elif f == 7:
+            import base64
+            out["bytesValue"] = base64.b64encode(v).decode()
+    return out
+
+
+def _key_value(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["key"] = v.decode("utf-8", "replace")
+        elif f == 2:
+            out["value"] = _any_value(v)
+    return out
+
+
+def _resource(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {"attributes": []}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["attributes"].append(_key_value(v))
+        elif f == 2:
+            out["droppedAttributesCount"] = v
+    return out
+
+
+def _scope(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["name"] = v.decode("utf-8", "replace")
+        elif f == 2:
+            out["version"] = v.decode("utf-8", "replace")
+        elif f == 3:
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif f == 4:
+            out["droppedAttributesCount"] = v
+    return out
+
+
+def _log_record(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["timeUnixNano"] = str(_u64(v))
+        elif f == 2:
+            out["severityNumber"] = v
+        elif f == 3:
+            out["severityText"] = v.decode("utf-8", "replace")
+        elif f == 5:
+            out["body"] = _any_value(v)
+        elif f == 6:
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif f == 7:
+            out["droppedAttributesCount"] = v
+        elif f == 8:
+            out["flags"] = _u32(v) if wt == 5 else v
+        elif f == 9:
+            out["traceId"] = v.hex()
+        elif f == 10:
+            out["spanId"] = v.hex()
+        elif f == 11:
+            out["observedTimeUnixNano"] = str(_u64(v))
+        elif f == 12:
+            out["eventName"] = v.decode("utf-8", "replace")
+    return out
+
+
+def decode_logs(data: bytes) -> dict[str, Any]:
+    """ExportLogsServiceRequest / LogsData -> proto3-JSON envelope dict."""
+    resource_logs = []
+    for f, wt, v in _fields(data):
+        if f != 1:
+            continue
+        rl: dict[str, Any] = {}
+        for f2, _, v2 in _fields(v):
+            if f2 == 1:
+                rl["resource"] = _resource(v2)
+            elif f2 == 2:
+                sl: dict[str, Any] = {}
+                for f3, _, v3 in _fields(v2):
+                    if f3 == 1:
+                        sl["scope"] = _scope(v3)
+                    elif f3 == 2:
+                        sl.setdefault("logRecords", []).append(_log_record(v3))
+                rl.setdefault("scopeLogs", []).append(sl)
+        resource_logs.append(rl)
+    return {"resourceLogs": resource_logs}
+
+
+def _span_event(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["timeUnixNano"] = str(_u64(v))
+        elif f == 2:
+            out["name"] = v.decode("utf-8", "replace")
+        elif f == 3:
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif f == 4:
+            out["droppedAttributesCount"] = v
+    return out
+
+
+def _span_link(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["traceId"] = v.hex()
+        elif f == 2:
+            out["spanId"] = v.hex()
+        elif f == 3:
+            out["traceState"] = v.decode("utf-8", "replace")
+        elif f == 4:
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif f == 5:
+            out["droppedAttributesCount"] = v
+        elif f == 6:
+            out["flags"] = _u32(v) if wt == 5 else v
+    return out
+
+
+def _span(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["traceId"] = v.hex()
+        elif f == 2:
+            out["spanId"] = v.hex()
+        elif f == 3:
+            out["traceState"] = v.decode("utf-8", "replace")
+        elif f == 4:
+            out["parentSpanId"] = v.hex()
+        elif f == 5:
+            out["name"] = v.decode("utf-8", "replace")
+        elif f == 6:
+            out["kind"] = v
+        elif f == 7:
+            out["startTimeUnixNano"] = str(_u64(v))
+        elif f == 8:
+            out["endTimeUnixNano"] = str(_u64(v))
+        elif f == 9:
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif f == 10:
+            out["droppedAttributesCount"] = v
+        elif f == 11:
+            out.setdefault("events", []).append(_span_event(v))
+        elif f == 12:
+            out["droppedEventsCount"] = v
+        elif f == 13:
+            out.setdefault("links", []).append(_span_link(v))
+        elif f == 14:
+            out["droppedLinksCount"] = v
+        elif f == 15:
+            status: dict[str, Any] = {}
+            for f2, _, v2 in _fields(v):
+                if f2 == 2:
+                    status["message"] = v2.decode("utf-8", "replace")
+                elif f2 == 3:
+                    status["code"] = v2
+            out["status"] = status
+        elif f == 16:
+            out["flags"] = _u32(v) if wt == 5 else v
+    return out
+
+
+def decode_traces(data: bytes) -> dict[str, Any]:
+    """ExportTraceServiceRequest / TracesData -> envelope dict."""
+    resource_spans = []
+    for f, wt, v in _fields(data):
+        if f != 1:
+            continue
+        rs: dict[str, Any] = {}
+        for f2, _, v2 in _fields(v):
+            if f2 == 1:
+                rs["resource"] = _resource(v2)
+            elif f2 == 2:
+                ss: dict[str, Any] = {}
+                for f3, _, v3 in _fields(v2):
+                    if f3 == 1:
+                        ss["scope"] = _scope(v3)
+                    elif f3 == 2:
+                        ss.setdefault("spans", []).append(_span(v3))
+                rs.setdefault("scopeSpans", []).append(ss)
+        resource_spans.append(rs)
+    return {"resourceSpans": resource_spans}
+
+
+def _exemplar(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 2:
+            out["timeUnixNano"] = str(_u64(v))
+        elif f == 3:
+            out["asDouble"] = _f64(v)
+        elif f == 4:
+            out["spanId"] = v.hex()
+        elif f == 5:
+            out["traceId"] = v.hex()
+        elif f == 6:
+            out["asInt"] = str(_i64(v))
+        elif f == 7:
+            out.setdefault("filteredAttributes", []).append(_key_value(v))
+    return out
+
+
+def _number_dp(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 2:
+            out["startTimeUnixNano"] = str(_u64(v))
+        elif f == 3:
+            out["timeUnixNano"] = str(_u64(v))
+        elif f == 4:
+            out["asDouble"] = _f64(v)
+        elif f == 5:
+            out.setdefault("exemplars", []).append(_exemplar(v))
+        elif f == 6:
+            out["asInt"] = str(_i64(v))
+        elif f == 7:
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif f == 8:
+            out["flags"] = v
+    return out
+
+
+def _hist_dp(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 2:
+            out["startTimeUnixNano"] = str(_u64(v))
+        elif f == 3:
+            out["timeUnixNano"] = str(_u64(v))
+        elif f == 4:
+            out["count"] = str(_u64(v))
+        elif f == 5:
+            out["sum"] = _f64(v)
+        elif f == 6:
+            if wt == 2:
+                out.setdefault("bucketCounts", []).extend(
+                    str(x) for x in _packed(v, wt, (8, _u64)))
+            else:
+                out.setdefault("bucketCounts", []).append(str(_u64(v)))
+        elif f == 7:
+            if wt == 2:
+                out.setdefault("explicitBounds", []).extend(_packed(v, wt, (8, _f64)))
+            else:
+                out.setdefault("explicitBounds", []).append(_f64(v))
+        elif f == 8:
+            out.setdefault("exemplars", []).append(_exemplar(v))
+        elif f == 9:
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif f == 10:
+            out["flags"] = v
+        elif f == 11:
+            out["min"] = _f64(v)
+        elif f == 12:
+            out["max"] = _f64(v)
+    return out
+
+
+def _exp_buckets(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["offset"] = _zigzag(v)
+        elif f == 2:
+            if wt == 2:
+                out.setdefault("bucketCounts", []).extend(
+                    str(x) for x in _packed(v, wt, _read_varint))
+            else:
+                out.setdefault("bucketCounts", []).append(str(v))
+    return out
+
+
+def _exp_hist_dp(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif f == 2:
+            out["startTimeUnixNano"] = str(_u64(v))
+        elif f == 3:
+            out["timeUnixNano"] = str(_u64(v))
+        elif f == 4:
+            out["count"] = str(_u64(v))
+        elif f == 5:
+            out["sum"] = _f64(v)
+        elif f == 6:
+            out["scale"] = _zigzag(v)
+        elif f == 7:
+            out["zeroCount"] = str(_u64(v))
+        elif f == 8:
+            out["positive"] = _exp_buckets(v)
+        elif f == 9:
+            out["negative"] = _exp_buckets(v)
+        elif f == 10:
+            out["flags"] = v
+        elif f == 11:
+            out.setdefault("exemplars", []).append(_exemplar(v))
+        elif f == 12:
+            out["min"] = _f64(v)
+        elif f == 13:
+            out["max"] = _f64(v)
+        elif f == 14:
+            out["zeroThreshold"] = _f64(v)
+    return out
+
+
+def _metric(buf: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            out["name"] = v.decode("utf-8", "replace")
+        elif f == 2:
+            out["description"] = v.decode("utf-8", "replace")
+        elif f == 3:
+            out["unit"] = v.decode("utf-8", "replace")
+        elif f == 5:
+            out["gauge"] = {"dataPoints": [
+                _number_dp(x) for f2, _, x in _fields(v) if f2 == 1]}
+        elif f == 7:
+            sum_out: dict[str, Any] = {"dataPoints": []}
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    sum_out["dataPoints"].append(_number_dp(v2))
+                elif f2 == 2:
+                    sum_out["aggregationTemporality"] = v2
+                elif f2 == 3:
+                    sum_out["isMonotonic"] = bool(v2)
+            out["sum"] = sum_out
+        elif f == 9:
+            h: dict[str, Any] = {"dataPoints": []}
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    h["dataPoints"].append(_hist_dp(v2))
+                elif f2 == 2:
+                    h["aggregationTemporality"] = v2
+            out["histogram"] = h
+        elif f == 10:
+            e: dict[str, Any] = {"dataPoints": []}
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    e["dataPoints"].append(_exp_hist_dp(v2))
+                elif f2 == 2:
+                    e["aggregationTemporality"] = v2
+            out["exponentialHistogram"] = e
+        elif f == 11:
+            out["summary"] = {"dataPoints": [
+                {} for f2, _, _x in _fields(v) if f2 == 1]}
+    return out
+
+
+def decode_metrics(data: bytes) -> dict[str, Any]:
+    """ExportMetricsServiceRequest / MetricsData -> envelope dict."""
+    resource_metrics = []
+    for f, wt, v in _fields(data):
+        if f != 1:
+            continue
+        rm: dict[str, Any] = {}
+        for f2, _, v2 in _fields(v):
+            if f2 == 1:
+                rm["resource"] = _resource(v2)
+            elif f2 == 2:
+                sm: dict[str, Any] = {}
+                for f3, _, v3 in _fields(v2):
+                    if f3 == 1:
+                        sm["scope"] = _scope(v3)
+                    elif f3 == 2:
+                        sm.setdefault("metrics", []).append(_metric(v3))
+                rm.setdefault("scopeMetrics", []).append(sm)
+        resource_metrics.append(rm)
+    return {"resourceMetrics": resource_metrics}
+
+
+DECODERS = {
+    "logs": decode_logs,
+    "traces": decode_traces,
+    "metrics": decode_metrics,
+}
+
+
+def pb_to_json_line(data: bytes, signal: str) -> str:
+    """Decode a protobuf payload to one compact JSON envelope line."""
+    return json.dumps(DECODERS[signal](data), separators=(",", ":"))
+
+
+def looks_like_json(data: bytes) -> bool:
+    """Format auto-detection: OTLP/JSON starts with '{' after optional
+    BOM/whitespace; anything else is treated as protobuf
+    (reference: FORMAT AUTO in read_otlp.cpp)."""
+    head = data[:16].lstrip(b"\xef\xbb\xbf \t\r\n")
+    return head.startswith(b"{")

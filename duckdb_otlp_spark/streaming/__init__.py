@@ -1,0 +1,8 @@
+from duckdb_otlp_spark.streaming.server import (  # noqa: F401
+    OtlpSparkServer,
+    otlp_flush,
+    otlp_seal_list,
+    otlp_serve,
+    otlp_server_list,
+    otlp_stop,
+)

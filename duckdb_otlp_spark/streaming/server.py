@@ -1,0 +1,347 @@
+"""Live-ingest engine: the ``otlp_serve`` / ``otlp_flush`` / ``otlp_stop`` /
+``otlp_server_list`` / ``otlp_seal_list`` surface re-expressed on
+Structured Streaming (reference: src/otlp_start_stop.cpp:41-573).
+
+Mapping (SURVEY.md §3.2): the reference's group-commit "seal" — a single
+writer thread swapping buffers on a 128 MiB / 5 s trigger — becomes a
+micro-batch: ``readStream`` tails the receiver's spool directory,
+``foreachBatch`` parses + flattens with the exact file-reader plan and
+appends to the six signal tables; the micro-batch transaction is the
+seal. ``otlp_flush`` = ``processAllAvailable``; the parquet-export sink
+is at-least-once per signal (blind append), same contract as the
+reference's COPY path (reference: otlp_server.cpp:963-1107).
+
+A metrics request fans out to <=4 shape tables from ONE parse — the
+envelope frame is cached for the four flattens, mirroring
+``otlp_transform_metrics_all`` (reference: read_otlp.cpp:261-304).
+
+Scale notes: each signal is an independent streaming query (the
+reference's single-writer mutex exists because DuckLake needs one
+writer; Spark sinks are per-table, so signal queries run concurrently).
+Partitioned year/month/day layout matches the reference's export tree
+and gives partition pruning to every time-bounded query.
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_otlp_spark.functions.uri import OtlpUri, parse_otlp_uri
+from duckdb_otlp_spark.schemas import TARGET_TABLES
+from duckdb_otlp_spark.sources.otlp_json import (
+    FLATTEN,
+    envelopes_from_lines,
+    flatten_metrics_exp_histogram,
+    flatten_metrics_gauge,
+    flatten_metrics_histogram,
+    flatten_metrics_sum,
+)
+from duckdb_otlp_spark.streaming.receiver import OtlpHttpReceiver
+
+# reference: src/include/otlp_ingest_limits.hpp
+DEFAULT_SEAL_MAX_AGE_MS = 5000
+# reference: otlp_server.cpp:310-317 stall detection window
+STALL_SEAL_CYCLES = 3
+# reference: otlp_server.cpp seal history bound
+SEAL_HISTORY_LIMIT = 4096
+
+_PARTITION_TS = {  # reference: otlp_server.cpp:105-110
+    "otlp_traces": "start_time_unix_nano",
+}
+
+
+def _sanitize(key: str) -> str:
+    """Promotion column sanitization (reference: otlp_column_promote.cpp:27-38)."""
+    return re.sub(r"[^A-Za-z0-9_]", "_", key)
+
+
+@dataclass
+class SealEvent:
+    seal_sequence: int
+    table: str
+    rows: int
+    batch_id: int
+    append_ms: float
+    status: str
+    error: str = ""
+    unix_ms: int = field(default_factory=lambda: int(time.time() * 1000))
+
+
+class OtlpSparkServer:
+    """One live listener: HTTP receiver + per-signal streaming seal jobs."""
+
+    def __init__(self, spark: SparkSession, uri: str, *,
+                 work_dir: str | Path | None = None,
+                 export_root: str | Path | None = None,
+                 auth_token: str | None = None,
+                 disable_auth: bool = False,
+                 seal_max_age_ms: int = DEFAULT_SEAL_MAX_AGE_MS,
+                 promote_resource: list[str] | None = None,
+                 promote_scope: list[str] | None = None,
+                 zstd: bool = True):
+        self.spark = spark
+        # port 0 = OS-assigned; resolved to the bound port in start()
+        self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
+        if self.uri.scheme == "otap":
+            raise NotImplementedError(
+                "otap: (Arrow gRPC) transport is not implemented yet; use otlp:")
+        self.work_dir = Path(work_dir or f"/tmp/otlp_spark/{self.uri.host}_{self.uri.port}")
+        self.spool_dir = self.work_dir / "spool"
+        self.export_root = Path(export_root or (self.work_dir / "export"))
+        self.seal_max_age_ms = seal_max_age_ms
+        self.compression = "zstd" if zstd else "snappy"
+        self.promote_resource = list(promote_resource or [])
+        self.promote_scope = list(promote_scope or [])
+        self.receiver = OtlpHttpReceiver(
+            self.uri.host, self.uri.port, self.spool_dir,
+            auth_token=auth_token, disable_auth=disable_auth)
+        self.queries: dict[str, Any] = {}
+        self.seal_history: list[SealEvent] = []
+        self._seal_seq = 0
+        self._lock = threading.Lock()
+        self.last_seal_unix_ms: int | None = None
+        self.seal_failures_total = 0
+        self.sealed_rows_total = 0
+
+    # -- promotion (reference: otlp_column_promote.cpp:53-127) --
+    def _promote(self, df: DataFrame) -> DataFrame:
+        seen: set[str] = set()
+        for source, prefix, keys in (
+                ("resource_attributes", "resource_attr_", self.promote_resource),
+                ("scope_attributes", "scope_attr_", self.promote_scope)):
+            for key in keys:
+                if not key:
+                    continue
+                target = prefix + _sanitize(key)
+                if target in seen:
+                    continue
+                seen.add(target)
+                df = df.withColumn(
+                    target, F.get_json_object(F.col(source), f"$['{key}']"))
+        return df
+
+    def _record_seal(self, table: str, rows: int, batch_id: int,
+                     append_ms: float, status: str, error: str = "") -> None:
+        with self._lock:
+            self._seal_seq += 1
+            self.seal_history.append(SealEvent(
+                self._seal_seq, table, rows, batch_id, round(append_ms, 3),
+                status, error))
+            if len(self.seal_history) > SEAL_HISTORY_LIMIT:
+                self.seal_history = self.seal_history[-SEAL_HISTORY_LIMIT:]
+            self.last_seal_unix_ms = int(time.time() * 1000)
+            if status == "ok":
+                self.sealed_rows_total += rows
+            else:
+                self.seal_failures_total += 1
+
+    def _write_table(self, df: DataFrame, table: str, batch_id: int) -> None:
+        """One seal append: partitioned y/m/d zstd parquet, like the
+        reference's COPY ... PARTITION_BY (year, month, day)
+        (reference: otlp_server.cpp:112-129)."""
+        ts = _PARTITION_TS.get(table, "time_unix_nano")
+        out = (df
+               .withColumn("year", F.date_format(F.col(ts), "yyyy"))
+               .withColumn("month", F.date_format(F.col(ts), "MM"))
+               .withColumn("day", F.date_format(F.col(ts), "dd")))
+        t0 = time.perf_counter()
+        rows = out.count()
+        try:
+            if rows:
+                (out.write.mode("append")
+                 .partitionBy("year", "month", "day")
+                 .option("compression", self.compression)
+                 .parquet(str(self.export_root / table)))
+            self._record_seal(table, rows, batch_id,
+                              (time.perf_counter() - t0) * 1000, "ok")
+        except Exception as e:  # noqa: BLE001 — seal failures are recorded
+            self._record_seal(table, rows, batch_id,
+                              (time.perf_counter() - t0) * 1000, "error", str(e))
+            raise
+
+    def _seal_batch(self, signal: str):
+        def seal(batch_df: DataFrame, batch_id: int) -> None:
+            nbytes = batch_df.agg(
+                F.coalesce(F.sum(F.octet_length("value")), F.lit(0))).first()[0]
+            env = envelopes_from_lines(batch_df,
+                                       "metrics" if signal == "metrics" else signal,
+                                       strict=False)
+            if signal == "metrics":
+                env = env.persist()
+                try:
+                    for table, flatten in (
+                            ("otlp_metrics_gauge", flatten_metrics_gauge),
+                            ("otlp_metrics_sum", flatten_metrics_sum),
+                            ("otlp_metrics_histogram", flatten_metrics_histogram),
+                            ("otlp_metrics_exp_histogram", flatten_metrics_exp_histogram)):
+                        self._write_table(self._promote(flatten(env)), table, batch_id)
+                finally:
+                    env.unpersist()
+            else:
+                table = TARGET_TABLES[signal]
+                self._write_table(self._promote(FLATTEN[signal](env)), table, batch_id)
+            self.receiver.release_sealed(int(nbytes))
+        return seal
+
+    def start(self) -> None:
+        self.receiver.ready_probe = self._ready
+        self.receiver.start()
+        if self.uri.port == 0:
+            self.uri = OtlpUri(self.uri.scheme, self.uri.host,
+                               self.receiver.port, self.uri.ipv6)
+        for signal in ("logs", "traces", "metrics"):
+            src = (self.spark.readStream
+                   .format("text")
+                   .load(str(self.spool_dir / signal)))
+            q = (src.writeStream
+                 .queryName(f"otlp_seal_{signal}_{self.uri.port}")
+                 .foreachBatch(self._seal_batch(signal))
+                 .option("checkpointLocation",
+                         str(self.work_dir / "checkpoints" / signal))
+                 .trigger(processingTime=f"{self.seal_max_age_ms} milliseconds")
+                 .start())
+            self.queries[signal] = q
+
+    def _ready(self) -> bool:
+        """Degrade /readyz when sealing stalls
+        (reference: otlp_server.cpp:310-317)."""
+        if self.seal_failures_total == 0 or self.receiver.buffered_bytes == 0:
+            return True
+        if self.last_seal_unix_ms is None:
+            return False
+        age = int(time.time() * 1000) - self.last_seal_unix_ms
+        return age <= STALL_SEAL_CYCLES * self.seal_max_age_ms
+
+    def flush(self) -> dict[str, Any]:
+        """Synchronous seal of everything spooled (reference otlp_flush,
+        otlp_start_stop.cpp:523-573)."""
+        before = self.sealed_rows_total
+        for q in self.queries.values():
+            q.processAllAvailable()
+        return {"status": "ok", "sealed_rows": self.sealed_rows_total - before,
+                "seals_total": self._seal_seq}
+
+    def stop(self, drain: bool = True) -> dict[str, Any]:
+        """Stop listener, drain spool (3 attempts), report dropped rows
+        (reference otlp_stop, otlp_start_stop.cpp:304-346)."""
+        self.receiver.stop()
+        if drain:
+            for _ in range(3):
+                try:
+                    self.flush()
+                    break
+                except Exception:  # noqa: BLE001 — retry the drain
+                    continue
+        dropped = self.receiver.buffered_bytes
+        for q in self.queries.values():
+            q.stop()
+        return {"status": "ok", "dropped_bytes": dropped}
+
+    # -- status tables --
+    def server_row(self) -> dict[str, Any]:
+        st = self.receiver.stats
+        return {
+            "uri": self.uri.canonical,
+            "url": self.uri.url,
+            "transport": "http",
+            "buffered_bytes": self.receiver.buffered_bytes,
+            "admitted_bytes_total": st.admitted_bytes_total,
+            "requests_total": st.requests_total,
+            "accepted_requests": st.accepted_requests,
+            "rejected_auth": st.rejected_auth,
+            "rejected_413": st.rejected_413,
+            "rejected_415": st.rejected_415,
+            "rejected_503": st.rejected_503,
+            "logs_requests": st.per_signal_requests["logs"],
+            "traces_requests": st.per_signal_requests["traces"],
+            "metrics_requests": st.per_signal_requests["metrics"],
+            "seals_total": self._seal_seq,
+            "seal_failures_total": self.seal_failures_total,
+            "sealed_rows_total": self.sealed_rows_total,
+            "last_seal_unix_ms": self.last_seal_unix_ms,
+            "ready": self._ready(),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Registry surface (reference: src/otlp_storage.cpp:33-162)
+# ---------------------------------------------------------------------------
+
+_SERVERS: dict[str, OtlpSparkServer] = {}
+_REG_LOCK = threading.Lock()
+
+# explicit schema: server_row() has nullable fields (last_seal_unix_ms)
+_SERVER_ROW_SCHEMA = (
+    "uri string, url string, transport string, buffered_bytes long, "
+    "admitted_bytes_total long, requests_total long, accepted_requests long, "
+    "rejected_auth long, rejected_413 long, rejected_415 long, "
+    "rejected_503 long, logs_requests long, traces_requests long, "
+    "metrics_requests long, seals_total long, seal_failures_total long, "
+    "sealed_rows_total long, last_seal_unix_ms long, ready boolean")
+
+
+def otlp_serve(spark: SparkSession, uri: str, **params) -> DataFrame:
+    """Start a listener; one row back, like the reference's table function
+    (reference: otlp_start_stop.cpp:41-298). Duplicate URIs are rejected."""
+    server = OtlpSparkServer(spark, uri, **params)
+    key = server.uri.canonical
+    with _REG_LOCK:
+        if key in _SERVERS:
+            raise ValueError(f"listener already registered for {key}")
+        _SERVERS[key] = server
+    try:
+        server.start()
+    except Exception:
+        with _REG_LOCK:
+            _SERVERS.pop(key, None)
+        raise
+    if server.uri.canonical != key:  # port 0 resolved to the bound port
+        with _REG_LOCK:
+            _SERVERS[server.uri.canonical] = _SERVERS.pop(key)
+    return spark.createDataFrame([server.server_row()], schema=_SERVER_ROW_SCHEMA)
+
+
+def _get(uri: str) -> OtlpSparkServer:
+    key = parse_otlp_uri(uri).canonical
+    with _REG_LOCK:
+        if key not in _SERVERS:
+            raise ValueError(f"no listener registered for {key}")
+        return _SERVERS[key]
+
+
+def otlp_flush(spark: SparkSession, uri: str) -> DataFrame:
+    return spark.createDataFrame([_get(uri).flush()])
+
+
+def otlp_stop(spark: SparkSession, uri: str, drain: bool = True) -> DataFrame:
+    server = _get(uri)
+    result = server.stop(drain=drain)
+    with _REG_LOCK:
+        _SERVERS.pop(server.uri.canonical, None)
+    return spark.createDataFrame([result])
+
+
+def otlp_server_list(spark: SparkSession) -> DataFrame:
+    with _REG_LOCK:
+        rows = [s.server_row() for s in _SERVERS.values()]
+    return spark.createDataFrame(rows, schema=_SERVER_ROW_SCHEMA)
+
+
+def otlp_seal_list(spark: SparkSession, uri: str) -> DataFrame:
+    server = _get(uri)
+    with server._lock:
+        rows = [vars(e).copy() for e in server.seal_history]
+    if not rows:
+        return spark.createDataFrame(
+            [], schema=("seal_sequence long, table string, rows long, "
+                        "batch_id long, append_ms double, status string, "
+                        "error string, unix_ms long"))
+    return spark.createDataFrame(rows)

@@ -1,0 +1,192 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing) over the driver testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_otlp_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- dedup ---
+
+def test_exact_dedup_with_planted_dup(spark, docs):
+    base = docs.limit(50)
+    dup = base.filter(F.col("doc_id") == 0) \
+        .withColumn("doc_id", F.lit(99999).cast("long"))
+    with_dup = base.unionAll(dup)
+    out = dedup.exact_dedup(with_dup, "doc_id", "text")
+    assert out.count() == 50
+    assert out.filter(F.col("doc_id") == 99999).count() == 0  # keeps min id
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    base = docs.limit(40)
+    # plant a near-duplicate: doc 0's text with one word changed
+    words_changed = F.concat(F.col("text"), F.lit(" extraword"))
+    near = base.filter(F.col("doc_id") == 0).select(
+        F.lit(88888).cast("long").alias("doc_id"),
+        words_changed.alias("text"), "lang", "source", "n_chars")
+    with_near = base.select("doc_id", "text", "lang", "source", "n_chars") \
+        .unionAll(near)
+    pairs = dedup.minhash_lsh_pairs(with_near, "doc_id", "text",
+                                    num_hashes=64, bands=16,
+                                    jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 88888) in got
+    row = pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 88888)).first()
+    assert row["jaccard"] > 0.8
+
+
+def test_minhash_dedup_drops_near_dup(spark, docs):
+    base = docs.limit(40).select("doc_id", "text")
+    near = base.filter(F.col("doc_id") == 0).select(
+        F.lit(88888).cast("long").alias("doc_id"), "text")
+    out = dedup.minhash_dedup(base.unionAll(near), "doc_id", "text")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 88888 not in ids
+
+
+def test_simhash_near_dup(spark, docs):
+    base = docs.limit(30).select("doc_id", "text")
+    near = base.filter(F.col("doc_id") == 1).select(
+        F.lit(77777).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    pairs = dedup.simhash_pairs(base.unionAll(near), "doc_id", "text",
+                                max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 77777) in got
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"])
+    sigs = df.select("doc_id", dedup.simhash_bits(F.col("text")).alias("s"))
+    a, b = [r["s"] for r in sigs.orderBy("doc_id").collect()]
+    assert a == b
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    base = emb.limit(30)
+    clone = base.filter(F.col("vec_id") == 0).select(
+        F.lit(66666).cast("long").alias("vec_id"), "embedding",
+        F.col("label"))
+    pairs = dedup.embedding_near_dup_pairs(base.unionAll(clone),
+                                           "vec_id", "embedding",
+                                           threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 66666) in got
+
+
+# --- similarity ---
+
+def test_cosine_topk_self_is_first(spark, emb):
+    qvec = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    top = similarity.cosine_topk(emb, "vec_id", "embedding", list(qvec), k=5)
+    rows = top.collect()
+    assert rows[0]["vec_id"] == 3
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert all(rows[i]["cosine"] >= rows[i + 1]["cosine"] for i in range(len(rows) - 1))
+
+
+def test_ivf_search_matches_brute_force_mostly(spark, emb):
+    qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    brute = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, "vec_id", "embedding", qvec, k=5).collect()]
+    assigned, centroids = similarity.build_ivf_index(
+        emb, "vec_id", "embedding", n_centroids=8, iters=1)
+    approx = [r["vec_id"] for r in
+              similarity.ivf_search(assigned, centroids, "vec_id", "embedding",
+                                    qvec, k=5, nprobe=4).collect()]
+    # self must be found; recall of the exact top-5 should be decent
+    assert brute[0] == 7 and approx[0] == 7
+    assert len(set(brute) & set(approx)) >= 3
+
+
+# --- text ---
+
+def test_profile_documents(spark, docs):
+    prof = text.profile_documents(docs.limit(20), "doc_id", "text")
+    rows = prof.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert len(r["fingerprint"]) == 16
+        assert r["lang_guess"] is not None
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat in the house with a friend"),
+         (2, "der hund und die katze ist nicht mit der maus"),
+         (3, "el gato y el perro que es de la casa")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "es"}
+
+
+def test_fingerprint_robust_to_local_edit(spark):
+    df = spark.createDataFrame(
+        [(1, "a long document with many words repeated many times over and over"),
+         (2, "a long document with many words repeated many times over and over!!")],
+        ["doc_id", "text"])
+    fps = [r["fp"] for r in df.select(
+        text.rolling_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]  # min-gram unaffected by a tail edit (usually)
+
+
+def test_token_count_tokenizers(spark):
+    df = spark.createDataFrame([(1, "hello world, 42 times!")], ["id", "t"])
+    r = df.select(
+        text.token_count(F.col("t"), "ws").alias("ws"),
+        text.token_count(F.col("t"), "bpe").alias("bpe")).first()
+    assert r["ws"] == 4
+    assert r["bpe"] >= 6  # words + number + punctuation separated
+
+
+# --- multimodal ---
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media(spark, n=32)
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # deterministic: same payload -> same digest
+    again = {r["media_id"]: r["digest"] for r in
+             multimodal.extract_features(media, dim=8).collect()}
+    assert {r["media_id"]: r["digest"] for r in rows} == again
+
+
+def test_multimodal_strict_decode_raises(spark):
+    media = multimodal.synthetic_media(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, strict_decode=True).collect()
+
+
+def test_frame_sample_plan_prunes_payload(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert len(rows) > 0
+    assert {"media_id", "frame_idx", "frame_ts_ms"} == set(plan.columns)
+    # payload must not appear in the physical plan's scan schema
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in explained

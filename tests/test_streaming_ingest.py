@@ -1,0 +1,167 @@
+"""End-to-end live-ingest tests: HTTP POST -> spool -> streaming seal ->
+partitioned parquet -> query. Mirrors the reference's manual ingest
+harness coverage (reference: test/manual/otlp_serve_concurrency.py,
+serve.md:384-399): auth, content types, 413/415/503, flush/stop
+lifecycle, promotion, seal telemetry.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_otlp_spark.streaming import (
+    otlp_flush,
+    otlp_seal_list,
+    otlp_serve,
+    otlp_server_list,
+    otlp_stop,
+)
+from tests.fixtures import LOGS_SIMPLE, METRICS_SIMPLE, TRACES_SIMPLE
+
+TOKEN = "test-token-0123456789abcdef"
+
+
+def _post(url: str, path: str, payload, token=TOKEN, gzip_body=False,
+          ctype="application/json", extra_headers=None):
+    body = payload if isinstance(payload, bytes) else json.dumps(payload).encode()
+    headers = {"Content-Type": ctype}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    if gzip_body:
+        body = gzip.compress(body)
+        headers["Content-Encoding"] = "gzip"
+    headers.update(extra_headers or {})
+    req = urllib.request.Request(url + path, data=body, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("ingest")
+    row = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(work),
+                     auth_token=TOKEN, seal_max_age_ms=500,
+                     promote_resource=["service.name", "host.name"])
+    info = row.collect()[0]
+    from duckdb_otlp_spark.streaming.server import _get
+    srv = _get(info["uri"])
+    yield srv
+    try:
+        otlp_stop(spark, srv.uri.canonical)
+    except ValueError:
+        pass
+
+
+def test_ingest_end_to_end(spark, server):
+    url = server.uri.url
+    for env in LOGS_SIMPLE:
+        code, resp = _post(url, "/v1/logs", env)
+        assert code == 202, resp
+        assert resp["batches"] == 1
+    for env in TRACES_SIMPLE:
+        assert _post(url, "/v1/traces", env)[0] == 202
+    assert _post(url, "/v1/metrics", METRICS_SIMPLE[0], gzip_body=True)[0] == 202
+
+    out = otlp_flush(spark, server.uri.canonical).collect()[0]
+    assert out["status"] == "ok"
+
+    logs = spark.read.parquet(str(server.export_root / "otlp_logs"))
+    assert logs.count() == 3
+    assert set(logs.select("severity_text").toPandas()["severity_text"]) == \
+        {"INFO", "WARN", "ERROR"}
+    # y/m/d partition columns from the export layout (reference parity)
+    assert {"year", "month", "day"} <= set(logs.columns)
+    # promotion columns materialized at ingest
+    assert "resource_attr_service_name" in logs.columns
+    assert logs.filter(F.col("resource_attr_service_name") == "test-service").count() == 3
+
+    traces = spark.read.parquet(str(server.export_root / "otlp_traces"))
+    assert traces.count() == 3
+    assert traces.filter(F.col("duration_time_unix_nano") > 0).count() == 3
+
+    gauge = spark.read.parquet(str(server.export_root / "otlp_metrics_gauge"))
+    s = spark.read.parquet(str(server.export_root / "otlp_metrics_sum"))
+    hist = spark.read.parquet(str(server.export_root / "otlp_metrics_histogram"))
+    assert gauge.count() == 1 and s.count() == 1 and hist.count() == 1
+    assert s.collect()[0]["int_value"] == 42
+
+
+def test_auth_and_content_negotiation(server):
+    url = server.uri.url
+    env = LOGS_SIMPLE[0]
+    assert _post(url, "/v1/logs", env, token=None)[0] == 401
+    assert _post(url, "/v1/logs", env, token="wrong-token-16chars+")[0] == 401
+    code, resp = _post(url, "/v1/logs", env, ctype="text/plain")
+    assert code == 415
+    code, resp = _post(url, "/v1/logs", env, ctype="application/x-protobuf")
+    assert code == 415
+    code, resp = _post(url, "/v1/logs", b"not json at all")
+    assert code == 400
+    # x-api-key path
+    code, _ = _post(url, "/v1/logs", env, token=None,
+                    extra_headers={"x-api-key": TOKEN})
+    assert code == 202
+
+
+def test_body_cap_413(server):
+    url = server.uri.url
+    big = b"x" * (server.receiver.max_body_bytes + 1)
+    code, _ = _post(url, "/v1/logs", big)
+    assert code == 413
+
+
+def test_server_and_seal_telemetry(spark, server):
+    row = otlp_server_list(spark).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["accepted_requests"] >= 7
+    assert r["rejected_auth"] >= 2
+    assert r["rejected_415"] >= 2
+    assert r["ready"] is True
+
+    seals = otlp_seal_list(spark, server.uri.canonical)
+    rows = seals.filter(F.col("status") == "ok").collect()
+    assert any(e["table"] == "otlp_logs" and e["rows"] > 0 for e in rows)
+    # metrics request fans out to all 4 shape tables in one seal cycle
+    tables = {e["table"] for e in rows}
+    assert {"otlp_metrics_gauge", "otlp_metrics_sum",
+            "otlp_metrics_histogram", "otlp_metrics_exp_histogram"} <= tables
+
+
+def test_duplicate_uri_rejected(spark, server):
+    with pytest.raises(ValueError, match="already registered"):
+        otlp_serve(spark, server.uri.canonical)
+
+
+def test_stop_reports_and_unregisters(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("ingest2")
+    row = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(work),
+                     disable_auth=True, seal_max_age_ms=500)
+    uri = row.collect()[0]["uri"]
+    _post(f"http://127.0.0.1:{uri.split(':')[-1]}", "/v1/logs",
+          LOGS_SIMPLE[0], token=None)
+    out = otlp_stop(spark, uri).collect()[0]
+    assert out["status"] == "ok"
+    with pytest.raises(ValueError, match="no listener"):
+        otlp_flush(spark, uri)
+
+
+def test_uri_validation():
+    from duckdb_otlp_spark.functions.uri import parse_otlp_uri
+    u = parse_otlp_uri("otlp://0.0.0.0:9999")
+    assert (u.host, u.port, u.ipv6) == ("0.0.0.0", 9999, False)
+    assert parse_otlp_uri("otlp:").port == 4318
+    assert parse_otlp_uri("otap:").port == 4317
+    assert parse_otlp_uri("otlp://[::1]:5000").ipv6 is True
+    for bad in ("http://x", "otlp://:", "otlp://host:99999", "otlp://[::1"):
+        with pytest.raises(ValueError):
+            parse_otlp_uri(bad)
