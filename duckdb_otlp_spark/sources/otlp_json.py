@@ -507,13 +507,79 @@ def _resource_attr(resource: Column, key: str) -> Column:
 # File -> envelope rows
 # ---------------------------------------------------------------------------
 
+def _decoded_lines(spark: SparkSession, paths: list[str], signal: str,
+                   fmt: str) -> DataFrame:
+    """Binary scan -> one JSON envelope line per row (column ``value``).
+
+    ``binaryFile`` keeps the reference's parallelism unit — one file per
+    task, never split (reference: read_otlp.cpp:62-77) — and the decode
+    runs executor-side in ``mapInPandas``: protobuf payloads go through
+    the pure-Python proto3 wire decoder, JSON payloads pass through as
+    text (document or NDJSON, detected per file like FORMAT AUTO). The
+    output lines feed the exact same JVM-side ``from_json`` flatten plan
+    as the text path, so downstream pruning/codegen is unchanged.
+    """
+    from duckdb_otlp_spark.sources import otlp_proto
+
+    files = spark.read.format("binaryFile").load(paths).select("path", "length", "content")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            out: list[str] = []
+            for fpath, length, content in zip(pdf["path"], pdf["length"], pdf["content"]):
+                if length > MAX_READ_FILE_BYTES:
+                    raise ValueError(
+                        f"OTLP read error: file exceeds {MAX_READ_FILE_BYTES} "
+                        f"byte limit: {fpath}")
+                b = bytes(content)
+                if not b:
+                    continue  # empty file -> 0 rows (reference parity)
+                if not b.lstrip(b"\xef\xbb\xbf").strip():
+                    raise ValueError(f"OTLP parse error: whitespace-only file: {fpath}")
+                if fmt == "auto" and otlp_proto.looks_like_json(b):
+                    text = b.decode("utf-8")
+                    lines = [ln for ln in text.split("\n") if ln.strip()]
+                    if _is_ndjson(lines):
+                        out.extend(lines)
+                    else:
+                        out.append(text)  # whole (possibly pretty) document
+                else:
+                    try:
+                        out.append(otlp_proto.pb_to_json_line(b, signal))
+                    except ValueError as e:
+                        raise ValueError(
+                            f"OTLP parse error: invalid protobuf payload "
+                            f"({e}): {fpath}") from e
+            yield pd.DataFrame({"value": out})
+
+    return files.mapInPandas(decode, "value string")
+
+
+def _is_ndjson(lines: list[str]) -> bool:
+    """NDJSON iff some single line is a complete JSON object on its own;
+    a pretty-printed document's lines never are (opener is a bare '{')."""
+    import json as _json
+    for ln in lines:
+        s = ln.strip()
+        if s.startswith("{"):
+            try:
+                _json.loads(s)
+                return True
+            except ValueError:
+                continue
+    return False
+
+
 def _load_envelopes(spark: SparkSession, path: str | list[str], signal: str,
                     mode: str = "auto") -> DataFrame:
     """Read file(s) -> one row per OTLP envelope (column ``env``).
 
-    ``mode='auto'``: whole-file read, per-file JSON-document vs NDJSON
-    auto-detection, 100 MB cap — reference parity
+    ``mode='auto'``: binary whole-file read, per-file protobuf vs JSON vs
+    NDJSON auto-detection, 100 MB cap — reference parity
     (reference: src/function/read_otlp.cpp:417-439).
+    ``mode='protobuf'``: force the protobuf decode for every file.
+    ``mode='json'``: pure-JVM text path (JSON/NDJSON only, no Python step).
     ``mode='lines'``: splittable line reader for large NDJSON (scale path).
     """
     field, env_schema = _ENVELOPES[signal]
@@ -532,11 +598,17 @@ def _load_envelopes(spark: SparkSession, path: str | list[str], signal: str,
             .otherwise(parsed)
         )
 
+    if mode in ("auto", "protobuf"):
+        lines = _decoded_lines(spark, paths, signal,
+                               "auto" if mode == "auto" else "protobuf")
+        return lines.select(_parse_or_error(F.col("value")).alias("env"))
+
     if mode == "lines":
         raw = spark.read.text(paths)
         lines = raw.filter(F.trim(F.col("value")) != "")
         return lines.select(_parse_or_error(F.col("value")).alias("env"))
 
+    # mode == "json": pure-JVM wholetext path
     raw = spark.read.text(paths, wholetext=True)
     content = F.col("value")
     nonblank_lines = F.filter(F.split(content, "\n"), lambda l: F.trim(l) != "")

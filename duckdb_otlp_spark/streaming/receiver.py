@@ -12,9 +12,9 @@ window the reference documents (reference: serve.md:363-369).
 Contracts matched:
 - Bearer/x-api-key constant-time auth; tokens >= 16 chars; CSPRNG
   32-hex default (reference: otlp_server.cpp:380-423, 83-92).
-- Content-Type -> {json, ndjson}; protobuf -> 415 until the pb decoder
-  lands; unknown -> 415. gzip/deflate/identity encodings; else 415
-  (reference: otlp_server.cpp:200-237).
+- Content-Type -> {json, ndjson, protobuf}; protobuf decodes edge-side
+  to a JSON envelope line; unknown -> 415. gzip/deflate/identity
+  encodings; else 415 (reference: otlp_server.cpp:200-237).
 - Body cap 16 MiB -> 413; admission cap 512 MiB of un-sealed spool
   bytes -> 503 (reference: otlp_ingest_limits.hpp).
 - /healthz always 200; /readyz degrades when sealing stalls
@@ -184,11 +184,8 @@ class OtlpHttpReceiver:
                     return self._reply(401, {"error": "unauthorized"})
 
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
-                if ctype in ("application/x-protobuf", "application/protobuf"):
-                    st.rejected_415 += 1
-                    self._drain()
-                    return self._reply(415, {"error": "protobuf ingest not supported"})
-                if ctype not in ("application/json", "application/x-ndjson"):
+                is_pb = ctype in ("application/x-protobuf", "application/protobuf")
+                if not is_pb and ctype not in ("application/json", "application/x-ndjson"):
                     st.rejected_415 += 1
                     self._drain()
                     return self._reply(415, {"error": f"unsupported content type {ctype}"})
@@ -210,6 +207,15 @@ class OtlpHttpReceiver:
                     body = gzip.decompress(body)
                 elif enc == "deflate":
                     body = zlib.decompress(body)
+                if is_pb:
+                    # decode edge-side to a JSON envelope line so the spool
+                    # stays one format (reference decodes pb at ingest too:
+                    # otlp_server.cpp:528-557 content-type -> format)
+                    from duckdb_otlp_spark.sources.otlp_proto import pb_to_json_line
+                    try:
+                        body = pb_to_json_line(body, signal).encode()
+                    except ValueError as e:
+                        return self._reply(400, {"error": f"invalid protobuf body: {e}"})
 
                 if not receiver.try_reserve(len(body)):
                     st.rejected_503 += 1

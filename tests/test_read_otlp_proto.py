@@ -1,0 +1,94 @@
+"""Protobuf reader tests: pb fixtures are encoded from the SAME envelope
+dicts as the JSON fixtures, and the parity oracle is the reference's own
+bidirectional EXCEPT pattern — pb-read and JSON-read DataFrames must be
+identical row sets (reference: test/sql/read_otap.test:44-79, applied to
+the protobuf path of read_otlp_* per test/sql/read_otlp_protobuf.test).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_otlp_spark.sources.otlp_json import (
+    read_otlp_logs,
+    read_otlp_metrics_exp_histogram,
+    read_otlp_metrics_gauge,
+    read_otlp_metrics_histogram,
+    read_otlp_metrics_sum,
+    read_otlp_traces,
+)
+from tests.fixtures import (
+    LOGS_SIMPLE,
+    METRICS_ALL_TYPES,
+    METRICS_SIMPLE,
+    METRICS_TEMPORALITY_STRINGS,
+    TRACES_SIMPLE,
+    encode_envelope_pb,
+    write_fixtures,
+)
+
+
+@pytest.fixture(scope="module")
+def pb_dir(tmp_path_factory):
+    """One .pb file per envelope (a pb file is a single message) plus the
+    matching .jsonl fixtures for parity reads."""
+    root = tmp_path_factory.mktemp("pb_fixtures")
+    write_fixtures(root)
+    for name, envs in (("logs_simple", LOGS_SIMPLE),
+                       ("traces_simple", TRACES_SIMPLE),
+                       ("metrics_simple", METRICS_SIMPLE),
+                       ("metrics_all_types", METRICS_ALL_TYPES),
+                       ("metrics_temporality_strings", METRICS_TEMPORALITY_STRINGS)):
+        for i, env in enumerate(envs):
+            (root / f"{name}_{i}.pb").write_bytes(encode_envelope_pb(env))
+    return root
+
+
+def _assert_parity(pb_df, json_df):
+    assert pb_df.schema == json_df.schema
+    assert pb_df.count() == json_df.count()
+    assert pb_df.exceptAll(json_df).count() == 0
+    assert json_df.exceptAll(pb_df).count() == 0
+
+
+@pytest.mark.parametrize("reader,stem", [
+    (read_otlp_logs, "logs_simple"),
+    (read_otlp_traces, "traces_simple"),
+    (read_otlp_metrics_gauge, "metrics_simple"),
+    (read_otlp_metrics_sum, "metrics_simple"),
+    (read_otlp_metrics_histogram, "metrics_simple"),
+    (read_otlp_metrics_histogram, "metrics_all_types"),
+    (read_otlp_metrics_exp_histogram, "metrics_all_types"),
+    (read_otlp_metrics_sum, "metrics_temporality_strings"),
+])
+def test_pb_json_parity(spark, pb_dir, reader, stem):
+    pb = reader(spark, str(pb_dir / f"{stem}_*.pb"))
+    js = reader(spark, str(pb_dir / f"{stem}.jsonl"))
+    _assert_parity(pb, js)
+
+
+def test_explicit_protobuf_mode(spark, pb_dir):
+    df = read_otlp_logs(spark, str(pb_dir / "logs_simple_0.pb"), mode="protobuf")
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["body"] == "Application started"
+    assert r["trace_id"] == "5b8efff798038103d269b633813fc60c"  # lowercase hex
+    assert r["service_name"] == "test-service"
+
+
+def test_mixed_glob_auto_detects_per_file(spark, pb_dir, tmp_path):
+    """One pb file + one jsonl file under one glob: FORMAT AUTO detects
+    per file (reference: read_otlp.cpp FORMAT AUTO)."""
+    (tmp_path / "a.pb").write_bytes(encode_envelope_pb(LOGS_SIMPLE[0]))
+    import json
+    (tmp_path / "b.jsonl").write_text(json.dumps(LOGS_SIMPLE[1]) + "\n")
+    df = read_otlp_logs(spark, str(tmp_path / "*"))
+    assert df.count() == 2
+    assert {r["severity_text"] for r in df.collect()} == {"INFO", "WARN"}
+
+
+def test_garbage_protobuf_errors(spark, tmp_path):
+    (tmp_path / "junk.pb").write_bytes(b"\xff\xfe\xfd this is not protobuf")
+    with pytest.raises(Exception, match="OTLP parse error"):
+        read_otlp_logs(spark, str(tmp_path / "junk.pb")).collect()

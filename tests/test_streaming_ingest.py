@@ -102,9 +102,18 @@ def test_auth_and_content_negotiation(server):
     assert _post(url, "/v1/logs", env, token="wrong-token-16chars+")[0] == 401
     code, resp = _post(url, "/v1/logs", env, ctype="text/plain")
     assert code == 415
-    code, resp = _post(url, "/v1/logs", env, ctype="application/x-protobuf")
+    code, resp = _post(url, "/v1/logs", env, ctype="application/json",
+                       extra_headers={"Content-Encoding": "br"})
     assert code == 415
     code, resp = _post(url, "/v1/logs", b"not json at all")
+    assert code == 400
+    # protobuf body decodes edge-side and is accepted
+    from tests.fixtures import encode_envelope_pb
+    code, resp = _post(url, "/v1/logs", encode_envelope_pb(env),
+                       ctype="application/x-protobuf")
+    assert code == 202, resp
+    code, resp = _post(url, "/v1/logs", b"\xff\xfe garbage",
+                       ctype="application/x-protobuf")
     assert code == 400
     # x-api-key path
     code, _ = _post(url, "/v1/logs", env, token=None,
