@@ -340,12 +340,20 @@ def attrs_to_json(attrs: Column) -> Column:
     """KeyValue list -> JSON object string; NULL list -> '{}'.
 
     Equivalent of the reference's attributes-as-JSON-VARCHAR encoding
-    (reference: site/src/content/docs/reference/schemas.md:181).
+    (reference: site/src/content/docs/reference/schemas.md:181). Keys are
+    sorted so the rendering is canonical across input encodings — OTLP
+    preserves wire order while OTAP regroups attributes by value type, so
+    only a canonical order lets the OTAP↔OTLP differential oracle hold
+    (reference: test/sql/read_otap.test:44-79).
     """
+    ordered = F.array_sort(
+        attrs,
+        lambda a, b: F.when(a["key"] < b["key"], -1)
+                      .when(a["key"] > b["key"], 1).otherwise(0))
     rendered = F.concat(
         F.lit("{"),
         F.concat_ws(",", F.transform(
-            attrs,
+            ordered,
             lambda a: F.concat(_json_quote(a["key"]), F.lit(":"), _any_value_json(a["value"])))),
         F.lit("}"),
     )

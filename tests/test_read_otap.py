@@ -1,0 +1,113 @@
+"""OTAP reader tests against the reference's own fixture pairs
+(read-only at /root/reference/test/data/otap/): each .bar file has a
+semantically-equivalent .otlp protobuf twin, and the oracle is the
+reference's own bidirectional EXCEPT pattern — read_otap_* and
+read_otlp_* must produce identical row sets
+(reference: test/sql/read_otap.test:44-103).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from duckdb_otlp_spark.sources.otap import OTAP_READERS, bar_to_envelope
+from duckdb_otlp_spark.sources.otlp_json import READERS
+
+OTAP_DIR = Path("/root/reference/test/data/otap")
+
+pytestmark = pytest.mark.skipif(not OTAP_DIR.exists(),
+                                reason="reference OTAP fixtures not present")
+
+
+def _parity(spark, signal_reader: str, bar: str, otlp: str):
+    otap_df = OTAP_READERS[signal_reader](spark, str(OTAP_DIR / bar))
+    otlp_df = READERS[signal_reader](spark, str(OTAP_DIR / otlp))
+    assert otap_df.schema == otlp_df.schema
+    assert otap_df.count() == otlp_df.count()
+    assert otap_df.exceptAll(otlp_df).count() == 0
+    assert otlp_df.exceptAll(otap_df).count() == 0
+
+
+@pytest.mark.parametrize("reader,bar,otlp", [
+    ("logs", "logs-initial.bar", "logs-initial.otlp"),
+    ("traces", "traces-initial.bar", "traces-initial.otlp"),
+    ("metrics_gauge", "metrics-initial.bar", "metrics-initial.otlp"),
+    ("metrics_sum", "metrics-initial.bar", "metrics-initial.otlp"),
+    ("metrics_histogram", "metrics-initial.bar", "metrics-initial.otlp"),
+    ("metrics_exp_histogram", "metrics-initial.bar", "metrics-initial.otlp"),
+])
+def test_otap_otlp_parity(spark, reader, bar, otlp):
+    _parity(spark, reader, bar, otlp)
+
+
+def test_otap_zstd(spark):
+    """Arrow-IPC zstd compression decodes transparently and matches the
+    uncompressed twin (reference: api.md compression contract)."""
+    a = OTAP_READERS["logs"](spark, str(OTAP_DIR / "logs-zstd.bar"))
+    b = OTAP_READERS["logs"](spark, str(OTAP_DIR / "logs-initial.bar"))
+    assert a.count() == 3
+    assert a.exceptAll(b).count() == 0
+
+
+def test_otap_row_counts(spark):
+    assert OTAP_READERS["logs"](spark, str(OTAP_DIR / "logs-initial.bar")).count() == 3
+    assert OTAP_READERS["traces"](spark, str(OTAP_DIR / "traces-initial.bar")).count() == 1
+    for shape in ("metrics_gauge", "metrics_sum", "metrics_histogram",
+                  "metrics_exp_histogram"):
+        n = 2 if shape == "metrics_gauge" else 1
+        df = OTAP_READERS[shape](spark, str(OTAP_DIR / "metrics-initial.bar"))
+        # gauge table holds the gauge metric's points; fixture has 1 gauge
+        # dp + 1 sum dp in the number-dp table split by metric type
+        assert df.count() == 1, shape
+
+
+def test_reuse_message_is_hard_error(spark):
+    """A schema-less continuation ("reuse") message cannot be decoded by
+    a fresh per-file decoder (reference: read_otap.test:135-141)."""
+    with pytest.raises(Exception, match="OTAP decode error"):
+        OTAP_READERS["logs"](spark, str(OTAP_DIR / "logs-reuse.bar")).collect()
+
+
+def test_otlp_payload_is_hard_error(spark):
+    with pytest.raises(Exception, match="OTAP decode error"):
+        OTAP_READERS["logs"](spark, str(OTAP_DIR / "logs-initial.otlp")).collect()
+
+
+def test_wrong_signal_is_hard_error(spark):
+    with pytest.raises(Exception, match="OTAP decode error"):
+        OTAP_READERS["logs"](spark, str(OTAP_DIR / "metrics-initial.bar")).collect()
+    with pytest.raises(Exception, match="OTAP decode error"):
+        OTAP_READERS["metrics_gauge"](spark, str(OTAP_DIR / "logs-initial.bar")).collect()
+
+
+def test_envelope_reconstruction_driverside():
+    """Pure-python check: .bar -> envelope equals the pb decode of the
+    .otlp twin under canonical attribute order (summary dp content is
+    excluded — every reader skips summary points)."""
+    import json
+
+    from duckdb_otlp_spark.sources.otlp_proto import DECODERS
+
+    def canon(env):
+        def walk(o):
+            if isinstance(o, dict):
+                out = {}
+                for k, v in o.items():
+                    if k == "summary":
+                        v = {"dataPoints": [{} for _ in v.get("dataPoints", [])]}
+                    if k in ("attributes", "filteredAttributes") and isinstance(v, list):
+                        v = sorted(v, key=lambda kv: kv.get("key", ""))
+                    out[k] = walk(v)
+                return out
+            if isinstance(o, list):
+                return [walk(x) for x in o]
+            return o
+        return json.dumps(walk(env), sort_keys=True)
+
+    for sig, name in (("logs", "logs-initial"), ("traces", "traces-initial"),
+                      ("metrics", "metrics-initial")):
+        bar = (OTAP_DIR / f"{name}.bar").read_bytes()
+        otlp = (OTAP_DIR / f"{name}.otlp").read_bytes()
+        assert canon(bar_to_envelope(bar, sig)) == canon(DECODERS[sig](otlp)), sig
