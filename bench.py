@@ -35,8 +35,10 @@ BENCH_QUERIES = [
     "join_multi",
     "window_topk_per_group",
     "dedup_exact",
+    "minhash_lsh_pairs",
     "ngram_jaccard",
     "ann_cosine_topk",
+    "embedding_bucket_ann",
 ]
 
 

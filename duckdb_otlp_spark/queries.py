@@ -692,13 +692,11 @@ FROM documents ORDER BY doc_id LIMIT 500
 
 def q_ngram_jaccard(spark, sf_dir):
     """3-gram (word) Jaccard similarity of each doc against doc 0 —
-    n-gram near-dup primitive over set ops on shingles."""
-    docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), "\\s+")
-    shingles = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2])))
-    with_sh = docs.select("doc_id", shingles.alias("sh"))
+    n-gram near-dup primitive over set ops on shingles. The target row
+    broadcasts; the scan side is repartitioned because the CPU cost is
+    in shingling, not IO (locally one parquet file = one split)."""
+    docs = _docs_parallel(spark, sf_dir)
+    with_sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     target = with_sh.filter(F.col("doc_id") == 0).select(F.col("sh").alias("sh0"))
     joined = with_sh.filter(F.col("doc_id") != 0).crossJoin(F.broadcast(target))
     inter = F.size(F.array_intersect(F.col("sh"), F.col("sh0")))
@@ -750,6 +748,236 @@ SELECT vec_id,
                 * sqrt(list_dot_product(q, q))), 4) AS cos_sim
 FROM embeddings, t WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# Oracle-compatible deterministic hash: both engines read the first 15
+# md5 hex chars as a 60-bit big-endian integer. (The scale-path operators
+# in operators/dedup.py use xxhash64, which is faster but Spark-only.)
+
+def _md5int(c):
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+_SQL_MD5INT = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
+
+def _shingles(text_col):
+    """Distinct word 3-gram shingles; empty array below 3 words."""
+    words = F.split(F.trim(text_col), r"\s+")
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2])))
+    return F.when(F.size(words) >= 3, sh).otherwise(F.array().cast("array<string>"))
+
+
+_SQL_SHINGLES = """
+    SELECT doc_id,
+           list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+"""
+
+_MINHASH_P = 2147483647
+_MINHASH_A = (1103, 12289, 331, 9973, 14341, 32717)
+_MINHASH_B = (12345, 6789, 42, 777, 2468, 97531)
+_MINHASH_K = 6
+
+
+def _base_hashes(sh):
+    """Shingle array -> 31-bit base-hash array (one md5 per shingle).
+
+    The md5 runs ONCE per shingle; the K seed hashes below are cheap
+    affine re-hashes (a*h + b) mod 2^31-1 whose products stay under
+    2^62 — overflow-safe in Spark ANSI mode and DuckDB alike."""
+    return F.transform(sh, lambda s: _md5int(s) % _MINHASH_P)
+
+
+def _minhash_cols(hs):
+    """K minhashes from the base-hash array via affine re-hashing."""
+    def mixer(a, b):
+        return lambda h: (h * a + b) % _MINHASH_P
+    return [F.array_min(F.transform(hs, mixer(_MINHASH_A[i], _MINHASH_B[i])))
+            .alias(f"m{i}") for i in range(_MINHASH_K)]
+
+
+_SQL_BASE_HASHES = f"list_transform(sh, s -> {_SQL_MD5INT % 's'} % {_MINHASH_P})"
+_SQL_MINHASH_LIST = ", ".join(
+    f"list_min(list_transform(hs, h -> (h * {_MINHASH_A[i]} + {_MINHASH_B[i]}) "
+    f"% {_MINHASH_P})) AS m{i}" for i in range(_MINHASH_K))
+
+
+def _docs_parallel(spark, sf_dir):
+    """documents scan spread over all cores: locally the table is one
+    small parquet file (one split -> one task), so the CPU-heavy shingle
+    and hash work must be repartitioned; at scale the scan already has
+    enough splits and this is a narrow (doc_id, text) shuffle."""
+    return (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures (K=6) over word 3-gram shingles — the
+    shuffle-free half of MinHash-LSH dedup; everything stays JVM-side
+    (array_min/transform over the shingle array, no UDF, no explode)."""
+    docs = _docs_parallel(spark, sf_dir)
+    hs = _base_hashes(_shingles(F.col("text")))
+    return (docs.select("doc_id", hs.alias("hs"))
+            .select("doc_id", *_minhash_cols(F.col("hs")))
+            .orderBy("doc_id").limit(200))
+
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+h AS (SELECT doc_id, {_SQL_BASE_HASHES} AS hs FROM sh)
+SELECT doc_id, {_SQL_MINHASH_LIST}
+FROM h ORDER BY doc_id LIMIT 200
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs: 3 bands x 2 rows -> band-bucket
+    grouping -> exact-Jaccard verification >= 0.7.
+
+    Scale path: buckets come from ONE groupBy shuffle on (band_idx,
+    band_key) — uniform hash keys, no skew — and pairs explode inside
+    each bucket, so verification touches only colliding pairs, never the
+    N^2 cross join. A key shared by d docs emits d(d-1)/2 pairs; the
+    band width caps d on real corpora."""
+    docs = _docs_parallel(spark, sf_dir)
+    docs_sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sig = (docs_sh.select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
+           .select("doc_id", *_minhash_cols(F.col("hs"))))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.concat_ws("_", f"m{2 * b}", f"m{2 * b + 1}").alias("key"))
+            for b in range(3)])).alias("band"))
+    buckets = (bands.groupBy("band.band_idx", "band.key")
+               .agg(F.collect_list("doc_id").alias("ids"))
+               .filter(F.size("ids") > 1))
+    ids = F.array_sort("ids")
+    pair_list = F.flatten(F.transform(
+        ids,
+        lambda a: F.filter(
+            F.transform(ids, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))),
+            lambda p: p["doc_a"] < p["doc_b"])))
+    cand = (buckets.select(F.explode(pair_list).alias("p"))
+            .select("p.doc_a", "p.doc_b").distinct())
+    verified = (cand
+                .join(docs_sh.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("sh").alias("sh_a")), "doc_a")
+                .join(docs_sh.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("sh").alias("sh_b")), "doc_b"))
+    jac = F.round(F.size(F.array_intersect("sh_a", "sh_b"))
+                  / F.size(F.array_union("sh_a", "sh_b")), 4)
+    return (verified.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.7)
+            .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b"))
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+h AS (SELECT doc_id, sh, {_SQL_BASE_HASHES} AS hs FROM sh),
+m AS (SELECT doc_id, sh, {_SQL_MINHASH_LIST} FROM h),
+bands AS (
+    SELECT doc_id, i AS band_idx,
+           CASE i WHEN 0 THEN m0 || '_' || m1
+                  WHEN 1 THEN m2 || '_' || m3
+                  ELSE m4 || '_' || m5 END AS key
+    FROM m, range(3) t(i)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+FROM cand
+JOIN m sa ON sa.doc_id = doc_a
+JOIN m sb ON sb.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.7
+ORDER BY jaccard DESC, doc_a, doc_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints: per-bit majority vote over the word
+    multiset. The word hash runs once into a hash array, then 16
+    bit-filters read it — oracle-compatible variant of
+    operators/dedup.simhash_bits."""
+    docs = _docs_parallel(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    hashed = docs.select(
+        "doc_id", F.size(words).alias("n"),
+        F.transform(words, lambda w: _md5int(w)).alias("hw"))
+
+    def bit_pred(j):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    bits = [
+        F.when(2 * F.size(F.filter("hw", bit_pred(j))) > F.col("n"),
+               F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(16)]
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return (hashed.select("doc_id", simhash.cast("int").alias("simhash16"))
+            .orderBy("doc_id").limit(500))
+
+
+_SQL_SIMHASH_BITS = " + ".join(
+    "CASE WHEN 2 * len(list_filter(hw, h -> ((h >> %d) & 1) = 1)) > n "
+    "THEN %d ELSE 0 END" % (j, 1 << j) for j in range(16))
+
+SQL_SIMHASH = f"""
+SELECT doc_id, CAST({_SQL_SIMHASH_BITS} AS INT) AS simhash16
+FROM (SELECT doc_id, len(words) AS n,
+             list_transform(words, w -> {_SQL_MD5INT % 'w'}) AS hw
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), \'\\s+\') AS words
+            FROM documents))
+ORDER BY doc_id LIMIT 500
+"""
+
+
+def q_embedding_bucket_ann(spark, sf_dir):
+    """LSH-bucketed ANN pairs: sign-pattern of the first 6 dimensions is
+    the bucket (a fixed-hyperplane LSH), cosine is computed only within
+    buckets — the N^2 cross join becomes a per-bucket join, which is the
+    100 TB path (bucket keys shuffle-partition the table)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bucket = F.concat_ws("", F.transform(
+        F.slice("v", 1, 6), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
+    e = emb.withColumn("bucket", bucket)
+    a, b = e.alias("a"), e.alias("b")
+    joined = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 4)
+    return (joined.select(F.col("a.vec_id").alias("vec_a"),
+                          F.col("b.vec_id").alias("vec_b"),
+                          cos.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+            .limit(10))
+
+
+SQL_EMBEDDING_BUCKET_ANN = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_aggregate([CASE WHEN embedding[i+1] >= 0 THEN '1' ELSE '0' END
+                           for i in range(6)], 'string_agg', '') AS bucket
+    FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+           AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 10
 """
 
 
@@ -822,6 +1050,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
     "dedup_exact": q_dedup_exact,
+    "minhash_signature": q_minhash_signature,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "embedding_bucket_ann": q_embedding_bucket_ann,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
@@ -863,6 +1095,10 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q6": SQL_TPCH_Q6,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signature": SQL_MINHASH_SIGNATURE,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "embedding_bucket_ann": SQL_EMBEDDING_BUCKET_ANN,
     "token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
