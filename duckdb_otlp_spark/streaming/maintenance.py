@@ -1,0 +1,190 @@
+"""Layout maintenance for the partitioned parquet export tree.
+
+The reference runs two tiers (reference: src/otlp_server.cpp:1273-1387;
+benchmark/otlp-compaction-probe/README.md:16-91):
+
+1. **Bounded merge** — post-seal ``CHECKPOINT`` with ``target_file_size``
+   merges adjacent small files, O(new) per cycle because at-target files
+   are skipped. Here: per (table, y/m/d) partition, merge only when the
+   partition holds more than one under-target file, rewriting just those
+   files — partitions already at target are untouched.
+2. **Sort-cluster + bloom rewrite** — the probe measured ~3.2x on
+   single-service queries from (service, time) clustering and ~8x fewer
+   bytes from a trace_id bloom filter, but pinned DuckDB could not write
+   blooms (otlp-compaction-probe/README.md:16-41). Spark's parquet
+   writer can: ``parquet.bloom.filter.enabled#<col>`` — so tier 2 ships
+   here as a sorted rewrite with bloom filters on the id columns.
+   Note parquet-mr only materializes the bloom once the column falls
+   back from dictionary encoding — i.e. precisely the high-cardinality
+   id columns the filter is for; low-cardinality columns keep their
+   dictionary (exact membership) and skip the bloom bytes.
+
+Retention mirrors ``maintenance_retention_ms``: whole y/m/d partition
+directories older than the cutoff are dropped (partition pruning makes
+the cutoff a directory comparison, no data read).
+
+All rewrites go through a temp directory + atomic rename per partition,
+preserving the at-least-once read contract of the export tree (a reader
+sees either the old files or the new ones, never a partial mix).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from datetime import date, timedelta
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 256 * 1024 * 1024  # reference: serve.md target_file_size
+
+# reference's tier-2 cluster keys per signal (otlp-compaction-probe/README.md:63-69)
+SORT_KEYS = {
+    "otlp_traces": ("service_name", "start_time_unix_nano"),
+    "otlp_logs": ("service_name", "time_unix_nano"),
+}
+BLOOM_COLS = {
+    "otlp_traces": ("trace_id",),
+    "otlp_logs": ("trace_id",),
+}
+
+
+@dataclass
+class CompactionResult:
+    table: str
+    partitions_examined: int = 0
+    partitions_compacted: int = 0
+    files_before: int = 0
+    files_after: int = 0
+    partitions_expired: int = 0
+    details: list[str] = field(default_factory=list)
+
+
+def _leaf_partitions(table_root: Path) -> list[Path]:
+    """year=Y/month=M/day=D leaf dirs (or the root itself if unpartitioned)."""
+    leaves = [d for d in table_root.glob("year=*/month=*/day=*") if d.is_dir()]
+    if leaves:
+        return sorted(leaves)
+    return [table_root] if any(table_root.glob("*.parquet")) else []
+
+
+def _data_files(part: Path) -> list[Path]:
+    return sorted(p for p in part.glob("*.parquet") if p.is_file())
+
+
+def _swap_in(spark: SparkSession, df, part: Path, old_files: list[Path],
+             compression: str, sort_cols=(), bloom_cols=()) -> int:
+    """Write df into ``part`` replacing ``old_files``; returns new file count.
+
+    The rewrite lands in a temp dir first; new files are renamed in
+    BEFORE the old ones are unlinked, so a concurrent reader can briefly
+    see duplicated rows but never missing ones — the same at-least-once
+    direction as the reference's export contract
+    (reference: otlp_server.cpp:963-1107)."""
+    tmp = part / f"_compact_{uuid.uuid4().hex}"
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    writer = df.write.mode("overwrite").option("compression", compression)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(str(tmp))
+    new_files = sorted(p for p in tmp.glob("*.parquet"))
+    n = 0
+    for nf in new_files:
+        nf.rename(part / f"compact_{uuid.uuid4().hex}.parquet")
+        n += 1
+    for old in old_files:
+        old.unlink()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
+def compact_table(spark: SparkSession, export_root: str | Path, table: str,
+                  target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+                  compression: str = "zstd") -> CompactionResult:
+    """Tier-1 bounded merge: per leaf partition, coalesce under-target
+    files into ~target-size outputs. At-target files are skipped, so a
+    steady-state partition costs nothing to re-examine (O(new) per cycle,
+    reference: otlp-compaction-probe/README.md:44-48)."""
+    root = Path(export_root) / table
+    res = CompactionResult(table=table)
+    if not root.exists():
+        return res
+    for part in _leaf_partitions(root):
+        res.partitions_examined += 1
+        files = _data_files(part)
+        small = [f for f in files if f.stat().st_size < target_file_bytes]
+        if len(small) < 2:
+            continue
+        total = sum(f.stat().st_size for f in small)
+        n_out = max(1, total // target_file_bytes + (1 if total % target_file_bytes else 0))
+        df = spark.read.parquet(*[str(f) for f in small]).coalesce(int(n_out))
+        res.files_before += len(files)
+        n_new = _swap_in(spark, df, part, small, compression)
+        res.files_after += len(files) - len(small) + n_new
+        res.partitions_compacted += 1
+        res.details.append(f"{part.relative_to(root)}: {len(small)} -> {n_new}")
+    return res
+
+
+def rewrite_clustered(spark: SparkSession, export_root: str | Path, table: str,
+                      sort_cols: tuple[str, ...] | None = None,
+                      bloom_cols: tuple[str, ...] | None = None,
+                      compression: str = "zstd") -> CompactionResult:
+    """Tier-2 layout rewrite: re-sort every leaf partition by the cluster
+    keys and write parquet bloom filters on the id columns — the two
+    levers the reference's probe measured (~3.2x scan cut from
+    clustering, ~8x byte cut from blooms) but could not ship natively."""
+    if sort_cols is None:
+        sort_cols = SORT_KEYS.get(table, ())
+    if bloom_cols is None:
+        bloom_cols = BLOOM_COLS.get(table, ())
+    root = Path(export_root) / table
+    res = CompactionResult(table=table)
+    if not root.exists():
+        return res
+    for part in _leaf_partitions(root):
+        res.partitions_examined += 1
+        files = _data_files(part)
+        if not files:
+            continue
+        df = spark.read.parquet(*[str(f) for f in files]).coalesce(1)
+        res.files_before += len(files)
+        n_new = _swap_in(spark, df, part, files, compression,
+                         sort_cols=sort_cols, bloom_cols=bloom_cols)
+        res.files_after += n_new
+        res.partitions_compacted += 1
+    return res
+
+
+def expire_partitions(export_root: str | Path, table: str,
+                      older_than_days: int, today: date | None = None) -> CompactionResult:
+    """Retention: drop whole y/m/d partition directories older than the
+    cutoff (reference: maintenance_retention_ms / DuckLake
+    expire_older_than, otlp_server.cpp:53-58)."""
+    root = Path(export_root) / table
+    res = CompactionResult(table=table)
+    if not root.exists():
+        return res
+    cutoff = (today or date.today()) - timedelta(days=older_than_days)
+    for part in _leaf_partitions(root):
+        res.partitions_examined += 1
+        try:
+            parts = dict(seg.split("=") for seg in part.relative_to(root).parts)
+            d = date(int(parts["year"]), int(parts["month"]), int(parts["day"]))
+        except (ValueError, KeyError):
+            continue
+        if d < cutoff:
+            shutil.rmtree(part)
+            res.partitions_expired += 1
+            res.details.append(str(part.relative_to(root)))
+    # prune now-empty month/year dirs
+    for sub in sorted(root.glob("year=*/month=*"), reverse=True):
+        if sub.is_dir() and not any(sub.iterdir()):
+            sub.rmdir()
+    for sub in sorted(root.glob("year=*"), reverse=True):
+        if sub.is_dir() and not any(sub.iterdir()):
+            sub.rmdir()
+    return res
