@@ -34,6 +34,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _events_between(spark: SparkSession, sf_dir: str,
+                    lo: str | None = None, hi: str | None = None) -> DataFrame:
+    """events with a time-range filter applied on the RAW ns column.
+
+    Filtering after the ns->µs conversion wraps ``ts`` in an expression,
+    which blocks parquet predicate pushdown (no PushedFilters on ts). At
+    100 TB a time-bounded scan must prune row groups/partitions, so the
+    bound is translated to raw int64 ns and pushed BEFORE the
+    conversion; tests/test_plans.py asserts the pushdown."""
+    from datetime import datetime, timezone
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_ns = isinstance(df.schema["ts"].dataType, T.LongType)
+
+    def ns(s):
+        dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    if raw_ns:
+        if lo is not None:
+            df = df.filter(F.col("ts") >= ns(lo))
+        if hi is not None:
+            df = df.filter(F.col("ts") < ns(hi))
+        us = F.floor(F.col("ts").cast(T.DecimalType(38, 0)) / 1000).try_cast("long")
+        return df.withColumn("ts", F.timestamp_micros(us).cast(T.TimestampNTZType()))
+    if lo is not None:
+        df = df.filter(F.col("ts") >= lo)
+    if hi is not None:
+        df = df.filter(F.col("ts") < hi)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # §2B scans / filters / predicates
 # ---------------------------------------------------------------------------
@@ -56,10 +87,10 @@ ORDER BY ts DESC, event_id DESC LIMIT 100
 
 def q_point_lookup(spark, sf_dir):
     """L2-style point lookup by key within a time range
-    (reference: probe.py:413-417)."""
-    ev = _t(spark, sf_dir, "events")
-    return (ev.filter((F.col("user_id") == 7)
-                      & (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-02-01"))
+    (reference: probe.py:413-417). The time bound pushes down on the
+    raw ns column (see _events_between)."""
+    ev = _events_between(spark, sf_dir, "2024-01-01", "2024-02-01")
+    return (ev.filter(F.col("user_id") == 7)
             .select("event_id", "ts", "event_type", "value")
             .orderBy("event_id"))
 

@@ -1,0 +1,94 @@
+"""Plan-quality gates: these tests pin the physical-plan properties that
+matter at 100 TB — filters reach the parquet scan, scans are
+column-pruned, dimensions broadcast, hot paths stay in whole-stage
+codegen, and no query silently falls back to Python row evaluation.
+A refactor that breaks one of these still returns correct rows at test
+scale; this suite is what catches the 100x regression before it ships.
+"""
+
+from __future__ import annotations
+
+from duckdb_otlp_spark.plans import audit
+from duckdb_otlp_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rep(spark, name):
+    return audit(QUERIES[name](spark, SF))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    rep = _rep(spark, "tail_topk")
+    scan = rep.scan_for("events.parquet")
+    assert scan is not None
+    assert any("EqualTo(event_type,error)" in f for f in scan.pushed_filters)
+
+
+def test_time_range_pushdown_on_raw_ns(spark):
+    """The ns->µs conversion must not block time-range pushdown
+    (see queries._events_between)."""
+    rep = _rep(spark, "point_lookup")
+    scan = rep.scan_for("events.parquet")
+    pushed = " ".join(scan.pushed_filters)
+    assert "GreaterThanOrEqual(ts" in pushed
+    assert "LessThan(ts" in pushed
+    assert "EqualTo(user_id,7)" in pushed
+
+
+def test_column_pruning(spark):
+    rep = _rep(spark, "dedup_exact")
+    scan = rep.scan_for("documents.parquet")
+    assert scan.read_columns == ["text"]
+
+    rep = _rep(spark, "topn_groups")
+    scan = rep.scan_for("events.parquet")
+    assert scan.read_columns == ["user_id"]
+
+
+def test_tpch_q1_scan_shape(spark):
+    rep = _rep(spark, "tpch_q1")
+    scan = rep.scan_for("lineitem.parquet")
+    assert set(scan.read_columns) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"}
+    assert any("LessThanOrEqual(l_shipdate" in f for f in scan.pushed_filters)
+
+
+def test_q6_pushes_every_predicate(spark):
+    rep = _rep(spark, "tpch_q6")
+    pushed = " ".join(rep.scan_for("lineitem.parquet").pushed_filters)
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                 "LessThan(l_quantity"):
+        assert frag in pushed, frag
+
+
+def test_dimension_joins_broadcast(spark):
+    """Star-schema dims (customer, nation) must broadcast — a shuffled
+    join on a small dim wastes a full shuffle of the fact table."""
+    rep = _rep(spark, "join_multi")
+    assert rep.broadcast_joins >= 2
+    assert rep.nested_loop_joins == 0
+
+
+def test_no_python_eval_in_relational_queries(spark):
+    """Every §2B query stays JVM-side (UDFs are the slow path)."""
+    for name in ("tpch_q1", "tpch_q3", "join_multi", "agg_stats",
+                 "window_topk_per_group", "json_extract", "string_funcs",
+                 "dedup_exact", "simhash", "minhash_signature",
+                 "ann_cosine_topk", "embedding_bucket_ann"):
+        rep = _rep(spark, name)
+        assert not rep.has_python_eval, name
+
+
+def test_codegen_active(spark):
+    """Whole-stage codegen spans the agg pipeline. AQE wraps the
+    pre-execution plan and hides codegen until stages materialize, so
+    this one check plans with AQE off."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rep = _rep(spark, "tpch_q1")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert rep.codegen_stages >= 1
