@@ -1,6 +1,7 @@
 from duckdb_otlp_spark.streaming.server import (  # noqa: F401
     OtlpSparkServer,
     otlp_flush,
+    otlp_maintenance,
     otlp_seal_list,
     otlp_serve,
     otlp_server_list,

@@ -44,6 +44,7 @@ from duckdb_otlp_spark.sources.otlp_json import (
     flatten_metrics_histogram,
     flatten_metrics_sum,
 )
+from duckdb_otlp_spark.streaming.maintenance import compact_table
 from duckdb_otlp_spark.streaming.receiver import OtlpHttpReceiver
 
 # reference: src/include/otlp_ingest_limits.hpp
@@ -52,6 +53,8 @@ DEFAULT_SEAL_MAX_AGE_MS = 5000
 STALL_SEAL_CYCLES = 3
 # reference: otlp_server.cpp seal history bound
 SEAL_HISTORY_LIMIT = 4096
+# reference: otlp_server.cpp:53-58 maintenance cadence (every 32 seals)
+DEFAULT_MAINTENANCE_EVERY_SEALS = 32
 
 _PARTITION_TS = {  # reference: otlp_server.cpp:105-110
     "otlp_traces": "start_time_unix_nano",
@@ -86,6 +89,7 @@ class OtlpSparkServer:
                  seal_max_age_ms: int = DEFAULT_SEAL_MAX_AGE_MS,
                  promote_resource: list[str] | None = None,
                  promote_scope: list[str] | None = None,
+                 maintenance_every_seals: int = DEFAULT_MAINTENANCE_EVERY_SEALS,
                  zstd: bool = True):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
@@ -110,6 +114,10 @@ class OtlpSparkServer:
         self.last_seal_unix_ms: int | None = None
         self.seal_failures_total = 0
         self.sealed_rows_total = 0
+        self.maintenance_every_seals = maintenance_every_seals
+        self.maintenance_runs_total = 0
+        self.maintenance_history: list[dict[str, Any]] = []
+        self._maintenance_busy = threading.Lock()
 
     # -- promotion (reference: otlp_column_promote.cpp:53-127) --
     def _promote(self, df: DataFrame) -> DataFrame:
@@ -132,8 +140,9 @@ class OtlpSparkServer:
                      append_ms: float, status: str, error: str = "") -> None:
         with self._lock:
             self._seal_seq += 1
+            seq = self._seal_seq
             self.seal_history.append(SealEvent(
-                self._seal_seq, table, rows, batch_id, round(append_ms, 3),
+                seq, table, rows, batch_id, round(append_ms, 3),
                 status, error))
             if len(self.seal_history) > SEAL_HISTORY_LIMIT:
                 self.seal_history = self.seal_history[-SEAL_HISTORY_LIMIT:]
@@ -142,6 +151,35 @@ class OtlpSparkServer:
                 self.sealed_rows_total += rows
             else:
                 self.seal_failures_total += 1
+        if (status == "ok" and self.maintenance_every_seals
+                and seq % self.maintenance_every_seals == 0):
+            self._maybe_run_maintenance()
+
+    def _maybe_run_maintenance(self) -> None:
+        """Post-seal best-effort compaction, cadence-gated like the
+        reference's MaybeRunCatalogMaintenance (otlp_server.cpp:1273-1387):
+        skipped entirely when a previous run is still in flight, and a
+        failure never fails the seal."""
+        if not self._maintenance_busy.acquire(blocking=False):
+            return
+        try:
+            t0 = time.perf_counter()
+            merged = 0
+            for table in set(TARGET_TABLES.values()):
+                res = compact_table(self.spark, self.export_root, table)
+                merged += res.partitions_compacted
+            with self._lock:
+                self.maintenance_runs_total += 1
+                self.maintenance_history.append({
+                    "run": self.maintenance_runs_total,
+                    "partitions_compacted": merged,
+                    "duration_ms": round((time.perf_counter() - t0) * 1000, 3),
+                    "unix_ms": int(time.time() * 1000),
+                })
+        except Exception:  # noqa: BLE001 — best-effort, never fails the seal
+            pass
+        finally:
+            self._maintenance_busy.release()
 
     def _write_table(self, df: DataFrame, table: str, batch_id: int) -> None:
         """One seal append: partitioned y/m/d zstd parquet, like the
@@ -267,6 +305,7 @@ class OtlpSparkServer:
             "seal_failures_total": self.seal_failures_total,
             "sealed_rows_total": self.sealed_rows_total,
             "last_seal_unix_ms": self.last_seal_unix_ms,
+            "maintenance_runs_total": self.maintenance_runs_total,
             "ready": self._ready(),
         }
 
@@ -285,7 +324,8 @@ _SERVER_ROW_SCHEMA = (
     "rejected_auth long, rejected_413 long, rejected_415 long, "
     "rejected_503 long, logs_requests long, traces_requests long, "
     "metrics_requests long, seals_total long, seal_failures_total long, "
-    "sealed_rows_total long, last_seal_unix_ms long, ready boolean")
+    "sealed_rows_total long, last_seal_unix_ms long, "
+    "maintenance_runs_total long, ready boolean")
 
 
 def otlp_serve(spark: SparkSession, uri: str, **params) -> DataFrame:
@@ -319,6 +359,18 @@ def _get(uri: str) -> OtlpSparkServer:
 
 def otlp_flush(spark: SparkSession, uri: str) -> DataFrame:
     return spark.createDataFrame([_get(uri).flush()])
+
+
+def otlp_maintenance(spark: SparkSession, uri: str) -> DataFrame:
+    """Force a synchronous maintenance pass (compaction) for a listener's
+    export tree — the manual analog of the post-seal cadence run."""
+    server = _get(uri)
+    server._maybe_run_maintenance()
+    with server._lock:
+        rows = list(server.maintenance_history) or \
+            [{"run": 0, "partitions_compacted": 0, "duration_ms": 0.0, "unix_ms": 0}]
+    return spark.createDataFrame(
+        rows, schema="run long, partitions_compacted long, duration_ms double, unix_ms long")
 
 
 def otlp_stop(spark: SparkSession, uri: str, drain: bool = True) -> DataFrame:

@@ -146,6 +146,36 @@ def test_server_and_seal_telemetry(spark, server):
             "otlp_metrics_histogram", "otlp_metrics_exp_histogram"} <= tables
 
 
+def test_post_seal_maintenance_compacts(spark, tmp_path_factory):
+    """Cadence-gated compaction after seals (reference:
+    otlp_server.cpp:1273-1387): with the cadence at 1, every seal runs a
+    best-effort merge of small export files."""
+    from duckdb_otlp_spark.streaming import otlp_maintenance
+
+    work = tmp_path_factory.mktemp("ingest_maint")
+    row = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(work),
+                     disable_auth=True, seal_max_age_ms=300,
+                     maintenance_every_seals=1)
+    info = row.collect()[0]
+    from duckdb_otlp_spark.streaming.server import _get
+    srv = _get(info["uri"])
+    try:
+        # several separate seals -> several small files in one partition
+        for env in LOGS_SIMPLE:
+            assert _post(srv.uri.url, "/v1/logs", env, token=None)[0] == 202
+            otlp_flush(spark, srv.uri.canonical)
+        maint = otlp_maintenance(spark, srv.uri.canonical).collect()
+        assert maint[-1]["run"] >= 1
+        logs_dir = srv.export_root / "otlp_logs"
+        files = list(logs_dir.glob("year=*/month=*/day=*/*.parquet"))
+        # 3 seals wrote >=3 files; post-compaction each partition holds 1
+        parts = {f.parent for f in files}
+        assert all(len(list(p.glob('*.parquet'))) == 1 for p in parts)
+        assert spark.read.parquet(str(logs_dir)).count() == 3
+    finally:
+        otlp_stop(spark, srv.uri.canonical)
+
+
 def test_duplicate_uri_rejected(spark, server):
     with pytest.raises(ValueError, match="already registered"):
         otlp_serve(spark, server.uri.canonical)
