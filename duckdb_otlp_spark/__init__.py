@@ -20,6 +20,14 @@ from duckdb_otlp_spark.schemas import (  # noqa: F401
     TRACES_SCHEMA,
 )
 from duckdb_otlp_spark.session import get_spark  # noqa: F401
+from duckdb_otlp_spark.sources.otap import (  # noqa: F401
+    read_otap_logs,
+    read_otap_metrics_exp_histogram,
+    read_otap_metrics_gauge,
+    read_otap_metrics_histogram,
+    read_otap_metrics_sum,
+    read_otap_traces,
+)
 from duckdb_otlp_spark.sources.otlp_json import (  # noqa: F401
     read_otlp_logs,
     read_otlp_metrics,
@@ -29,6 +37,20 @@ from duckdb_otlp_spark.sources.otlp_json import (  # noqa: F401
     read_otlp_metrics_sum,
     read_otlp_metrics_summary,
     read_otlp_traces,
+)
+
+from duckdb_otlp_spark.streaming import (  # noqa: F401
+    otlp_flush,
+    otlp_maintenance,
+    otlp_seal_list,
+    otlp_serve,
+    otlp_server_list,
+    otlp_stop,
+)
+from duckdb_otlp_spark.streaming.maintenance import (  # noqa: F401
+    compact_table,
+    expire_partitions,
+    rewrite_clustered,
 )
 
 __version__ = "0.1.0"

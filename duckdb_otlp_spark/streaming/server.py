@@ -24,7 +24,6 @@ and gives partition pruning to every time-bounded query.
 
 from __future__ import annotations
 
-import re
 import threading
 import time
 from dataclasses import dataclass, field
@@ -34,6 +33,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_otlp_spark.functions.promote import sanitize_key as _sanitize
 from duckdb_otlp_spark.functions.uri import OtlpUri, parse_otlp_uri
 from duckdb_otlp_spark.schemas import TARGET_TABLES
 from duckdb_otlp_spark.sources.otlp_json import (
@@ -59,11 +59,6 @@ DEFAULT_MAINTENANCE_EVERY_SEALS = 32
 _PARTITION_TS = {  # reference: otlp_server.cpp:105-110
     "otlp_traces": "start_time_unix_nano",
 }
-
-
-def _sanitize(key: str) -> str:
-    """Promotion column sanitization (reference: otlp_column_promote.cpp:27-38)."""
-    return re.sub(r"[^A-Za-z0-9_]", "_", key)
 
 
 @dataclass
@@ -280,7 +275,10 @@ class OtlpSparkServer:
                     continue
         dropped = self.receiver.buffered_bytes
         for q in self.queries.values():
-            q.stop()
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — JVM may already be gone at exit
+                pass
         return {"status": "ok", "dropped_bytes": dropped}
 
     # -- status tables --

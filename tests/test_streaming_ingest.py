@@ -204,3 +204,26 @@ def test_uri_validation():
     for bad in ("http://x", "otlp://:", "otlp://host:99999", "otlp://[::1"):
         with pytest.raises(ValueError):
             parse_otlp_uri(bad)
+
+
+def test_promotion_read_pattern(spark, tmp_path):
+    """COALESCE read pattern for mixed pre/post-promotion files
+    (reference: serve.md:234-243): old files lack the promoted column,
+    new files have it; attr() reads both correctly via mergeSchema."""
+    from duckdb_otlp_spark.functions.promote import attr
+
+    old = spark.createDataFrame(
+        [('{"service.name":"old-svc"}',)], "resource_attributes string")
+    old.write.mode("append").parquet(str(tmp_path / "t"))
+    new = spark.createDataFrame(
+        [('{"service.name":"new-svc"}', "new-svc")],
+        "resource_attributes string, resource_attr_service_name string")
+    new.write.mode("append").parquet(str(tmp_path / "t"))
+
+    df = spark.read.option("mergeSchema", True).parquet(str(tmp_path / "t"))
+    got = {r[0] for r in df.select(attr(df, "service.name")).collect()}
+    assert got == {"old-svc", "new-svc"}
+
+    # without the promoted column, attr() falls back to pure JSON extraction
+    got_old = old.select(attr(old, "service.name")).collect()[0][0]
+    assert got_old == "old-svc"
