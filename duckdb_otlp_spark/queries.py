@@ -280,6 +280,118 @@ FROM events WHERE event_type = 'error' GROUP BY bucket_s ORDER BY bucket_s
 """
 
 
+def q_make_timestamp(spark, sf_dir):
+    """make_timestamp + date-part extraction (reference: probe generator
+    probe.py:146-147; partition expr probe.py:245)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select(
+        "event_id",
+        F.make_timestamp(F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+                         F.hour("ts"), F.lit(0), F.lit(0)).alias("hour_ts"),
+        F.hour("ts").alias("h"))
+        .orderBy("event_id").limit(300))
+
+
+SQL_MAKE_TIMESTAMP = """
+SELECT event_id,
+       make_timestamp(year(ts), month(ts), day(ts), hour(ts), 0, 0) AS hour_ts,
+       CAST(hour(ts) AS INT) AS h
+FROM events ORDER BY event_id LIMIT 300
+"""
+
+
+def q_hex_roundtrip(spark, sf_dir):
+    """hex/unhex + md5 id round-trip — the reference stores ids as
+    lowercase hex VARCHAR and documents unhex for byte access
+    (reference: schemas.md:180; read_otlp_json.test:37-41)."""
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text"))
+    return (docs.select(
+        "doc_id",
+        F.lower(F.hex(F.unhex(digest))).alias("hex_roundtrip"),
+        F.length(F.unhex(digest)).alias("n_bytes"))
+        .orderBy("doc_id").limit(300))
+
+
+SQL_HEX_ROUNDTRIP = """
+SELECT doc_id, lower(hex(unhex(md5(text)))) AS hex_roundtrip,
+       CAST(octet_length(unhex(md5(text))) AS INT) AS n_bytes
+FROM documents ORDER BY doc_id LIMIT 300
+"""
+
+
+def q_array_ops(spark, sf_dir):
+    """Array literal + element_at + array equality — the reference
+    compares bucket_counts arrays to literals
+    (reference: read_otlp_metrics_histogram.test:47-56; probe.py:99-123)."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array(F.col("user_id") % 3, F.col("user_id") % 5, F.col("user_id") % 7)
+    return (ev.select("event_id", arr.alias("a"))
+            .select(
+                "event_id",
+                F.element_at("a", 1).alias("first_elem"),
+                (F.col("a") == F.array(F.lit(0), F.lit(0), F.lit(0))).alias("all_zero"),
+                F.size("a").alias("n"))
+            .orderBy("event_id").limit(300))
+
+
+SQL_ARRAY_OPS = """
+SELECT event_id, a[1] AS first_elem, a = [0, 0, 0] AS all_zero,
+       CAST(len(a) AS INT) AS n
+FROM (SELECT event_id, [user_id % 3, user_id % 5, user_id % 7] AS a FROM events)
+ORDER BY event_id LIMIT 300
+"""
+
+
+def q_unnest_struct(spark, sf_dir):
+    """Struct build + unnest-to-columns — the reference exposes
+    otlp_uri_parser as a STRUCT and tests SELECT unnest(struct)
+    (reference: uri.test:9-11; src/otlp_uri.cpp:106-136)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.struct(F.col("event_type").alias("etype"),
+                 (F.col("user_id") % 100).alias("bucket"))
+    return (ev.select("event_id", s.alias("s"))
+            .select("event_id", "s.*")
+            .orderBy("event_id").limit(300))
+
+
+SQL_UNNEST_STRUCT = """
+SELECT event_id, unnest(s)
+FROM (SELECT event_id, {'etype': event_type, 'bucket': user_id % 100} AS s
+      FROM events)
+ORDER BY event_id LIMIT 300
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal-column plumbing under the oracle: document text bytes
+    as an opaque binary payload run through the Arrow-batched
+    mapInPandas feature extractor (operators/multimodal.py). The
+    byte-count and digest are SQL-checkable; the deterministic fake
+    feature vector is asserted separately in tests/test_operators.py.
+    (beyond-reference: BASELINE.json multimodal item)"""
+    from duckdb_otlp_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    # top-k BEFORE the expensive per-payload UDF: featurize 300 rows,
+    # not the whole table (at 100 TB this is the whole ballgame)
+    media = (docs.orderBy("doc_id").limit(300)
+             .select(F.col("doc_id").alias("media_id"),
+                     F.lit("doc").alias("kind"),
+                     F.encode("text", "UTF-8").alias("payload")))
+    return (extract_features(media)
+            .select("media_id", "kind", "n_bytes", "digest")
+            .orderBy("media_id"))
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id, 'doc' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents ORDER BY media_id LIMIT 300
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2B aggregation
 # ---------------------------------------------------------------------------
@@ -1063,6 +1175,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": q_string_funcs,
     "date_trunc": q_date_trunc,
     "time_bucket": q_time_bucket,
+    "make_timestamp": q_make_timestamp,
+    "hex_roundtrip": q_hex_roundtrip,
+    "array_ops": q_array_ops,
+    "unnest_struct": q_unnest_struct,
+    "multimodal_features": q_multimodal_features,
     "agg_stats": q_agg_stats,
     "percentile": q_percentile,
     "count_distinct": q_count_distinct,
@@ -1108,6 +1225,11 @@ ORACLE_SQL: dict[str, str] = {
     "string_funcs": SQL_STRING_FUNCS,
     "date_trunc": SQL_DATE_TRUNC,
     "time_bucket": SQL_TIME_BUCKET,
+    "make_timestamp": SQL_MAKE_TIMESTAMP,
+    "hex_roundtrip": SQL_HEX_ROUNDTRIP,
+    "array_ops": SQL_ARRAY_OPS,
+    "unnest_struct": SQL_UNNEST_STRUCT,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "agg_stats": SQL_AGG_STATS,
     "percentile": SQL_PERCENTILE,
     "count_distinct": SQL_COUNT_DISTINCT,

@@ -283,10 +283,20 @@ _ENVELOPES = {
 # ---------------------------------------------------------------------------
 
 def _json_quote(c: Column) -> Column:
-    """Render a string column as a JSON string literal (Jackson escaping)."""
+    """Render a string column as a JSON string literal.
+
+    Fast path: values with no characters needing escapes (quotes,
+    backslash, control chars) are quoted with a plain concat; only the
+    rest pay the to_json(struct(...)) Jackson round-trip. The renderer
+    runs per attribute value per record, so this is hot in the seal."""
     j = F.to_json(F.struct(c.alias("v")))
-    body = j.substr(F.lit(6), F.length(j) - F.lit(6))
-    return F.when(c.isNull(), F.lit("null")).otherwise(body)
+    escaped = j.substr(F.lit(6), F.length(j) - F.lit(6))
+    plain = ~c.rlike('["\\\\\x00-\x1f]')
+    return (
+        F.when(c.isNull(), F.lit("null"))
+        .when(plain, F.concat(F.lit('"'), c, F.lit('"')))
+        .otherwise(escaped)
+    )
 
 
 def _json_double(c: Column) -> Column:
@@ -656,33 +666,43 @@ def read_otlp_logs(spark: SparkSession, path: str | list[str], mode: str = "auto
 def flatten_logs(env: DataFrame) -> DataFrame:
     """Envelope rows (column ``env``) -> 18-col logs table. Reused by the
     streaming ingest path (the seal parses spooled request bodies with
-    exactly this plan)."""
-    rec = (
+    exactly this plan).
+
+    Resource/scope-derived columns (service_* extraction and the two
+    attrs-JSON renders) are computed BEFORE the record explode: they are
+    constant per scope, and rendering them per log record multiplies the
+    most expensive expressions in the plan by the batch size."""
+    scoped = (
         env.select(F.explode("env.resourceLogs").alias("rl"))
         .select(F.col("rl.resource").alias("resource"), F.explode("rl.scopeLogs").alias("sl"))
-        .select("resource", F.col("sl.scope").alias("scope"),
-                F.explode(_validated(F.col("sl.logRecords"),
-                                     ["timeUnixNano", "observedTimeUnixNano"])).alias("r"))
+        .select(
+            _resource_attr(F.col("resource"), "service.name").alias("service_name"),
+            _resource_attr(F.col("resource"), "service.namespace").alias("service_namespace"),
+            _resource_attr(F.col("resource"), "service.instance.id").alias("service_instance_id"),
+            attrs_to_json(F.col("resource")["attributes"]).alias("resource_attributes"),
+            F.col("sl.scope")["name"].alias("scope_name"),
+            F.col("sl.scope")["version"].alias("scope_version"),
+            attrs_to_json(F.col("sl.scope")["attributes"]).alias("scope_attributes"),
+            F.explode(_validated(F.col("sl.logRecords"),
+                                 ["timeUnixNano", "observedTimeUnixNano"])).alias("r"))
     )
     r = F.col("r")
-    scope = F.col("scope")
-    resource = F.col("resource")
-    return rec.select(
+    return scoped.select(
         _ns_ts(r["timeUnixNano"], "timeUnixNano").alias("time_unix_nano"),
         _ns_ts(r["observedTimeUnixNano"], "observedTimeUnixNano").alias("observed_time_unix_nano"),
         _hex_id(r["traceId"]).alias("trace_id"),
         _hex_id(r["spanId"]).alias("span_id"),
-        _resource_attr(resource, "service.name").alias("service_name"),
-        _resource_attr(resource, "service.namespace").alias("service_namespace"),
-        _resource_attr(resource, "service.instance.id").alias("service_instance_id"),
+        F.col("service_name"),
+        F.col("service_namespace"),
+        F.col("service_instance_id"),
         _severity_number(r["severityNumber"]).alias("severity_number"),
         r["severityText"].alias("severity_text"),
         r["eventName"].alias("event_name"),
         _body_text(r["body"]).alias("body"),
-        attrs_to_json(resource["attributes"]).alias("resource_attributes"),
-        scope["name"].alias("scope_name"),
-        scope["version"].alias("scope_version"),
-        attrs_to_json(scope["attributes"]).alias("scope_attributes"),
+        F.col("resource_attributes"),
+        F.col("scope_name"),
+        F.col("scope_version"),
+        F.col("scope_attributes"),
         attrs_to_json(r["attributes"]).alias("log_attributes"),
         _uint32(r["droppedAttributesCount"]).alias("dropped_attributes_count"),
         _uint32(r["flags"]).alias("flags"),
@@ -699,20 +719,27 @@ def read_otlp_traces(spark: SparkSession, path: str | list[str], mode: str = "au
 
 
 def flatten_traces(env: DataFrame) -> DataFrame:
-    """Envelope rows -> 24-col traces table."""
-    rec = (
+    """Envelope rows -> 24-col traces table. Resource/scope-derived
+    columns are rendered before the span explode (constant per scope —
+    see flatten_logs)."""
+    scoped = (
         env.select(F.explode("env.resourceSpans").alias("rs"))
         .select(F.col("rs.resource").alias("resource"), F.explode("rs.scopeSpans").alias("ss"))
-        .select("resource", F.col("ss.scope").alias("scope"),
-                F.explode(_validated(F.col("ss.spans"),
-                                     ["startTimeUnixNano", "endTimeUnixNano"])).alias("s"))
+        .select(
+            _resource_attr(F.col("resource"), "service.name").alias("service_name"),
+            _resource_attr(F.col("resource"), "service.namespace").alias("service_namespace"),
+            _resource_attr(F.col("resource"), "service.instance.id").alias("service_instance_id"),
+            attrs_to_json(F.col("resource")["attributes"]).alias("resource_attributes"),
+            F.col("ss.scope")["name"].alias("scope_name"),
+            F.col("ss.scope")["version"].alias("scope_version"),
+            attrs_to_json(F.col("ss.scope")["attributes"]).alias("scope_attributes"),
+            F.explode(_validated(F.col("ss.spans"),
+                                 ["startTimeUnixNano", "endTimeUnixNano"])).alias("s"))
     )
     s = F.col("s")
-    scope = F.col("scope")
-    resource = F.col("resource")
     start_ns = _ns_long(s["startTimeUnixNano"], "startTimeUnixNano")
     end_ns = _ns_long(s["endTimeUnixNano"], "endTimeUnixNano")
-    return rec.select(
+    return scoped.select(
         _ns_ts(s["startTimeUnixNano"], "startTimeUnixNano").alias("start_time_unix_nano"),
         (F.coalesce(end_ns, F.lit(0)) - F.coalesce(start_ns, F.lit(0)))
         .alias("duration_time_unix_nano"),
@@ -720,17 +747,17 @@ def flatten_traces(env: DataFrame) -> DataFrame:
         _hex_id(s["spanId"]).alias("span_id"),
         _hex_id(s["parentSpanId"]).alias("parent_span_id"),
         s["traceState"].alias("trace_state"),
-        _resource_attr(resource, "service.name").alias("service_name"),
-        _resource_attr(resource, "service.namespace").alias("service_namespace"),
-        _resource_attr(resource, "service.instance.id").alias("service_instance_id"),
+        F.col("service_name"),
+        F.col("service_namespace"),
+        F.col("service_instance_id"),
         s["name"].alias("name"),
         _enum_int(s["kind"], _ENUM_MAPS["kind"]).alias("kind"),
         _enum_int(s["status"]["code"], _ENUM_MAPS["status_code"]).alias("status_code"),
         s["status"]["message"].alias("status_status_message"),
-        attrs_to_json(resource["attributes"]).alias("resource_attributes"),
-        scope["name"].alias("scope_name"),
-        scope["version"].alias("scope_version"),
-        attrs_to_json(scope["attributes"]).alias("scope_attributes"),
+        F.col("resource_attributes"),
+        F.col("scope_name"),
+        F.col("scope_version"),
+        F.col("scope_attributes"),
         attrs_to_json(s["attributes"]).alias("span_attributes"),
         _events_json(s["events"]).alias("events_json"),
         _links_json(s["links"]).alias("links_json"),
@@ -769,24 +796,39 @@ def _metric_records(env: DataFrame) -> DataFrame:
     return (
         env.select(F.explode("env.resourceMetrics").alias("rm"))
         .select(F.col("rm.resource").alias("resource"), F.explode("rm.scopeMetrics").alias("sm"))
-        .select("resource", F.col("sm.scope").alias("scope"), F.explode("sm.metrics").alias("m"))
+        .select(
+            # resource/scope-derived columns render ONCE per scope, not
+            # per data point (see flatten_logs)
+            _resource_attr(F.col("resource"), "service.name").alias("service_name"),
+            _resource_attr(F.col("resource"), "service.namespace").alias("service_namespace"),
+            _resource_attr(F.col("resource"), "service.instance.id").alias("service_instance_id"),
+            attrs_to_json(F.col("resource")["attributes"]).alias("resource_attributes"),
+            F.col("sm.scope")["name"].alias("scope_name"),
+            F.col("sm.scope")["version"].alias("scope_version"),
+            attrs_to_json(F.col("sm.scope")["attributes"]).alias("scope_attributes"),
+            F.explode("sm.metrics").alias("m"))
     )
 
 
-def _metric_common_cols(dp: Column, resource: Column, scope: Column, m: Column) -> dict[str, Column]:
+_SCOPED_COLS = ["service_name", "service_namespace", "service_instance_id",
+                "resource_attributes", "scope_name", "scope_version",
+                "scope_attributes"]
+
+
+def _metric_common_cols(dp: Column, m: Column) -> dict[str, Column]:
     return {
         "time_unix_nano": _ns_ts(dp["timeUnixNano"], "timeUnixNano"),
         "start_time_unix_nano": _ns_ts(dp["startTimeUnixNano"], "startTimeUnixNano"),
         "name": m["name"],
         "description": m["description"],
         "unit": m["unit"],
-        "service_name": _resource_attr(resource, "service.name"),
-        "service_namespace": _resource_attr(resource, "service.namespace"),
-        "service_instance_id": _resource_attr(resource, "service.instance.id"),
-        "resource_attributes": attrs_to_json(resource["attributes"]),
-        "scope_name": scope["name"],
-        "scope_version": scope["version"],
-        "scope_attributes": attrs_to_json(scope["attributes"]),
+        "service_name": F.col("service_name"),
+        "service_namespace": F.col("service_namespace"),
+        "service_instance_id": F.col("service_instance_id"),
+        "resource_attributes": F.col("resource_attributes"),
+        "scope_name": F.col("scope_name"),
+        "scope_version": F.col("scope_version"),
+        "scope_attributes": F.col("scope_attributes"),
         "metric_attributes": attrs_to_json(dp["attributes"]),
         "flags": _uint32(dp["flags"]),
         "exemplars_json": _exemplars_json(dp["exemplars"]),
@@ -811,10 +853,10 @@ def read_otlp_metrics_gauge(spark: SparkSession, path: str | list[str],
 def flatten_metrics_gauge(env: DataFrame) -> DataFrame:
     rec = _metric_records(env)
     rec = rec.filter(F.col("m.gauge").isNotNull()) \
-             .select("resource", "scope", "m", F.explode(_validated(F.col("m.gauge.dataPoints"),
+             .select(*_SCOPED_COLS, "m", F.explode(_validated(F.col("m.gauge.dataPoints"),
                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
-    dp, resource, scope, m = F.col("dp"), F.col("resource"), F.col("scope"), F.col("m")
-    c = _metric_common_cols(dp, resource, scope, m)
+    dp, m = F.col("dp"), F.col("m")
+    c = _metric_common_cols(dp, m)
     n = _number_point_cols(dp)
     return rec.select(
         c["time_unix_nano"].alias("time_unix_nano"),
@@ -841,10 +883,10 @@ def read_otlp_metrics_sum(spark: SparkSession, path: str | list[str],
 def flatten_metrics_sum(env: DataFrame) -> DataFrame:
     rec = _metric_records(env)
     rec = rec.filter(F.col("m.sum").isNotNull()) \
-             .select("resource", "scope", "m", F.explode(_validated(F.col("m.sum.dataPoints"),
+             .select(*_SCOPED_COLS, "m", F.explode(_validated(F.col("m.sum.dataPoints"),
                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
-    dp, resource, scope, m = F.col("dp"), F.col("resource"), F.col("scope"), F.col("m")
-    c = _metric_common_cols(dp, resource, scope, m)
+    dp, m = F.col("dp"), F.col("m")
+    c = _metric_common_cols(dp, m)
     n = _number_point_cols(dp)
     return rec.select(
         c["time_unix_nano"].alias("time_unix_nano"),
@@ -874,10 +916,10 @@ def read_otlp_metrics_histogram(spark: SparkSession, path: str | list[str],
 def flatten_metrics_histogram(env: DataFrame) -> DataFrame:
     rec = _metric_records(env)
     rec = rec.filter(F.col("m.histogram").isNotNull()) \
-             .select("resource", "scope", "m", F.explode(_validated(F.col("m.histogram.dataPoints"),
+             .select(*_SCOPED_COLS, "m", F.explode(_validated(F.col("m.histogram.dataPoints"),
                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
-    dp, resource, scope, m = F.col("dp"), F.col("resource"), F.col("scope"), F.col("m")
-    c = _metric_common_cols(dp, resource, scope, m)
+    dp, m = F.col("dp"), F.col("m")
+    c = _metric_common_cols(dp, m)
     return rec.select(
         c["time_unix_nano"].alias("time_unix_nano"),
         c["start_time_unix_nano"].alias("start_time_unix_nano"),
@@ -908,11 +950,11 @@ def read_otlp_metrics_exp_histogram(spark: SparkSession, path: str | list[str],
 def flatten_metrics_exp_histogram(env: DataFrame) -> DataFrame:
     rec = _metric_records(env)
     rec = rec.filter(F.col("m.exponentialHistogram").isNotNull()) \
-             .select("resource", "scope", "m",
+             .select(*_SCOPED_COLS, "m",
                      F.explode(_validated(F.col("m.exponentialHistogram.dataPoints"),
                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
-    dp, resource, scope, m = F.col("dp"), F.col("resource"), F.col("scope"), F.col("m")
-    c = _metric_common_cols(dp, resource, scope, m)
+    dp, m = F.col("dp"), F.col("m")
+    c = _metric_common_cols(dp, m)
     return rec.select(
         c["time_unix_nano"].alias("time_unix_nano"),
         c["start_time_unix_nano"].alias("start_time_unix_nano"),

@@ -185,9 +185,12 @@ class OtlpSparkServer:
                .withColumn("year", F.date_format(F.col(ts), "yyyy"))
                .withColumn("month", F.date_format(F.col(ts), "MM"))
                .withColumn("day", F.date_format(F.col(ts), "dd")))
+        # persist: the flatten (parse + JSON re-render) is the expensive
+        # part of a seal; without it the count and the write each run it
+        out = out.persist()
         t0 = time.perf_counter()
-        rows = out.count()
         try:
+            rows = out.count()
             if rows:
                 (out.write.mode("append")
                  .partitionBy("year", "month", "day")
@@ -196,9 +199,11 @@ class OtlpSparkServer:
             self._record_seal(table, rows, batch_id,
                               (time.perf_counter() - t0) * 1000, "ok")
         except Exception as e:  # noqa: BLE001 — seal failures are recorded
-            self._record_seal(table, rows, batch_id,
+            self._record_seal(table, 0, batch_id,
                               (time.perf_counter() - t0) * 1000, "error", str(e))
             raise
+        finally:
+            out.unpersist()
 
     def _seal_batch(self, signal: str):
         def seal(batch_df: DataFrame, batch_id: int) -> None:
