@@ -779,6 +779,43 @@ FROM kept
 """
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate removal, keep-first: a vector is a
+    duplicate when some earlier vec_id has cosine >= 0.45 (threshold
+    chosen inside this synthetic corpus's similarity range). Completes
+    the dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+    embedding-cosine. The exact all-pairs form keeps the DuckDB oracle
+    bit-identical; the 100 TB path swaps the pair join for the
+    sign-pattern LSH bucket join of embedding_bucket_ann so candidate
+    pairs shuffle by bucket instead of crossing."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+           .repartition(spark.sparkContext.defaultParallelism))
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    dups = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .filter(cos >= 0.45)
+            .select(F.col("b.vec_id").alias("vec_id")).distinct())
+    return (emb.join(dups, "vec_id", "left_anti")
+            .select("vec_id").orderBy("vec_id"))
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.45)
+SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+ORDER BY vec_id
+"""
+
+
 def q_token_count(spark, sf_dir):
     """Whitespace token counting per document (text-analysis operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1180,6 +1217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_ops": q_array_ops,
     "unnest_struct": q_unnest_struct,
     "multimodal_features": q_multimodal_features,
+    "dedup_embedding": q_dedup_embedding,
     "agg_stats": q_agg_stats,
     "percentile": q_percentile,
     "count_distinct": q_count_distinct,
@@ -1230,6 +1268,7 @@ ORACLE_SQL: dict[str, str] = {
     "array_ops": SQL_ARRAY_OPS,
     "unnest_struct": SQL_UNNEST_STRUCT,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "agg_stats": SQL_AGG_STATS,
     "percentile": SQL_PERCENTILE,
     "count_distinct": SQL_COUNT_DISTINCT,
