@@ -37,6 +37,8 @@ executors; use it when inputs are known-NDJSON.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -281,6 +283,22 @@ _ENVELOPES = {
 # ---------------------------------------------------------------------------
 # Expression helpers (all JVM-side; no Python UDFs anywhere in this module)
 # ---------------------------------------------------------------------------
+
+# Column expressions here are name-based and df-independent (they resolve
+# at analysis time), but BUILDING them costs thousands of py4j round trips
+# — ~10 s for a full flatten, measured — because the recursive AnyValue
+# renderer fans out into huge trees. A batch query pays that once; the
+# streaming seal used to pay it per micro-batch. So every flatten/parse
+# builds its expression stages once per process and reuses them.
+_EXPR_CACHE: dict[str, Any] = {}
+
+
+def _memo(key: str, build):
+    got = _EXPR_CACHE.get(key)
+    if got is None:
+        got = _EXPR_CACHE[key] = build()
+    return got
+
 
 def _json_quote(c: Column) -> Column:
     """Render a string column as a JSON string literal.
@@ -600,10 +618,10 @@ def _load_envelopes(spark: SparkSession, path: str | list[str], signal: str,
     ``mode='json'``: pure-JVM text path (JSON/NDJSON only, no Python step).
     ``mode='lines'``: splittable line reader for large NDJSON (scale path).
     """
-    field, env_schema = _ENVELOPES[signal]
     paths = path if isinstance(path, list) else [path]
 
     def _parse_or_error(line: Column) -> Column:
+        field, env_schema = _ENVELOPES[signal]
         parsed = F.from_json(line, env_schema)
         return (
             F.when(F.try_parse_json(line).isNull(),
@@ -616,42 +634,46 @@ def _load_envelopes(spark: SparkSession, path: str | list[str], signal: str,
             .otherwise(parsed)
         )
 
-    if mode in ("auto", "protobuf"):
-        lines = _decoded_lines(spark, paths, signal,
-                               "auto" if mode == "auto" else "protobuf")
-        return lines.select(_parse_or_error(F.col("value")).alias("env"))
-
-    if mode == "lines":
-        raw = spark.read.text(paths)
-        lines = raw.filter(F.trim(F.col("value")) != "")
-        return lines.select(_parse_or_error(F.col("value")).alias("env"))
+    if mode in ("auto", "protobuf", "lines"):
+        line_env = _memo(f"line_env_{signal}",
+                         lambda: _parse_or_error(F.col("value")).alias("env"))
+        if mode == "lines":
+            lines = spark.read.text(paths).filter(F.trim(F.col("value")) != "")
+        else:
+            lines = _decoded_lines(spark, paths, signal,
+                                   "auto" if mode == "auto" else "protobuf")
+        return lines.select(line_env)
 
     # mode == "json": pure-JVM wholetext path
+    def build_wholetext():
+        _, env_schema = _ENVELOPES[signal]
+        content = F.col("value")
+        nonblank_lines = F.filter(F.split(content, "\n"), lambda l: F.trim(l) != "")
+        # NDJSON iff some single line is a complete JSON object on its own; a
+        # pretty-printed multi-line document's lines never are (its opener is
+        # a bare "{"). The startswith guard matters because the variant parser
+        # is lenient about trailing content ('"key": ...' alone would
+        # "parse"). Mirrors the reference's per-file format auto-detection
+        # (reference: src/function/read_otlp.cpp).
+        is_ndjson = F.exists(
+            nonblank_lines,
+            lambda l: F.trim(l).startswith("{") & F.try_parse_json(l).isNotNull())
+        line_envs = F.transform(nonblank_lines, _parse_or_error)
+        doc_envs = F.array(_parse_or_error(content))
+        envelopes = (
+            F.when(F.octet_length(content) > MAX_READ_FILE_BYTES,
+                   F.raise_error(F.lit(
+                       f"OTLP read error: file exceeds {MAX_READ_FILE_BYTES} byte limit")))
+            .when(F.octet_length(content) == 0, F.array().cast(T.ArrayType(env_schema)))
+            .when(F.regexp_replace(content, r"\s", "") == "",
+                  F.raise_error(F.lit("OTLP parse error: whitespace-only file")))
+            .when(is_ndjson, line_envs)
+            .otherwise(doc_envs)
+        )
+        return F.explode(envelopes).alias("env")
+
     raw = spark.read.text(paths, wholetext=True)
-    content = F.col("value")
-    nonblank_lines = F.filter(F.split(content, "\n"), lambda l: F.trim(l) != "")
-    # NDJSON iff some single line is a complete JSON object on its own; a
-    # pretty-printed multi-line document's lines never are (its opener is a
-    # bare "{"). The startswith guard matters because the variant parser is
-    # lenient about trailing content ('"key": ...' alone would "parse").
-    # Mirrors the reference's per-file format auto-detection
-    # (reference: src/function/read_otlp.cpp).
-    is_ndjson = F.exists(
-        nonblank_lines,
-        lambda l: F.trim(l).startswith("{") & F.try_parse_json(l).isNotNull())
-    line_envs = F.transform(nonblank_lines, _parse_or_error)
-    doc_envs = F.array(_parse_or_error(content))
-    envelopes = (
-        F.when(F.octet_length(content) > MAX_READ_FILE_BYTES,
-               F.raise_error(F.lit(
-                   f"OTLP read error: file exceeds {MAX_READ_FILE_BYTES} byte limit")))
-        .when(F.octet_length(content) == 0, F.array().cast(T.ArrayType(env_schema)))
-        .when(F.regexp_replace(content, r"\s", "") == "",
-              F.raise_error(F.lit("OTLP parse error: whitespace-only file")))
-        .when(is_ndjson, line_envs)
-        .otherwise(doc_envs)
-    )
-    return raw.select(F.explode(envelopes).alias("env"))
+    return raw.select(_memo(f"wholetext_env_{signal}", build_wholetext))
 
 
 # ---------------------------------------------------------------------------
@@ -672,10 +694,9 @@ def flatten_logs(env: DataFrame) -> DataFrame:
     attrs-JSON renders) are computed BEFORE the record explode: they are
     constant per scope, and rendering them per log record multiplies the
     most expensive expressions in the plan by the batch size."""
-    scoped = (
-        env.select(F.explode("env.resourceLogs").alias("rl"))
-        .select(F.col("rl.resource").alias("resource"), F.explode("rl.scopeLogs").alias("sl"))
-        .select(
+    def build():
+        r = F.col("r")
+        scope_stage = [
             _resource_attr(F.col("resource"), "service.name").alias("service_name"),
             _resource_attr(F.col("resource"), "service.namespace").alias("service_namespace"),
             _resource_attr(F.col("resource"), "service.instance.id").alias("service_instance_id"),
@@ -684,28 +705,35 @@ def flatten_logs(env: DataFrame) -> DataFrame:
             F.col("sl.scope")["version"].alias("scope_version"),
             attrs_to_json(F.col("sl.scope")["attributes"]).alias("scope_attributes"),
             F.explode(_validated(F.col("sl.logRecords"),
-                                 ["timeUnixNano", "observedTimeUnixNano"])).alias("r"))
-    )
-    r = F.col("r")
-    return scoped.select(
-        _ns_ts(r["timeUnixNano"], "timeUnixNano").alias("time_unix_nano"),
-        _ns_ts(r["observedTimeUnixNano"], "observedTimeUnixNano").alias("observed_time_unix_nano"),
-        _hex_id(r["traceId"]).alias("trace_id"),
-        _hex_id(r["spanId"]).alias("span_id"),
-        F.col("service_name"),
-        F.col("service_namespace"),
-        F.col("service_instance_id"),
-        _severity_number(r["severityNumber"]).alias("severity_number"),
-        r["severityText"].alias("severity_text"),
-        r["eventName"].alias("event_name"),
-        _body_text(r["body"]).alias("body"),
-        F.col("resource_attributes"),
-        F.col("scope_name"),
-        F.col("scope_version"),
-        F.col("scope_attributes"),
-        attrs_to_json(r["attributes"]).alias("log_attributes"),
-        _uint32(r["droppedAttributesCount"]).alias("dropped_attributes_count"),
-        _uint32(r["flags"]).alias("flags"),
+                                 ["timeUnixNano", "observedTimeUnixNano"])).alias("r")]
+        final_stage = [
+            _ns_ts(r["timeUnixNano"], "timeUnixNano").alias("time_unix_nano"),
+            _ns_ts(r["observedTimeUnixNano"],
+                   "observedTimeUnixNano").alias("observed_time_unix_nano"),
+            _hex_id(r["traceId"]).alias("trace_id"),
+            _hex_id(r["spanId"]).alias("span_id"),
+            F.col("service_name"),
+            F.col("service_namespace"),
+            F.col("service_instance_id"),
+            _severity_number(r["severityNumber"]).alias("severity_number"),
+            r["severityText"].alias("severity_text"),
+            r["eventName"].alias("event_name"),
+            _body_text(r["body"]).alias("body"),
+            F.col("resource_attributes"),
+            F.col("scope_name"),
+            F.col("scope_version"),
+            F.col("scope_attributes"),
+            attrs_to_json(r["attributes"]).alias("log_attributes"),
+            _uint32(r["droppedAttributesCount"]).alias("dropped_attributes_count"),
+            _uint32(r["flags"]).alias("flags")]
+        return scope_stage, final_stage
+
+    scope_stage, final_stage = _memo("flatten_logs", build)
+    return (
+        env.select(F.explode("env.resourceLogs").alias("rl"))
+        .select(F.col("rl.resource").alias("resource"), F.explode("rl.scopeLogs").alias("sl"))
+        .select(*scope_stage)
+        .select(*final_stage)
     )
 
 
@@ -722,10 +750,11 @@ def flatten_traces(env: DataFrame) -> DataFrame:
     """Envelope rows -> 24-col traces table. Resource/scope-derived
     columns are rendered before the span explode (constant per scope —
     see flatten_logs)."""
-    scoped = (
-        env.select(F.explode("env.resourceSpans").alias("rs"))
-        .select(F.col("rs.resource").alias("resource"), F.explode("rs.scopeSpans").alias("ss"))
-        .select(
+    def build():
+        s = F.col("s")
+        start_ns = _ns_long(s["startTimeUnixNano"], "startTimeUnixNano")
+        end_ns = _ns_long(s["endTimeUnixNano"], "endTimeUnixNano")
+        scope_stage = [
             _resource_attr(F.col("resource"), "service.name").alias("service_name"),
             _resource_attr(F.col("resource"), "service.namespace").alias("service_namespace"),
             _resource_attr(F.col("resource"), "service.instance.id").alias("service_instance_id"),
@@ -734,37 +763,41 @@ def flatten_traces(env: DataFrame) -> DataFrame:
             F.col("ss.scope")["version"].alias("scope_version"),
             attrs_to_json(F.col("ss.scope")["attributes"]).alias("scope_attributes"),
             F.explode(_validated(F.col("ss.spans"),
-                                 ["startTimeUnixNano", "endTimeUnixNano"])).alias("s"))
-    )
-    s = F.col("s")
-    start_ns = _ns_long(s["startTimeUnixNano"], "startTimeUnixNano")
-    end_ns = _ns_long(s["endTimeUnixNano"], "endTimeUnixNano")
-    return scoped.select(
-        _ns_ts(s["startTimeUnixNano"], "startTimeUnixNano").alias("start_time_unix_nano"),
-        (F.coalesce(end_ns, F.lit(0)) - F.coalesce(start_ns, F.lit(0)))
-        .alias("duration_time_unix_nano"),
-        _hex_id(s["traceId"]).alias("trace_id"),
-        _hex_id(s["spanId"]).alias("span_id"),
-        _hex_id(s["parentSpanId"]).alias("parent_span_id"),
-        s["traceState"].alias("trace_state"),
-        F.col("service_name"),
-        F.col("service_namespace"),
-        F.col("service_instance_id"),
-        s["name"].alias("name"),
-        _enum_int(s["kind"], _ENUM_MAPS["kind"]).alias("kind"),
-        _enum_int(s["status"]["code"], _ENUM_MAPS["status_code"]).alias("status_code"),
-        s["status"]["message"].alias("status_status_message"),
-        F.col("resource_attributes"),
-        F.col("scope_name"),
-        F.col("scope_version"),
-        F.col("scope_attributes"),
-        attrs_to_json(s["attributes"]).alias("span_attributes"),
-        _events_json(s["events"]).alias("events_json"),
-        _links_json(s["links"]).alias("links_json"),
-        _uint32(s["droppedAttributesCount"]).alias("dropped_attributes_count"),
-        _uint32(s["droppedEventsCount"]).alias("dropped_events_count"),
-        _uint32(s["droppedLinksCount"]).alias("dropped_links_count"),
-        _uint32(s["flags"]).alias("flags"),
+                                 ["startTimeUnixNano", "endTimeUnixNano"])).alias("s")]
+        final_stage = [
+            _ns_ts(s["startTimeUnixNano"], "startTimeUnixNano").alias("start_time_unix_nano"),
+            (F.coalesce(end_ns, F.lit(0)) - F.coalesce(start_ns, F.lit(0)))
+            .alias("duration_time_unix_nano"),
+            _hex_id(s["traceId"]).alias("trace_id"),
+            _hex_id(s["spanId"]).alias("span_id"),
+            _hex_id(s["parentSpanId"]).alias("parent_span_id"),
+            s["traceState"].alias("trace_state"),
+            F.col("service_name"),
+            F.col("service_namespace"),
+            F.col("service_instance_id"),
+            s["name"].alias("name"),
+            _enum_int(s["kind"], _ENUM_MAPS["kind"]).alias("kind"),
+            _enum_int(s["status"]["code"], _ENUM_MAPS["status_code"]).alias("status_code"),
+            s["status"]["message"].alias("status_status_message"),
+            F.col("resource_attributes"),
+            F.col("scope_name"),
+            F.col("scope_version"),
+            F.col("scope_attributes"),
+            attrs_to_json(s["attributes"]).alias("span_attributes"),
+            _events_json(s["events"]).alias("events_json"),
+            _links_json(s["links"]).alias("links_json"),
+            _uint32(s["droppedAttributesCount"]).alias("dropped_attributes_count"),
+            _uint32(s["droppedEventsCount"]).alias("dropped_events_count"),
+            _uint32(s["droppedLinksCount"]).alias("dropped_links_count"),
+            _uint32(s["flags"]).alias("flags")]
+        return scope_stage, final_stage
+
+    scope_stage, final_stage = _memo("flatten_traces", build)
+    return (
+        env.select(F.explode("env.resourceSpans").alias("rs"))
+        .select(F.col("rs.resource").alias("resource"), F.explode("rs.scopeSpans").alias("ss"))
+        .select(*scope_stage)
+        .select(*final_stage)
     )
 
 
@@ -793,12 +826,10 @@ def _metric_records(env: DataFrame) -> DataFrame:
     here each typed reader selects its shape from this common exploded view
     and Catalyst prunes the untouched shapes out of the JSON parse.
     """
-    return (
-        env.select(F.explode("env.resourceMetrics").alias("rm"))
-        .select(F.col("rm.resource").alias("resource"), F.explode("rm.scopeMetrics").alias("sm"))
-        .select(
-            # resource/scope-derived columns render ONCE per scope, not
-            # per data point (see flatten_logs)
+    def build():
+        # resource/scope-derived columns render ONCE per scope, not
+        # per data point (see flatten_logs)
+        return [
             _resource_attr(F.col("resource"), "service.name").alias("service_name"),
             _resource_attr(F.col("resource"), "service.namespace").alias("service_namespace"),
             _resource_attr(F.col("resource"), "service.instance.id").alias("service_instance_id"),
@@ -806,7 +837,12 @@ def _metric_records(env: DataFrame) -> DataFrame:
             F.col("sm.scope")["name"].alias("scope_name"),
             F.col("sm.scope")["version"].alias("scope_version"),
             attrs_to_json(F.col("sm.scope")["attributes"]).alias("scope_attributes"),
-            F.explode("sm.metrics").alias("m"))
+            F.explode("sm.metrics").alias("m")]
+
+    return (
+        env.select(F.explode("env.resourceMetrics").alias("rm"))
+        .select(F.col("rm.resource").alias("resource"), F.explode("rm.scopeMetrics").alias("sm"))
+        .select(*_memo("metric_records", build))
     )
 
 
@@ -851,27 +887,32 @@ def read_otlp_metrics_gauge(spark: SparkSession, path: str | list[str],
 
 
 def flatten_metrics_gauge(env: DataFrame) -> DataFrame:
-    rec = _metric_records(env)
-    rec = rec.filter(F.col("m.gauge").isNotNull()) \
-             .select(*_SCOPED_COLS, "m", F.explode(_validated(F.col("m.gauge.dataPoints"),
-                                  ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
-    dp, m = F.col("dp"), F.col("m")
-    c = _metric_common_cols(dp, m)
-    n = _number_point_cols(dp)
-    return rec.select(
-        c["time_unix_nano"].alias("time_unix_nano"),
-        c["start_time_unix_nano"].alias("start_time_unix_nano"),
-        c["name"].alias("name"), c["description"].alias("description"), c["unit"].alias("unit"),
-        n["int_value"].alias("int_value"), n["double_value"].alias("double_value"),
-        c["service_name"].alias("service_name"),
-        c["service_namespace"].alias("service_namespace"),
-        c["service_instance_id"].alias("service_instance_id"),
-        c["resource_attributes"].alias("resource_attributes"),
-        c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
-        c["scope_attributes"].alias("scope_attributes"),
-        c["metric_attributes"].alias("metric_attributes"),
-        c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
-    )
+    def build():
+        dp, m = F.col("dp"), F.col("m")
+        c = _metric_common_cols(dp, m)
+        n = _number_point_cols(dp)
+        explode_stage = [*_SCOPED_COLS, "m",
+                         F.explode(_validated(F.col("m.gauge.dataPoints"),
+                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp")]
+        final_stage = [
+            c["time_unix_nano"].alias("time_unix_nano"),
+            c["start_time_unix_nano"].alias("start_time_unix_nano"),
+            c["name"].alias("name"), c["description"].alias("description"),
+            c["unit"].alias("unit"),
+            n["int_value"].alias("int_value"), n["double_value"].alias("double_value"),
+            c["service_name"].alias("service_name"),
+            c["service_namespace"].alias("service_namespace"),
+            c["service_instance_id"].alias("service_instance_id"),
+            c["resource_attributes"].alias("resource_attributes"),
+            c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
+            c["scope_attributes"].alias("scope_attributes"),
+            c["metric_attributes"].alias("metric_attributes"),
+            c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json")]
+        return F.col("m.gauge").isNotNull(), explode_stage, final_stage
+
+    cond, explode_stage, final_stage = _memo("flatten_metrics_gauge", build)
+    return (_metric_records(env).filter(cond)
+            .select(*explode_stage).select(*final_stage))
 
 
 def read_otlp_metrics_sum(spark: SparkSession, path: str | list[str],
@@ -881,30 +922,35 @@ def read_otlp_metrics_sum(spark: SparkSession, path: str | list[str],
 
 
 def flatten_metrics_sum(env: DataFrame) -> DataFrame:
-    rec = _metric_records(env)
-    rec = rec.filter(F.col("m.sum").isNotNull()) \
-             .select(*_SCOPED_COLS, "m", F.explode(_validated(F.col("m.sum.dataPoints"),
-                                  ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
-    dp, m = F.col("dp"), F.col("m")
-    c = _metric_common_cols(dp, m)
-    n = _number_point_cols(dp)
-    return rec.select(
-        c["time_unix_nano"].alias("time_unix_nano"),
-        c["start_time_unix_nano"].alias("start_time_unix_nano"),
-        c["name"].alias("name"), c["description"].alias("description"), c["unit"].alias("unit"),
-        n["int_value"].alias("int_value"), n["double_value"].alias("double_value"),
-        c["service_name"].alias("service_name"),
-        c["service_namespace"].alias("service_namespace"),
-        c["service_instance_id"].alias("service_instance_id"),
-        c["resource_attributes"].alias("resource_attributes"),
-        c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
-        c["scope_attributes"].alias("scope_attributes"),
-        c["metric_attributes"].alias("metric_attributes"),
-        c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
-        _enum_int(m["sum"]["aggregationTemporality"], _ENUM_MAPS["temporality"])
-        .alias("aggregation_temporality"),
-        F.coalesce(m["sum"]["isMonotonic"], F.lit(False)).alias("is_monotonic"),
-    )
+    def build():
+        dp, m = F.col("dp"), F.col("m")
+        c = _metric_common_cols(dp, m)
+        n = _number_point_cols(dp)
+        explode_stage = [*_SCOPED_COLS, "m",
+                         F.explode(_validated(F.col("m.sum.dataPoints"),
+                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp")]
+        final_stage = [
+            c["time_unix_nano"].alias("time_unix_nano"),
+            c["start_time_unix_nano"].alias("start_time_unix_nano"),
+            c["name"].alias("name"), c["description"].alias("description"),
+            c["unit"].alias("unit"),
+            n["int_value"].alias("int_value"), n["double_value"].alias("double_value"),
+            c["service_name"].alias("service_name"),
+            c["service_namespace"].alias("service_namespace"),
+            c["service_instance_id"].alias("service_instance_id"),
+            c["resource_attributes"].alias("resource_attributes"),
+            c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
+            c["scope_attributes"].alias("scope_attributes"),
+            c["metric_attributes"].alias("metric_attributes"),
+            c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
+            _enum_int(m["sum"]["aggregationTemporality"], _ENUM_MAPS["temporality"])
+            .alias("aggregation_temporality"),
+            F.coalesce(m["sum"]["isMonotonic"], F.lit(False)).alias("is_monotonic")]
+        return F.col("m.sum").isNotNull(), explode_stage, final_stage
+
+    cond, explode_stage, final_stage = _memo("flatten_metrics_sum", build)
+    return (_metric_records(env).filter(cond)
+            .select(*explode_stage).select(*final_stage))
 
 
 def read_otlp_metrics_histogram(spark: SparkSession, path: str | list[str],
@@ -914,31 +960,36 @@ def read_otlp_metrics_histogram(spark: SparkSession, path: str | list[str],
 
 
 def flatten_metrics_histogram(env: DataFrame) -> DataFrame:
-    rec = _metric_records(env)
-    rec = rec.filter(F.col("m.histogram").isNotNull()) \
-             .select(*_SCOPED_COLS, "m", F.explode(_validated(F.col("m.histogram.dataPoints"),
-                                  ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
-    dp, m = F.col("dp"), F.col("m")
-    c = _metric_common_cols(dp, m)
-    return rec.select(
-        c["time_unix_nano"].alias("time_unix_nano"),
-        c["start_time_unix_nano"].alias("start_time_unix_nano"),
-        c["name"].alias("name"), c["description"].alias("description"), c["unit"].alias("unit"),
-        dp["count"].try_cast("long").alias("count"),
-        dp["sum"].alias("sum"), dp["min"].alias("min"), dp["max"].alias("max"),
-        F.transform(dp["bucketCounts"], lambda x: x.try_cast("long")).alias("bucket_counts"),
-        dp["explicitBounds"].alias("explicit_bounds"),
-        c["service_name"].alias("service_name"),
-        c["service_namespace"].alias("service_namespace"),
-        c["service_instance_id"].alias("service_instance_id"),
-        c["resource_attributes"].alias("resource_attributes"),
-        c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
-        c["scope_attributes"].alias("scope_attributes"),
-        c["metric_attributes"].alias("metric_attributes"),
-        c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
-        _enum_int(m["histogram"]["aggregationTemporality"], _ENUM_MAPS["temporality"])
-        .alias("aggregation_temporality"),
-    )
+    def build():
+        dp, m = F.col("dp"), F.col("m")
+        c = _metric_common_cols(dp, m)
+        explode_stage = [*_SCOPED_COLS, "m",
+                         F.explode(_validated(F.col("m.histogram.dataPoints"),
+                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp")]
+        final_stage = [
+            c["time_unix_nano"].alias("time_unix_nano"),
+            c["start_time_unix_nano"].alias("start_time_unix_nano"),
+            c["name"].alias("name"), c["description"].alias("description"),
+            c["unit"].alias("unit"),
+            dp["count"].try_cast("long").alias("count"),
+            dp["sum"].alias("sum"), dp["min"].alias("min"), dp["max"].alias("max"),
+            F.transform(dp["bucketCounts"], lambda x: x.try_cast("long")).alias("bucket_counts"),
+            dp["explicitBounds"].alias("explicit_bounds"),
+            c["service_name"].alias("service_name"),
+            c["service_namespace"].alias("service_namespace"),
+            c["service_instance_id"].alias("service_instance_id"),
+            c["resource_attributes"].alias("resource_attributes"),
+            c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
+            c["scope_attributes"].alias("scope_attributes"),
+            c["metric_attributes"].alias("metric_attributes"),
+            c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
+            _enum_int(m["histogram"]["aggregationTemporality"], _ENUM_MAPS["temporality"])
+            .alias("aggregation_temporality")]
+        return F.col("m.histogram").isNotNull(), explode_stage, final_stage
+
+    cond, explode_stage, final_stage = _memo("flatten_metrics_histogram", build)
+    return (_metric_records(env).filter(cond)
+            .select(*explode_stage).select(*final_stage))
 
 
 def read_otlp_metrics_exp_histogram(spark: SparkSession, path: str | list[str],
@@ -948,39 +999,46 @@ def read_otlp_metrics_exp_histogram(spark: SparkSession, path: str | list[str],
 
 
 def flatten_metrics_exp_histogram(env: DataFrame) -> DataFrame:
-    rec = _metric_records(env)
-    rec = rec.filter(F.col("m.exponentialHistogram").isNotNull()) \
-             .select(*_SCOPED_COLS, "m",
-                     F.explode(_validated(F.col("m.exponentialHistogram.dataPoints"),
-                                  ["timeUnixNano", "startTimeUnixNano"])).alias("dp"))
-    dp, m = F.col("dp"), F.col("m")
-    c = _metric_common_cols(dp, m)
-    return rec.select(
-        c["time_unix_nano"].alias("time_unix_nano"),
-        c["start_time_unix_nano"].alias("start_time_unix_nano"),
-        c["name"].alias("name"), c["description"].alias("description"), c["unit"].alias("unit"),
-        dp["count"].try_cast("long").alias("count"),
-        dp["sum"].alias("sum"), dp["min"].alias("min"), dp["max"].alias("max"),
-        _uint32(dp["scale"]).alias("scale"),
-        F.coalesce(dp["zeroCount"].try_cast("long"), F.lit(0)).alias("zero_count"),
-        dp["zeroThreshold"].alias("zero_threshold"),
-        _uint32(dp["positive"]["offset"]).alias("positive_offset"),
-        F.coalesce(F.transform(dp["positive"]["bucketCounts"], lambda x: x.try_cast("long")),
-                   F.array().cast("array<long>")).alias("positive_bucket_counts"),
-        _uint32(dp["negative"]["offset"]).alias("negative_offset"),
-        F.coalesce(F.transform(dp["negative"]["bucketCounts"], lambda x: x.try_cast("long")),
-                   F.array().cast("array<long>")).alias("negative_bucket_counts"),
-        c["service_name"].alias("service_name"),
-        c["service_namespace"].alias("service_namespace"),
-        c["service_instance_id"].alias("service_instance_id"),
-        c["resource_attributes"].alias("resource_attributes"),
-        c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
-        c["scope_attributes"].alias("scope_attributes"),
-        c["metric_attributes"].alias("metric_attributes"),
-        c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
-        _enum_int(m["exponentialHistogram"]["aggregationTemporality"], _ENUM_MAPS["temporality"])
-        .alias("aggregation_temporality"),
-    )
+    def build():
+        dp, m = F.col("dp"), F.col("m")
+        c = _metric_common_cols(dp, m)
+        explode_stage = [*_SCOPED_COLS, "m",
+                         F.explode(_validated(F.col("m.exponentialHistogram.dataPoints"),
+                                   ["timeUnixNano", "startTimeUnixNano"])).alias("dp")]
+        final_stage = [
+            c["time_unix_nano"].alias("time_unix_nano"),
+            c["start_time_unix_nano"].alias("start_time_unix_nano"),
+            c["name"].alias("name"), c["description"].alias("description"),
+            c["unit"].alias("unit"),
+            dp["count"].try_cast("long").alias("count"),
+            dp["sum"].alias("sum"), dp["min"].alias("min"), dp["max"].alias("max"),
+            _uint32(dp["scale"]).alias("scale"),
+            F.coalesce(dp["zeroCount"].try_cast("long"), F.lit(0)).alias("zero_count"),
+            dp["zeroThreshold"].alias("zero_threshold"),
+            _uint32(dp["positive"]["offset"]).alias("positive_offset"),
+            F.coalesce(F.transform(dp["positive"]["bucketCounts"],
+                                   lambda x: x.try_cast("long")),
+                       F.array().cast("array<long>")).alias("positive_bucket_counts"),
+            _uint32(dp["negative"]["offset"]).alias("negative_offset"),
+            F.coalesce(F.transform(dp["negative"]["bucketCounts"],
+                                   lambda x: x.try_cast("long")),
+                       F.array().cast("array<long>")).alias("negative_bucket_counts"),
+            c["service_name"].alias("service_name"),
+            c["service_namespace"].alias("service_namespace"),
+            c["service_instance_id"].alias("service_instance_id"),
+            c["resource_attributes"].alias("resource_attributes"),
+            c["scope_name"].alias("scope_name"), c["scope_version"].alias("scope_version"),
+            c["scope_attributes"].alias("scope_attributes"),
+            c["metric_attributes"].alias("metric_attributes"),
+            c["flags"].alias("flags"), c["exemplars_json"].alias("exemplars_json"),
+            _enum_int(m["exponentialHistogram"]["aggregationTemporality"],
+                      _ENUM_MAPS["temporality"])
+            .alias("aggregation_temporality")]
+        return F.col("m.exponentialHistogram").isNotNull(), explode_stage, final_stage
+
+    cond, explode_stage, final_stage = _memo("flatten_metrics_exp_histogram", build)
+    return (_metric_records(env).filter(cond)
+            .select(*explode_stage).select(*final_stage))
 
 
 def read_otlp_metrics(spark: SparkSession, path: str | list[str], mode: str = "auto") -> DataFrame:
@@ -1010,11 +1068,11 @@ def envelopes_from_lines(lines: DataFrame, signal: str,
     batch (receiver-side skip-and-count semantics,
     reference: src/otlp_server.cpp:699-702).
     """
-    field, env_schema = _ENVELOPES[signal]
-    parsed = F.from_json(F.col("value"), env_schema)
-    nonblank = lines.filter(F.trim(F.col("value")) != "")
-    if strict:
-        env = (
+    def build():
+        field, env_schema = _ENVELOPES[signal]
+        parsed = F.from_json(F.col("value"), env_schema)
+        nonblank = F.trim(F.col("value")) != ""
+        strict_env = (
             F.when(F.try_parse_json(F.col("value")).isNull(),
                    F.raise_error(F.concat(F.lit("OTLP parse error: invalid JSON: "),
                                           F.substring(F.col("value"), 1, 120))))
@@ -1023,10 +1081,14 @@ def envelopes_from_lines(lines: DataFrame, signal: str,
                       F.lit(f"OTLP parse error: expected '{field}' envelope: "),
                       F.substring(F.col("value"), 1, 120))))
             .otherwise(parsed)
-        )
-        return nonblank.select(env.alias("env"))
-    return (nonblank.select(parsed.alias("env"))
-            .filter(F.col("env")[field].isNotNull()))
+        ).alias("env")
+        return (nonblank, strict_env, parsed.alias("env"),
+                F.col("env")[field].isNotNull())
+
+    nonblank, strict_env, lax_env, lax_keep = _memo(f"env_lines_{signal}", build)
+    if strict:
+        return lines.filter(nonblank).select(strict_env)
+    return lines.filter(nonblank).select(lax_env).filter(lax_keep)
 
 
 FLATTEN = {

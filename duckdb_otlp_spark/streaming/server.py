@@ -30,9 +30,10 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_otlp_spark.catalog import SnapshotCatalog
 from duckdb_otlp_spark.functions.promote import sanitize_key as _sanitize
 from duckdb_otlp_spark.functions.uri import OtlpUri, parse_otlp_uri
 from duckdb_otlp_spark.schemas import TARGET_TABLES
@@ -44,7 +45,11 @@ from duckdb_otlp_spark.sources.otlp_json import (
     flatten_metrics_histogram,
     flatten_metrics_sum,
 )
-from duckdb_otlp_spark.streaming.maintenance import compact_table
+from duckdb_otlp_spark.streaming.maintenance import (
+    BLOOM_COLS,
+    SORT_KEYS,
+    compact_table,
+)
 from duckdb_otlp_spark.streaming.receiver import OtlpHttpReceiver
 
 # reference: src/include/otlp_ingest_limits.hpp
@@ -85,7 +90,9 @@ class OtlpSparkServer:
                  promote_resource: list[str] | None = None,
                  promote_scope: list[str] | None = None,
                  maintenance_every_seals: int = DEFAULT_MAINTENANCE_EVERY_SEALS,
-                 zstd: bool = True):
+                 zstd: bool = True,
+                 sink: str = "parquet",
+                 warm_start: bool = True):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
@@ -99,6 +106,13 @@ class OtlpSparkServer:
         self.compression = "zstd" if zstd else "snappy"
         self.promote_resource = list(promote_resource or [])
         self.promote_scope = list(promote_scope or [])
+        if sink not in ("parquet", "catalog"):
+            raise ValueError(f"unknown sink {sink!r}; use 'parquet' or 'catalog'")
+        self.sink = sink
+        # catalog mode = the reference's transactional SealCatalog path
+        # (all signals of a seal commit in ONE snapshot, otlp_server.cpp:
+        # 1109-1271); parquet mode = the at-least-once COPY export path
+        self.catalog = SnapshotCatalog(self.export_root) if sink == "catalog" else None
         self.receiver = OtlpHttpReceiver(
             self.uri.host, self.uri.port, self.spool_dir,
             auth_token=auth_token, disable_auth=disable_auth)
@@ -109,6 +123,7 @@ class OtlpSparkServer:
         self.last_seal_unix_ms: int | None = None
         self.seal_failures_total = 0
         self.sealed_rows_total = 0
+        self.warm_start = warm_start
         self.maintenance_every_seals = maintenance_every_seals
         self.maintenance_runs_total = 0
         self.maintenance_history: list[dict[str, Any]] = []
@@ -161,8 +176,19 @@ class OtlpSparkServer:
             t0 = time.perf_counter()
             merged = 0
             for table in set(TARGET_TABLES.values()):
-                res = compact_table(self.spark, self.export_root, table)
-                merged += res.partitions_compacted
+                if self.catalog is not None:
+                    res = self.catalog.compact(
+                        self.spark, table,
+                        sort_cols=SORT_KEYS.get(table, ()),
+                        bloom_cols=BLOOM_COLS.get(table, ()),
+                        compression=self.compression)
+                    merged += 1 if res["files_in"] else 0
+                else:
+                    merged += compact_table(
+                        self.spark, self.export_root, table).partitions_compacted
+            if self.catalog is not None:
+                self.catalog.expire_snapshots()
+                self.catalog.vacuum()
             with self._lock:
                 self.maintenance_runs_total += 1
                 self.maintenance_history.append({
@@ -179,57 +205,133 @@ class OtlpSparkServer:
     def _write_table(self, df: DataFrame, table: str, batch_id: int) -> None:
         """One seal append: partitioned y/m/d zstd parquet, like the
         reference's COPY ... PARTITION_BY (year, month, day)
-        (reference: otlp_server.cpp:112-129)."""
+        (reference: otlp_server.cpp:112-129).
+
+        The row count rides the write job as an Observation, so a seal
+        is ONE Spark action (the old count-then-write ran the flatten
+        twice or paid a persist): parse + flatten + write + count in a
+        single pass."""
         ts = _PARTITION_TS.get(table, "time_unix_nano")
+        obs = Observation()
         out = (df
                .withColumn("year", F.date_format(F.col(ts), "yyyy"))
                .withColumn("month", F.date_format(F.col(ts), "MM"))
-               .withColumn("day", F.date_format(F.col(ts), "dd")))
-        # persist: the flatten (parse + JSON re-render) is the expensive
-        # part of a seal; without it the count and the write each run it
-        out = out.persist()
+               .withColumn("day", F.date_format(F.col(ts), "dd"))
+               .observe(obs, F.count(F.lit(1)).alias("rows")))
         t0 = time.perf_counter()
         try:
-            rows = out.count()
-            if rows:
-                (out.write.mode("append")
-                 .partitionBy("year", "month", "day")
-                 .option("compression", self.compression)
-                 .parquet(str(self.export_root / table)))
-            self._record_seal(table, rows, batch_id,
+            (out.write.mode("append")
+             .partitionBy("year", "month", "day")
+             .option("compression", self.compression)
+             .parquet(str(self.export_root / table)))
+            self._record_seal(table, int(obs.get["rows"]), batch_id,
                               (time.perf_counter() - t0) * 1000, "ok")
         except Exception as e:  # noqa: BLE001 — seal failures are recorded
             self._record_seal(table, 0, batch_id,
                               (time.perf_counter() - t0) * 1000, "error", str(e))
             raise
-        finally:
-            out.unpersist()
+
+    def _seal_catalog(self, tables: list[tuple[str, DataFrame]],
+                      batch_id: int) -> None:
+        """Catalog-mode seal: stage every table's data files first, then
+        publish ONE snapshot — all-or-nothing across the whole seal,
+        the reference's BEGIN..append per signal..COMMIT contract
+        (reference: otlp_server.cpp:1176-1259). A failure before commit
+        leaves only unreferenced staged files (vacuumable), and the
+        streaming retry replays the batch."""
+        t0 = time.perf_counter()
+        add: dict[str, list] = {}
+        schemas: dict[str, str] = {}
+        rows: dict[str, int] = {}
+        try:
+            for table, df in tables:
+                entries = self.catalog.stage_dataframe(
+                    df, table,
+                    sort_cols=SORT_KEYS.get(table, ()),
+                    bloom_cols=BLOOM_COLS.get(table, ()),
+                    compression=self.compression)
+                add[table] = entries
+                schemas[table] = df.schema.json()
+                rows[table] = sum(e.rows for e in entries)
+            self.catalog.commit(add=add, schemas=schemas)
+        except Exception as e:  # noqa: BLE001 — seal failures are recorded
+            ms = (time.perf_counter() - t0) * 1000
+            for table, _ in tables:
+                self._record_seal(table, 0, batch_id, ms, "error", str(e))
+            raise
+        ms = (time.perf_counter() - t0) * 1000
+        for table, _ in tables:
+            self._record_seal(table, rows[table], batch_id, ms, "ok")
 
     def _seal_batch(self, signal: str):
         def seal(batch_df: DataFrame, batch_id: int) -> None:
-            nbytes = batch_df.agg(
-                F.coalesce(F.sum(F.octet_length("value")), F.lit(0))).first()[0]
+            # the spooled-byte sum rides the seal's write job as an
+            # Observation instead of costing its own aggregation job
+            obs = Observation()
+            batch_df = batch_df.observe(
+                obs, F.coalesce(F.sum(F.octet_length("value")),
+                                F.lit(0)).alias("nbytes"))
             env = envelopes_from_lines(batch_df,
                                        "metrics" if signal == "metrics" else signal,
                                        strict=False)
             if signal == "metrics":
+                shapes = (
+                    ("otlp_metrics_gauge", flatten_metrics_gauge),
+                    ("otlp_metrics_sum", flatten_metrics_sum),
+                    ("otlp_metrics_histogram", flatten_metrics_histogram),
+                    ("otlp_metrics_exp_histogram", flatten_metrics_exp_histogram))
                 env = env.persist()
                 try:
-                    for table, flatten in (
-                            ("otlp_metrics_gauge", flatten_metrics_gauge),
-                            ("otlp_metrics_sum", flatten_metrics_sum),
-                            ("otlp_metrics_histogram", flatten_metrics_histogram),
-                            ("otlp_metrics_exp_histogram", flatten_metrics_exp_histogram)):
-                        self._write_table(self._promote(flatten(env)), table, batch_id)
+                    tables = [(t, self._promote(fl(env))) for t, fl in shapes]
+                    if self.catalog is not None:
+                        self._seal_catalog(tables, batch_id)
+                    else:
+                        for table, df in tables:
+                            self._write_table(df, table, batch_id)
                 finally:
                     env.unpersist()
             else:
                 table = TARGET_TABLES[signal]
-                self._write_table(self._promote(FLATTEN[signal](env)), table, batch_id)
-            self.receiver.release_sealed(int(nbytes))
+                df = self._promote(FLATTEN[signal](env))
+                if self.catalog is not None:
+                    self._seal_catalog([(table, df)], batch_id)
+                else:
+                    self._write_table(df, table, batch_id)
+            self.receiver.release_sealed(int(obs.get["nbytes"]))
         return seal
 
+    _WARM_SAMPLES = {
+        "logs": ('{"resourceLogs":[{"scopeLogs":[{"logRecords":'
+                 '[{"timeUnixNano":"1","body":{"stringValue":"w"}}]}]}]}'),
+        "traces": ('{"resourceSpans":[{"scopeSpans":[{"spans":[{"traceId":"00",'
+                   '"spanId":"00","name":"w","startTimeUnixNano":"1",'
+                   '"endTimeUnixNano":"2"}]}]}]}'),
+        "metrics": ('{"resourceMetrics":[{"scopeMetrics":[{"metrics":'
+                    '[{"name":"w","gauge":{"dataPoints":[{"timeUnixNano":"1",'
+                    '"asInt":"1"}]}}]}]}]}'),
+    }
+
+    def _warm_seal_plans(self) -> None:
+        """Execute each seal's parse+flatten plan on a one-record sample
+        before the listener opens: the expression build (~10 s of py4j
+        tree construction, memoized per process) and the whole-stage
+        codegen both compile here instead of inside the first seal —
+        the analog of the reference creating/validating target tables at
+        startup (reference: otlp_server.cpp:455-526)."""
+        for signal, line in self._WARM_SAMPLES.items():
+            df = self.spark.createDataFrame([(line,)], "value string")
+            env = envelopes_from_lines(df, signal, strict=False)
+            if signal == "metrics":
+                for fl in (flatten_metrics_gauge, flatten_metrics_sum,
+                           flatten_metrics_histogram,
+                           flatten_metrics_exp_histogram):
+                    fl(env).collect()
+            else:
+                FLATTEN[signal](env).collect()
+
     def start(self) -> None:
+        if self.warm_start:
+            self._warm_seal_plans()
         self.receiver.ready_probe = self._ready
         self.receiver.start()
         if self.uri.port == 0:
@@ -286,6 +388,18 @@ class OtlpSparkServer:
                 pass
         return {"status": "ok", "dropped_bytes": dropped}
 
+    def read_table(self, table: str, **prune) -> DataFrame:
+        """Query a sealed table — the analog of the reference's lazily
+        created read_parquet inspection view (otlp_server.cpp:1050-1053).
+        Catalog mode plans from the snapshot manifest (and accepts its
+        pruning kwargs: snapshot_id / time_range / equals); parquet mode
+        reads the partitioned export tree."""
+        if self.catalog is not None:
+            return self.catalog.read_table(self.spark, table, **prune)
+        if prune:
+            raise ValueError("pruning kwargs require sink='catalog'")
+        return self.spark.read.parquet(str(self.export_root / table))
+
     # -- status tables --
     def server_row(self) -> dict[str, Any]:
         st = self.receiver.stats
@@ -293,6 +407,7 @@ class OtlpSparkServer:
             "uri": self.uri.canonical,
             "url": self.uri.url,
             "transport": "http",
+            "sink": self.sink,
             "buffered_bytes": self.receiver.buffered_bytes,
             "admitted_bytes_total": st.admitted_bytes_total,
             "requests_total": st.requests_total,
@@ -322,7 +437,7 @@ _REG_LOCK = threading.Lock()
 
 # explicit schema: server_row() has nullable fields (last_seal_unix_ms)
 _SERVER_ROW_SCHEMA = (
-    "uri string, url string, transport string, buffered_bytes long, "
+    "uri string, url string, transport string, sink string, buffered_bytes long, "
     "admitted_bytes_total long, requests_total long, accepted_requests long, "
     "rejected_auth long, rejected_413 long, rejected_415 long, "
     "rejected_503 long, logs_requests long, traces_requests long, "

@@ -227,3 +227,45 @@ def test_promotion_read_pattern(spark, tmp_path):
     # without the promoted column, attr() falls back to pure JSON extraction
     got_old = old.select(attr(old, "service.name")).collect()[0][0]
     assert got_old == "old-svc"
+
+
+def test_catalog_sink_end_to_end(spark, tmp_path_factory):
+    """sink='catalog': a seal is one atomic snapshot across every table
+    it touches (the reference's SealCatalog contract), and the catalog
+    read path serves the data with snapshot metadata."""
+    work = tmp_path_factory.mktemp("ingest_cat")
+    info = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(work),
+                      auth_token=TOKEN, seal_max_age_ms=500,
+                      sink="catalog",
+                      promote_resource=["service.name"]).collect()[0]
+    assert info["sink"] == "catalog"
+    from duckdb_otlp_spark.streaming.server import _get
+    srv = _get(info["uri"])
+    try:
+        url = srv.uri.url
+        for env in LOGS_SIMPLE:
+            assert _post(url, "/v1/logs", env)[0] == 202
+        assert _post(url, "/v1/metrics", METRICS_SIMPLE[0])[0] == 202
+        out = otlp_flush(spark, srv.uri.canonical).collect()[0]
+        assert out["status"] == "ok" and out["sealed_rows"] >= 6
+
+        logs = srv.read_table("otlp_logs")
+        assert logs.count() == 3
+        assert "resource_attr_service_name" in logs.columns
+        # metrics fan-out committed atomically: one snapshot holds all
+        # three non-empty shapes (gauge+sum+hist from METRICS_SIMPLE[0])
+        snaps = srv.catalog.snapshots()
+        multi = [s for s in snaps
+                 if len([t for t in s["tables"] if s["tables"][t]["manifests"]]) >= 3]
+        assert multi, "expected one snapshot committing all metric shapes"
+        assert srv.read_table("otlp_metrics_gauge").count() == 1
+        assert srv.read_table("otlp_metrics_sum").count() == 1
+        assert srv.read_table("otlp_metrics_histogram").count() == 1
+        # manifest pruning kwargs work through the server surface
+        assert srv.read_table("otlp_logs",
+                              equals={"service_name": "test-service"}).count() == 3
+        # seal telemetry recorded the catalog commits
+        seals = otlp_seal_list(spark, srv.uri.canonical)
+        assert seals.filter(F.col("status") == "ok").count() >= 2
+    finally:
+        otlp_stop(spark, srv.uri.canonical)
