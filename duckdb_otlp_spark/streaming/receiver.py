@@ -45,6 +45,12 @@ _SIGNAL_PATHS = {
     "/v1/metrics": "metrics",
 }
 
+# OTAP BatchArrowRecords over HTTP POST (the reference's otap_serve is
+# Arrow gRPC — reference: src/otlp_server_grpc.cpp:95-133; no grpc
+# runtime ships in this environment, so the same messages are accepted
+# as HTTP bodies with identical decode semantics)
+_OTAP_CTYPES = ("application/vnd.otel.arrow", "application/x-otap")
+
 
 @dataclass
 class ReceiverStats:
@@ -65,7 +71,10 @@ class OtlpHttpReceiver:
     def __init__(self, host: str, port: int, spool_dir: str | Path,
                  auth_token: str | None = None, disable_auth: bool = False,
                  max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
-                 max_buffered_bytes: int = DEFAULT_MAX_BUFFERED_BYTES):
+                 max_buffered_bytes: int = DEFAULT_MAX_BUFFERED_BYTES,
+                 formats: str = "otlp"):
+        if formats not in ("otlp", "otap"):
+            raise ValueError(f"unknown formats {formats!r}; use 'otlp' or 'otap'")
         if not disable_auth:
             if auth_token is None:
                 auth_token = secrets.token_hex(16)  # 32 hex chars
@@ -73,6 +82,7 @@ class OtlpHttpReceiver:
                 # reference: otlp_server.cpp token length rule
                 raise ValueError("auth token must be at least 16 characters")
         self.host, self.port = host, port
+        self.formats = formats
         self.spool_dir = Path(spool_dir)
         self.auth_token = auth_token
         self.disable_auth = disable_auth
@@ -185,7 +195,14 @@ class OtlpHttpReceiver:
 
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
                 is_pb = ctype in ("application/x-protobuf", "application/protobuf")
-                if not is_pb and ctype not in ("application/json", "application/x-ndjson"):
+                is_otap = ctype in _OTAP_CTYPES
+                # an otap: listener accepts ONLY Arrow payloads, an otlp:
+                # listener only OTLP ones — scheme selects the protocol,
+                # like the reference's otlp_serve/otap_serve split
+                allowed = (is_otap if receiver.formats == "otap"
+                           else (is_pb or ctype in ("application/json",
+                                                    "application/x-ndjson")))
+                if not allowed:
                     st.rejected_415 += 1
                     self._drain()
                     return self._reply(415, {"error": f"unsupported content type {ctype}"})
@@ -216,6 +233,20 @@ class OtlpHttpReceiver:
                         body = pb_to_json_line(body, signal).encode()
                     except ValueError as e:
                         return self._reply(400, {"error": f"invalid protobuf body: {e}"})
+                elif is_otap:
+                    # OTAP BatchArrowRecords decode edge-side to the same
+                    # JSON envelope line; a decode failure rejects just
+                    # this request (the gRPC contract poisons the stream —
+                    # HTTP has no stream to poison)
+                    from duckdb_otlp_spark.sources.otap import (
+                        OtapDecodeError,
+                        bar_to_envelope,
+                    )
+                    try:
+                        env = bar_to_envelope(body, signal)
+                        body = json.dumps(env, separators=(",", ":")).encode()
+                    except OtapDecodeError as e:
+                        return self._reply(400, {"error": f"OTAP decode error: {e}"})
 
                 if not receiver.try_reserve(len(body)):
                     st.rejected_503 += 1

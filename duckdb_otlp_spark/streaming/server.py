@@ -96,9 +96,12 @@ class OtlpSparkServer:
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
-        if self.uri.scheme == "otap":
-            raise NotImplementedError(
-                "otap: (Arrow gRPC) transport is not implemented yet; use otlp:")
+        # otap: accepts OTAP BatchArrowRecords messages on the same signal
+        # paths. The reference's otap_serve speaks bidirectional Arrow
+        # gRPC (reference: src/otlp_server_grpc.cpp:95-133); no grpc
+        # runtime ships in this environment, so the transport here is
+        # HTTP POST framing of the same messages with the same decode
+        # semantics (per-message ack = the 202/4xx response).
         self.work_dir = Path(work_dir or f"/tmp/otlp_spark/{self.uri.host}_{self.uri.port}")
         self.spool_dir = self.work_dir / "spool"
         self.export_root = Path(export_root or (self.work_dir / "export"))
@@ -115,7 +118,8 @@ class OtlpSparkServer:
         self.catalog = SnapshotCatalog(self.export_root) if sink == "catalog" else None
         self.receiver = OtlpHttpReceiver(
             self.uri.host, self.uri.port, self.spool_dir,
-            auth_token=auth_token, disable_auth=disable_auth)
+            auth_token=auth_token, disable_auth=disable_auth,
+            formats="otap" if self.uri.scheme == "otap" else "otlp")
         self.queries: dict[str, Any] = {}
         self.seal_history: list[SealEvent] = []
         self._seal_seq = 0
@@ -406,7 +410,8 @@ class OtlpSparkServer:
         return {
             "uri": self.uri.canonical,
             "url": self.uri.url,
-            "transport": "http",
+            "transport": ("otap/http" if self.receiver.formats == "otap"
+                          else "http"),
             "sink": self.sink,
             "buffered_bytes": self.receiver.buffered_bytes,
             "admitted_bytes_total": st.admitted_bytes_total,

@@ -269,3 +269,55 @@ def test_catalog_sink_end_to_end(spark, tmp_path_factory):
         assert seals.filter(F.col("status") == "ok").count() >= 2
     finally:
         otlp_stop(spark, srv.uri.canonical)
+
+
+def test_otap_http_ingest_end_to_end(spark, tmp_path_factory):
+    """otap: listener accepts BatchArrowRecords over HTTP, decodes
+    edge-side, seals into the same tables; OTLP payloads get 415 (the
+    scheme selects the protocol, like otlp_serve vs otap_serve)."""
+    from pathlib import Path
+    bar_dir = Path("/root/reference/test/data/otap")
+    if not bar_dir.exists():
+        pytest.skip("reference OTAP fixtures not present")
+    work = tmp_path_factory.mktemp("ingest_otap")
+    info = otlp_serve(spark, "otap://127.0.0.1:0", work_dir=str(work),
+                      auth_token=TOKEN, seal_max_age_ms=500).collect()[0]
+    assert info["transport"] == "otap/http"
+    from duckdb_otlp_spark.streaming.server import _get
+    srv = _get(info["uri"])
+    try:
+        url = srv.uri.url
+        ctype = "application/vnd.otel.arrow"
+        code, resp = _post(url, "/v1/logs",
+                           (bar_dir / "logs-initial.bar").read_bytes(), ctype=ctype)
+        assert code == 202, resp
+        code, _ = _post(url, "/v1/traces",
+                        (bar_dir / "traces-initial.bar").read_bytes(), ctype=ctype)
+        assert code == 202
+        code, _ = _post(url, "/v1/metrics",
+                        (bar_dir / "metrics-initial.bar").read_bytes(), ctype=ctype)
+        assert code == 202
+        # gzip transport encoding composes with OTAP bodies
+        code, _ = _post(url, "/v1/logs",
+                        (bar_dir / "logs-initial.bar").read_bytes(),
+                        ctype=ctype, gzip_body=True)
+        assert code == 202
+        # wrong-signal payload -> 400 decode error, OTLP/JSON -> 415
+        code, resp = _post(url, "/v1/traces",
+                           (bar_dir / "logs-initial.bar").read_bytes(), ctype=ctype)
+        assert code == 400 and "OTAP decode error" in resp["error"]
+        assert _post(url, "/v1/logs", LOGS_SIMPLE[0])[0] == 415
+        otlp_flush(spark, srv.uri.canonical)
+        # logs-initial.bar has 3 rows, posted twice; parity with the
+        # file reader on the same fixture
+        from duckdb_otlp_spark.sources.otap import OTAP_READERS
+        logs = spark.read.parquet(str(srv.export_root / "otlp_logs"))
+        assert logs.count() == 6
+        ref = OTAP_READERS["logs"](spark, str(bar_dir / "logs-initial.bar"))
+        sealed = logs.drop("year", "month", "day").distinct()
+        assert sealed.exceptAll(ref).count() == 0
+        assert spark.read.parquet(str(srv.export_root / "otlp_traces")).count() == 1
+        assert spark.read.parquet(
+            str(srv.export_root / "otlp_metrics_gauge")).count() == 1
+    finally:
+        otlp_stop(spark, srv.uri.canonical)
