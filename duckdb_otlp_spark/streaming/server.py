@@ -366,10 +366,29 @@ class OtlpSparkServer:
 
     def flush(self) -> dict[str, Any]:
         """Synchronous seal of everything spooled (reference otlp_flush,
-        otlp_start_stop.cpp:523-573)."""
+        otlp_start_stop.cpp:523-573).
+
+        The three signal queries drain concurrently: each
+        ``processAllAvailable`` blocks through at least one trigger
+        cycle even when that signal's spool is empty, so a sequential
+        drain pays ~2 trigger intervals of dead wait."""
         before = self.sealed_rows_total
-        for q in self.queries.values():
-            q.processAllAvailable()
+        errors: list[BaseException] = []
+
+        def drain(q) -> None:
+            try:
+                q.processAllAvailable()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errors.append(e)
+
+        threads = [threading.Thread(target=drain, args=(q,), daemon=True)
+                   for q in self.queries.values()]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
         return {"status": "ok", "sealed_rows": self.sealed_rows_total - before,
                 "seals_total": self._seal_seq}
 
