@@ -51,6 +51,72 @@ _SIGNAL_PATHS = {
 # as HTTP bodies with identical decode semantics)
 _OTAP_CTYPES = ("application/vnd.otel.arrow", "application/x-otap")
 
+# Rolling spool segments: many tiny request-sized files would make the
+# seal's scan one-task-per-file (task-launch overhead dwarfs the parse)
+# and at production rates would mean thousands of files/second of
+# listing load. Segments target the same order of magnitude as the
+# reference's seal_target_bytes admission batching
+# (reference: otlp_ingest_limits.hpp DEFAULT_SEAL_TARGET_BYTES).
+DEFAULT_SEGMENT_ROTATE_BYTES = 8 * 1024 * 1024
+DEFAULT_SEGMENT_ROTATE_MS = 500
+
+
+class _SpoolSegmentWriter:
+    """Appends accepted envelope lines to a per-signal rolling segment.
+
+    A segment is written as a dot-prefixed temp file (hidden from Spark
+    file sources) and renamed visible on rotation, so the streaming
+    seal never observes a partially-written segment — the same
+    atomic-visibility contract the old one-file-per-request spool had,
+    at ~1/100th the file count."""
+
+    def __init__(self, directory: Path,
+                 rotate_bytes: int = DEFAULT_SEGMENT_ROTATE_BYTES,
+                 rotate_ms: int = DEFAULT_SEGMENT_ROTATE_MS):
+        self.directory = directory
+        self.rotate_bytes = rotate_bytes
+        self.rotate_ms = rotate_ms
+        self._lock = threading.Lock()
+        self._fh = None
+        self._tmp_path: Path | None = None
+        self._bytes = 0
+        self._opened = 0.0
+
+    def append(self, lines: list[str]) -> None:
+        data = ("\n".join(lines) + "\n").encode()
+        with self._lock:
+            if self._fh is None:
+                name = f".seg_{uuid.uuid4().hex}.jsonl.tmp"
+                self._tmp_path = self.directory / name
+                self._fh = self._tmp_path.open("wb")
+                self._bytes = 0
+                self._opened = time.monotonic()
+            self._fh.write(data)
+            self._bytes += len(data)
+            if (self._bytes >= self.rotate_bytes
+                    or (time.monotonic() - self._opened) * 1000 >= self.rotate_ms):
+                self._rotate_locked()
+
+    def _rotate_locked(self) -> None:
+        fh, tmp = self._fh, self._tmp_path
+        self._fh = self._tmp_path = None
+        if fh is None:
+            return
+        fh.close()
+        # strip the ".tmp" suffix AND the hidden dot prefix in one rename
+        tmp.rename(tmp.parent / tmp.name[1:-len(".tmp")])
+
+    def rotate(self) -> None:
+        """Make everything appended so far visible to the seal."""
+        with self._lock:
+            self._rotate_locked()
+
+    def rotate_if_stale(self) -> None:
+        with self._lock:
+            if (self._fh is not None
+                    and (time.monotonic() - self._opened) * 1000 >= self.rotate_ms):
+                self._rotate_locked()
+
 
 @dataclass
 class ReceiverStats:
@@ -95,8 +161,13 @@ class OtlpHttpReceiver:
         self._thread: threading.Thread | None = None
         self.started_unix_ms = int(time.time() * 1000)
         self.ready_probe = lambda: True   # server wires seal-stall detection
+        self._writers: dict[str, _SpoolSegmentWriter] = {}
         for sig in ("logs", "traces", "metrics"):
-            (self.spool_dir / sig).mkdir(parents=True, exist_ok=True)
+            d = self.spool_dir / sig
+            d.mkdir(parents=True, exist_ok=True)
+            self._writers[sig] = _SpoolSegmentWriter(d)
+        self._janitor_stop = threading.Event()
+        self._janitor: threading.Thread | None = None
 
     # -- admission (reference: otlp_server.cpp:425-453) --
     def try_reserve(self, n: int) -> bool:
@@ -128,8 +199,8 @@ class OtlpHttpReceiver:
         return hmac.compare_digest(supplied.encode(), (self.auth_token or "").encode())
 
     def _spool(self, signal: str, body: bytes) -> int:
-        """Append the envelope(s) as compact NDJSON lines; returns rows
-        hint (envelope count)."""
+        """Append the envelope(s) as compact NDJSON lines into the
+        signal's rolling segment; returns rows hint (envelope count)."""
         text = body.decode("utf-8")
         lines: list[str] = []
         stripped = text.strip()
@@ -141,11 +212,22 @@ class OtlpHttpReceiver:
             if line:
                 json.loads(line)
                 lines.append(line)
-        fname = self.spool_dir / signal / f"req_{uuid.uuid4().hex}.jsonl"
-        tmp = fname.with_suffix(".tmp")
-        tmp.write_text("\n".join(lines) + "\n")
-        tmp.rename(fname)  # atomic: the streaming source never sees partials
+        self._writers[signal].append(lines)
         return len(lines)
+
+    def rotate_all(self) -> None:
+        """Flush every open segment to visibility (called before a
+        synchronous seal, the otlp_flush path)."""
+        for w in self._writers.values():
+            w.rotate()
+
+    def _janitor_loop(self) -> None:
+        """Rotate idle segments so spooled rows become sealable within
+        rotate_ms even when traffic pauses mid-segment."""
+        while not self._janitor_stop.wait(
+                min(w.rotate_ms for w in self._writers.values()) / 1000):
+            for w in self._writers.values():
+                w.rotate_if_stale()
 
     def start(self) -> None:
         receiver = self
@@ -277,9 +359,17 @@ class OtlpHttpReceiver:
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         name="otlp-receiver", daemon=True)
         self._thread.start()
+        self._janitor = threading.Thread(target=self._janitor_loop,
+                                         name="otlp-spool-janitor", daemon=True)
+        self._janitor.start()
 
     def stop(self) -> None:
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        self._janitor_stop.set()
+        if self._janitor:
+            self._janitor.join(timeout=5)
+            self._janitor = None
+        self.rotate_all()  # last partial segment stays sealable

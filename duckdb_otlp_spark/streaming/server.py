@@ -269,6 +269,20 @@ class OtlpSparkServer:
 
     def _seal_batch(self, signal: str):
         def seal(batch_df: DataFrame, batch_id: int) -> None:
+            # Streaming triggers can hand over an empty batch (stream
+            # start, or a signal with no traffic); short-circuit before
+            # building four flatten plans + four parquet commits of
+            # nothing — this was tens of seconds of dead work per drain.
+            if batch_df.isEmpty():
+                return
+            # The streaming file source plans one scan task per spool
+            # segment: coalesce packs a many-tiny-segment backlog into
+            # at most one scan task per core, and the round-robin
+            # repartition spreads a few-big-segment batch across every
+            # core BEFORE the CPU-heavy JSON parse (shuffling raw spool
+            # lines is far cheaper than parsing them skewed).
+            par = self.spark.sparkContext.defaultParallelism
+            batch_df = batch_df.coalesce(par).repartition(par)
             # the spooled-byte sum rides the seal's write job as an
             # Observation instead of costing its own aggregation job
             obs = Observation()
@@ -321,8 +335,13 @@ class OtlpSparkServer:
         tree construction, memoized per process) and the whole-stage
         codegen both compile here instead of inside the first seal —
         the analog of the reference creating/validating target tables at
-        startup (reference: otlp_server.cpp:455-526)."""
-        for signal, line in self._WARM_SAMPLES.items():
+        startup (reference: otlp_server.cpp:455-526).
+
+        The three signals warm in parallel threads: the Python-side
+        expression build interleaves py4j socket round-trips (GIL
+        released while the JVM works), and the JVM compiles the three
+        codegen units concurrently."""
+        def warm(signal: str, line: str) -> None:
             df = self.spark.createDataFrame([(line,)], "value string")
             env = envelopes_from_lines(df, signal, strict=False)
             if signal == "metrics":
@@ -332,6 +351,13 @@ class OtlpSparkServer:
                     fl(env).collect()
             else:
                 FLATTEN[signal](env).collect()
+
+        threads = [threading.Thread(target=warm, args=(s, ln), daemon=True)
+                   for s, ln in self._WARM_SAMPLES.items()]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
 
     def start(self) -> None:
         if self.warm_start:
@@ -373,6 +399,7 @@ class OtlpSparkServer:
         cycle even when that signal's spool is empty, so a sequential
         drain pays ~2 trigger intervals of dead wait."""
         before = self.sealed_rows_total
+        self.receiver.rotate_all()  # partial spool segments become sealable
         errors: list[BaseException] = []
 
         def drain(q) -> None:
