@@ -75,6 +75,8 @@ def extract_features(df: DataFrame, dim: int = 8,
                 "feature": payloads.map(lambda b: _fake_feature(b, dim)),
             })
 
+    from duckdb_otlp_spark.session import ensure_package_on_workers
+    ensure_package_on_workers(df.sparkSession)
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -737,6 +737,8 @@ def _otap_envelopes(spark: SparkSession, path: str | list[str],
                 lines.append(json.dumps(env, separators=(",", ":")))
             yield pd.DataFrame({"value": lines})
 
+    from duckdb_otlp_spark.session import ensure_package_on_workers
+    ensure_package_on_workers(files.sparkSession)
     lines = files.mapInPandas(decode, "value string")
     return lines.select(F.from_json(F.col("value"), env_schema).alias("env"))
 

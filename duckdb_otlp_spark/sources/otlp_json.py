@@ -589,6 +589,8 @@ def _decoded_lines(spark: SparkSession, paths: list[str], signal: str,
                             f"({e}): {fpath}") from e
             yield pd.DataFrame({"value": out})
 
+    from duckdb_otlp_spark.session import ensure_package_on_workers
+    ensure_package_on_workers(files.sparkSession)
     return files.mapInPandas(decode, "value string")
 
 
