@@ -1023,7 +1023,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     band_key) — uniform hash keys, no skew — and pairs explode inside
     each bucket, so verification touches only colliding pairs, never the
     N^2 cross join. A key shared by d docs emits d(d-1)/2 pairs; the
-    band width caps d on real corpora."""
+    band width caps d on real corpora.
+
+    The corpus is shingled ONCE (signature branch); exact-Jaccard
+    verification re-derives shingles only for candidate docs behind a
+    broadcast semi-join — candidates are orders of magnitude smaller
+    than the corpus, so the expensive shingle+hash pass never runs a
+    second time over the full table (Spark does not share subplans
+    across join branches)."""
     docs = _docs_parallel(spark, sf_dir)
     docs_sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     sig = (docs_sh.select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
@@ -1045,10 +1052,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
             lambda p: p["doc_a"] < p["doc_b"])))
     cand = (buckets.select(F.explode(pair_list).alias("p"))
             .select("p.doc_a", "p.doc_b").distinct())
+    cand_ids = (cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+                .distinct())
+    cand_sh = (_docs_parallel(spark, sf_dir)
+               .join(F.broadcast(cand_ids), "doc_id")
+               .select("doc_id", _shingles(F.col("text")).alias("sh")))
     verified = (cand
-                .join(docs_sh.select(F.col("doc_id").alias("doc_a"),
+                .join(cand_sh.select(F.col("doc_id").alias("doc_a"),
                                      F.col("sh").alias("sh_a")), "doc_a")
-                .join(docs_sh.select(F.col("doc_id").alias("doc_b"),
+                .join(cand_sh.select(F.col("doc_id").alias("doc_b"),
                                      F.col("sh").alias("sh_b")), "doc_b"))
     jac = F.round(F.size(F.array_intersect("sh_a", "sh_b"))
                   / F.size(F.array_union("sh_a", "sh_b")), 4)
