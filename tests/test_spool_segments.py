@@ -64,14 +64,23 @@ def test_rotate_if_stale_respects_age(tmp_path):
     assert len(_visible(tmp_path)) == 1
 
 
+def _post(port, path, body: bytes):
+    import json
+    import urllib.request
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return resp.status, json.loads(resp.read())
+
+
 def test_receiver_janitor_rotates_idle_segment(tmp_path):
     rcv = OtlpHttpReceiver("127.0.0.1", 0, tmp_path / "spool",
-                           disable_auth=True)
-    for w in rcv._writers.values():
-        w.rotate_ms = 50
+                           disable_auth=True, accept_workers=1)
     rcv.start()
     try:
-        rcv._spool("logs", b'{"resourceLogs":[]}')
+        code, _ = _post(rcv.port, "/v1/logs", b'{"resourceLogs":[]}')
+        assert code == 202
         deadline = time.monotonic() + 5
         logs_dir = tmp_path / "spool" / "logs"
         while time.monotonic() < deadline and not _visible(logs_dir):
@@ -83,10 +92,12 @@ def test_receiver_janitor_rotates_idle_segment(tmp_path):
 
 def test_receiver_stop_rotates_partial_segment(tmp_path):
     rcv = OtlpHttpReceiver("127.0.0.1", 0, tmp_path / "spool",
-                           disable_auth=True)
+                           disable_auth=True, accept_workers=2)
     rcv.start()
-    rcv._spool("traces", b'{"resourceSpans":[]}')
+    code, _ = _post(rcv.port, "/v1/traces", b'{"resourceSpans":[]}')
+    assert code == 202
+    assert rcv.stats.per_signal_requests["traces"] == 1   # cross-process counters
     rcv.stop()
     traces_dir = tmp_path / "spool" / "traces"
-    assert len(_visible(traces_dir)) == 1
+    assert len(_visible(traces_dir)) >= 1
     assert _hidden(traces_dir) == []
