@@ -1,0 +1,135 @@
+"""Receiver telemetry contracts under the sharded process model
+(no Spark needed): exact counters under concurrent load across every
+SO_REUSEPORT worker, per-request metric skip reports, and the shared
+admission budget.
+
+The reference keeps its ingest stats as native atomics
+(reference: src/otlp_server.cpp ingest counters); here they are
+increments under a cross-process lock, so N concurrent clients hitting
+M worker processes must never drop a count.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import threading
+import urllib.error
+import urllib.request
+
+from duckdb_otlp_spark.streaming.receiver import OtlpHttpReceiver
+
+LOG_ENV = json.dumps(
+    {"resourceLogs": [{"scopeLogs": [{"logRecords": [
+        {"timeUnixNano": "1700000000000000000",
+         "body": {"stringValue": "x"}}]}]}]}).encode()
+
+
+def _post(port, path, body, ctype="application/json"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body,
+        headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def test_counters_exact_under_concurrency(tmp_path):
+    """40 threads x 25 requests across 3 worker processes: every counter
+    must be exact — the single-process receiver's unlocked += could drop
+    increments under the GIL's preemption."""
+    rcv = OtlpHttpReceiver("127.0.0.1", 0, tmp_path / "spool",
+                           disable_auth=True, accept_workers=3)
+    rcv.start()
+    n_threads, per_thread = 40, 25
+    errs: list = []
+
+    def worker():
+        try:
+            for _ in range(per_thread):
+                code, _ = _post(rcv.port, "/v1/logs", LOG_ENV)
+                assert code == 202
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    try:
+        threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs[:3]
+        st = rcv.stats
+        total = n_threads * per_thread
+        assert st.requests_total == total
+        assert st.accepted_requests == total
+        assert st.per_signal_requests["logs"] == total
+        # every accepted body reserved exactly its spooled bytes
+        line_bytes = len(LOG_ENV.strip()) + 1
+        assert st.admitted_bytes_total == total * line_bytes
+        assert st.per_signal_admitted_bytes["logs"] == total * line_bytes
+        assert rcv.buffered_bytes == total * line_bytes
+        assert rcv.buffered_bytes_by_signal()["logs"] == total * line_bytes
+        # spool holds every line exactly once (segments across workers)
+        rcv.rotate_all()
+        lines = sum(p.read_text().count('"resourceLogs"')
+                    for p in (tmp_path / "spool" / "logs").iterdir()
+                    if not p.name.startswith("."))
+        assert lines == total
+    finally:
+        rcv.stop()
+
+
+def test_metric_skip_counters_in_202_and_stats(tmp_path):
+    """Summary data points (unsupported shape) and non-finite number
+    points are counted per request and server-wide
+    (reference: otlp_server.cpp:699-702, otlp_server_http.cpp:171-179)."""
+    rcv = OtlpHttpReceiver("127.0.0.1", 0, tmp_path / "spool",
+                           disable_auth=True, accept_workers=1)
+    rcv.start()
+    try:
+        env = {"resourceMetrics": [{"scopeMetrics": [{"metrics": [
+            {"name": "q", "summary": {"dataPoints": [
+                {"timeUnixNano": "1", "sum": 1.0},
+                {"timeUnixNano": "2", "sum": 2.0}]}},
+            {"name": "g", "gauge": {"dataPoints": [
+                {"timeUnixNano": "1", "asDouble": math.inf},
+                {"timeUnixNano": "2", "asDouble": 1.5}]}},
+            {"name": "s", "sum": {"dataPoints": [
+                {"timeUnixNano": "1", "asDouble": math.nan}]}},
+        ]}]}]}
+        body = json.dumps(env).encode()
+        code, resp = _post(rcv.port, "/v1/metrics", body)
+        assert code == 202
+        assert resp["skipped_summary_points"] == 2
+        assert resp["skipped_nan_points"] == 2
+        # a clean logs request reports no skip keys
+        code, resp = _post(rcv.port, "/v1/logs", LOG_ENV)
+        assert code == 202 and "skipped_summary_points" not in resp
+        st = rcv.stats
+        assert st.skipped_summary_points == 2
+        assert st.skipped_nan_points == 2
+    finally:
+        rcv.stop()
+
+
+def test_admission_budget_shared_across_workers(tmp_path):
+    """The 512 MiB admission budget is one shared gauge: once the cap is
+    hit, every worker rejects with 503 until a seal releases bytes
+    (reference: otlp_server.cpp:425-453)."""
+    rcv = OtlpHttpReceiver("127.0.0.1", 0, tmp_path / "spool",
+                           disable_auth=True, accept_workers=2,
+                           max_buffered_bytes=len(LOG_ENV.strip()) + 1)
+    rcv.start()
+    try:
+        assert _post(rcv.port, "/v1/logs", LOG_ENV)[0] == 202
+        # budget exhausted -> 503 from any worker
+        for _ in range(4):
+            assert _post(rcv.port, "/v1/logs", LOG_ENV)[0] == 503
+        assert rcv.stats.rejected_503 == 4
+        rcv.release_sealed(rcv.buffered_bytes, "logs")
+        assert _post(rcv.port, "/v1/logs", LOG_ENV)[0] == 202
+    finally:
+        rcv.stop()
