@@ -1017,50 +1017,50 @@ FROM h ORDER BY doc_id LIMIT 200
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-duplicate pairs: 3 bands x 2 rows -> band-bucket
-    grouping -> exact-Jaccard verification >= 0.7.
+    equi-join candidates -> exact-Jaccard verification >= 0.7.
 
-    Scale path: buckets come from ONE groupBy shuffle on (band_idx,
-    band_key) — uniform hash keys, no skew — and pairs explode inside
-    each bucket, so verification touches only colliding pairs, never the
-    N^2 cross join. A key shared by d docs emits d(d-1)/2 pairs; the
-    band width caps d on real corpora.
+    Scale shape (same as operators/dedup.minhash_lsh_pairs:99-104):
+    candidate pairs come from a self-equi-join of the banded signatures
+    on (band_idx, key) — a uniform hash-key shuffle. No collect_list
+    bucket materialization: a hot bucket of d near-identical docs used
+    to emit d(d-1)/2 structs in ONE array on one row; the join shape
+    spreads the same pairs across tasks.
 
-    The corpus is shingled ONCE (signature branch); exact-Jaccard
-    verification re-derives shingles only for candidate docs behind a
-    broadcast semi-join — candidates are orders of magnitude smaller
-    than the corpus, so the expensive shingle+hash pass never runs a
-    second time over the full table (Spark does not share subplans
-    across join branches)."""
+    Single-execution of the expensive passes is STRUCTURAL, not
+    optimizer-dependent: ``bands`` (the corpus shingle+md5+minhash
+    pass) and ``cand``/``cand_sh`` (read by both verification join
+    branches) are persisted, so nothing depends on ReuseExchange firing
+    across branches. Exact-Jaccard verification shingles only candidate
+    docs, AFTER the id join — candidates are orders of magnitude fewer
+    than the corpus. The candidate-id join carries no broadcast hint:
+    candidate counts are corpus-dependent and an unbounded broadcast
+    can exceed the driver; AQE broadcasts it when actually small."""
+    from pyspark.storagelevel import StorageLevel
+
+    disk = StorageLevel.MEMORY_AND_DISK
     docs = _docs_parallel(spark, sf_dir)
-    docs_sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    docs_sh = (docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+               .persist(disk))
     sig = (docs_sh.select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
            .select("doc_id", *_minhash_cols(F.col("hs"))))
-    bands = sig.select(
+    bands = (sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
                      F.concat_ws("_", f"m{2 * b}", f"m{2 * b + 1}").alias("key"))
             for b in range(3)])).alias("band"))
-    buckets = (bands.groupBy("band.band_idx", "band.key")
-               .agg(F.collect_list("doc_id").alias("ids"))
-               .filter(F.size("ids") > 1))
-    ids = F.array_sort("ids")
-    pair_list = F.flatten(F.transform(
-        ids,
-        lambda a: F.filter(
-            F.transform(ids, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))),
-            lambda p: p["doc_a"] < p["doc_b"])))
-    cand = (buckets.select(F.explode(pair_list).alias("p"))
-            .select("p.doc_a", "p.doc_b").distinct())
-    cand_ids = (cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
-                .distinct())
-    cand_sh = (_docs_parallel(spark, sf_dir)
-               .join(F.broadcast(cand_ids), "doc_id")
-               .select("doc_id", _shingles(F.col("text")).alias("sh")))
+        .select("doc_id", "band.band_idx", "band.key"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"), ["band_idx", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .persist(disk))
     verified = (cand
-                .join(cand_sh.select(F.col("doc_id").alias("doc_a"),
+                .join(docs_sh.select(F.col("doc_id").alias("doc_a"),
                                      F.col("sh").alias("sh_a")), "doc_a")
-                .join(cand_sh.select(F.col("doc_id").alias("doc_b"),
+                .join(docs_sh.select(F.col("doc_id").alias("doc_b"),
                                      F.col("sh").alias("sh_b")), "doc_b"))
     jac = F.round(F.size(F.array_intersect("sh_a", "sh_b"))
                   / F.size(F.array_union("sh_a", "sh_b")), 4)
