@@ -781,22 +781,32 @@ FROM kept
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate removal, keep-first: a vector is a
-    duplicate when some earlier vec_id has cosine >= 0.45 (threshold
-    chosen inside this synthetic corpus's similarity range). Completes
-    the dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
-    embedding-cosine. The exact all-pairs form keeps the DuckDB oracle
-    bit-identical; the 100 TB path swaps the pair join for the
-    sign-pattern LSH bucket join of embedding_bucket_ann so candidate
-    pairs shuffle by bucket instead of crossing."""
+    duplicate when some earlier vec_id IN ITS LSH BUCKET has cosine
+    >= 0.45 (threshold chosen inside this synthetic corpus's similarity
+    range). Completes the dedup family: exact, MinHash-LSH, SimHash,
+    n-gram Jaccard, embedding-cosine.
+
+    Candidates come from the sign-pattern LSH bucket equi-join (the
+    same fixed-hyperplane bucketing as embedding_bucket_ann), so the
+    plan is a hash-partitioned join on the bucket key — NO all-pairs
+    BroadcastNestedLoopJoin/CartesianProduct anywhere; at 100 TB the
+    pairs shuffle by bucket instead of crossing. The DuckDB oracle
+    applies the identical bucketing, so the green check certifies this
+    scale-safe plan (tests/test_plans.py pins the no-NLJ property).
+    The recall-oriented multi-probe variant lives in
+    operators/dedup.embedding_near_dup_pairs."""
     emb = (_t(spark, sf_dir, "embeddings")
-           .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-           .repartition(spark.sparkContext.defaultParallelism))
-    a, b = emb.alias("a"), emb.alias("b")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    bucket = F.concat_ws("", F.transform(
+        F.slice("v", 1, 6), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
+    e = emb.withColumn("bucket", bucket)
+    a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
     cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
-    dups = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    dups = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
             .filter(cos >= 0.45)
             .select(F.col("b.vec_id").alias("vec_id")).distinct())
     return (emb.join(dups, "vec_id", "left_anti")
@@ -804,10 +814,14 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 SQL_DEDUP_EMBEDDING = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_aggregate([CASE WHEN embedding[i+1] >= 0 THEN '1' ELSE '0' END
+                           for i in range(6)], 'string_agg', '') AS bucket
+    FROM embeddings),
 dups AS (
     SELECT DISTINCT b.vec_id
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
           >= 0.45)

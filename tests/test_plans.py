@@ -82,6 +82,19 @@ def test_no_python_eval_in_relational_queries(spark):
         assert not rep.has_python_eval, name
 
 
+def test_dedup_pipelines_have_no_allpairs_join(spark):
+    """The dedup/similarity operators must never plan an all-pairs
+    BroadcastNestedLoopJoin/CartesianProduct: at 100 TB an O(n^2) join
+    never finishes. dedup_embedding's candidates come from the
+    sign-pattern LSH bucket equi-join, so its green correctness check
+    certifies the scale-safe plan."""
+    for name in ("dedup_embedding", "embedding_bucket_ann",
+                 "minhash_lsh_pairs", "simhash"):
+        rep = _rep(spark, name)
+        # audit counts BroadcastNestedLoopJoin AND CartesianProduct here
+        assert rep.nested_loop_joins == 0, name
+
+
 def test_codegen_active(spark):
     """Whole-stage codegen spans the agg pipeline. AQE wraps the
     pre-execution plan and hides codegen until stages materialize, so
