@@ -1275,6 +1275,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
 }
 
+# Reader-layer differential gate (§2A readers under the driver's hard
+# check — see reader_gate.py): the real read_otlp_* pipeline vs typed
+# VALUES from an independent row-wise flattener.
+from duckdb_otlp_spark.reader_gate import (  # noqa: E402
+    READER_GATE_QUERIES,
+    READER_GATE_SQL,
+)
+
+QUERIES.update(READER_GATE_QUERIES)
+
 ORACLE_SQL: dict[str, str] = {
     "tail_topk": SQL_TAIL_TOPK,
     "point_lookup": SQL_POINT_LOOKUP,
@@ -1325,3 +1335,5 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_group_stats": SQL_EMBEDDING_GROUP_STATS,
     "lang_id": SQL_LANG_ID,
 }
+
+ORACLE_SQL.update(READER_GATE_SQL)

@@ -45,7 +45,9 @@ def _norm(v):
 
 
 def _rows_to_set(rows):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+    # key=repr: tuples mixing None with values are not orderable with
+    # plain tuple comparison (the reader-gate tables have nullable cells)
+    return sorted((tuple(_norm(v) for v in r) for r in rows), key=repr)
 
 
 def test_all_queries_have_oracles():
