@@ -99,7 +99,8 @@ class OtlpSparkServer:
                  zstd: bool = True,
                  sink: str = "parquet",
                  warm_start: bool = True,
-                 accept_workers: int = 2):
+                 accept_workers: int = 2,
+                 create_tables: bool = True):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
@@ -123,6 +124,8 @@ class OtlpSparkServer:
         # (all signals of a seal commit in ONE snapshot, otlp_server.cpp:
         # 1109-1271); parquet mode = the at-least-once COPY export path
         self.catalog = SnapshotCatalog(self.export_root) if sink == "catalog" else None
+        self.create_tables = create_tables
+        self._target_schemas: dict[str, Any] = {}
         self.receiver = OtlpHttpReceiver(
             self.uri.host, self.uri.port, self.spool_dir,
             auth_token=auth_token, disable_auth=disable_auth,
@@ -163,6 +166,93 @@ class OtlpSparkServer:
             self._ewma_last_t = now
             self._ewma_last_bytes = admitted
             return self._ewma_rate
+
+    # -- target tables (reference: otlp_server.cpp:455-526) --
+    def _promoted_fields(self):
+        from pyspark.sql import types as T
+        seen: set[str] = set()
+        out = []
+        for prefix, keys in (("resource_attr_", self.promote_resource),
+                             ("scope_attr_", self.promote_scope)):
+            for key in keys:
+                if not key:
+                    continue
+                target = prefix + _sanitize(key)
+                if target not in seen:
+                    seen.add(target)
+                    out.append(T.StructField(target, T.StringType(), True))
+        return out
+
+    def _ensure_target_tables(self) -> None:
+        """Create or validate every signal table before the listener
+        opens — the analog of ``EnsureTargetTables``/``CreateOrValidate
+        Table`` (reference: otlp_server.cpp:455-526). Parquet mode keeps
+        no persistent destination table (the durable store IS the
+        parquet dataset), so like the reference it only pre-creates the
+        export root. Catalog mode requires the signal's base columns as
+        a LEADING PREFIX (name + type, in order); extra trailing
+        columns are allowed — attribute promotion widens tables, and a
+        restart against an already-promoted catalog must validate
+        cleanly. With ``create_tables=False`` a missing table is a
+        fail-fast error instead of being registered."""
+        from pyspark.sql import types as T
+
+        if self.catalog is None:
+            self.export_root.mkdir(parents=True, exist_ok=True)
+            return
+        from duckdb_otlp_spark.schemas import SIGNAL_SCHEMAS
+
+        to_create: dict[str, str] = {}
+        for signal_key, table in TARGET_TABLES.items():
+            expected = SIGNAL_SCHEMAS[signal_key]
+            desired = T.StructType(list(expected.fields) + self._promoted_fields())
+            current = self.catalog.table_schema(table)
+            if current is None:
+                if not self.create_tables:
+                    raise ValueError(
+                        f"Target table {table} is not available and "
+                        f"create_tables is false")
+                to_create[table] = desired.json()
+                self._target_schemas[table] = desired
+                continue
+            if len(current.fields) < len(expected.fields):
+                raise ValueError(
+                    f"Target table {table} has {len(current.fields)} columns, "
+                    f"expected at least {len(expected.fields)}")
+            for i, want in enumerate(expected.fields):
+                got = current.fields[i]
+                if got.name != want.name:
+                    raise ValueError(
+                        f"Target table {table} column {i} is {got.name}, "
+                        f"expected {want.name}")
+                if got.dataType != want.dataType:
+                    raise ValueError(
+                        f"Target table {table} column {got.name} has type "
+                        f"{got.dataType.simpleString()}, expected "
+                        f"{want.dataType.simpleString()}")
+            self._target_schemas[table] = current
+        if to_create:
+            self.catalog.commit(schemas=to_create, operation="create_tables")
+
+    def _align_to_table(self, table: str, df: DataFrame) -> DataFrame:
+        """Column-targeting seal write: reorder ``df`` to the validated
+        table schema, NULL-filling columns the seal does not populate
+        (the reference's extra-column write path, otlp_server.cpp:525);
+        genuinely new columns (fresh promotions) append trailing and
+        widen the stored schema."""
+        target = self._target_schemas.get(table)
+        if target is None:
+            return df
+        have = {f.name for f in df.schema.fields}
+        cols = [F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields]
+        known = {f.name for f in target.fields}
+        extras = [f.name for f in df.schema.fields if f.name not in known]
+        out = df.select(*cols, *[F.col(c) for c in extras])
+        if extras:
+            self._target_schemas[table] = out.schema
+        return out
 
     # -- promotion (reference: otlp_column_promote.cpp:53-127) --
     def _promote(self, df: DataFrame) -> DataFrame:
@@ -285,6 +375,7 @@ class OtlpSparkServer:
         rows: dict[str, int] = {}
         try:
             for table, df in tables:
+                df = self._align_to_table(table, df)
                 entries = self.catalog.stage_dataframe(
                     df, table,
                     sort_cols=SORT_KEYS.get(table, ()),
@@ -403,6 +494,7 @@ class OtlpSparkServer:
             t.join()
 
     def start(self) -> None:
+        self._ensure_target_tables()
         if self.warm_start:
             self._warm_seal_plans()
         self.receiver.start()
