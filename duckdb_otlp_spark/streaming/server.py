@@ -138,6 +138,7 @@ class OtlpSparkServer:
         self._lock = threading.Lock()
         self.last_seal_unix_ms: int | None = None
         self.seal_failures_total = 0
+        self.seal_restarts_total = 0
         self.sealed_rows_total = 0
         self.warm_start = warm_start
         self.maintenance_every_seals = maintenance_every_seals
@@ -502,17 +503,39 @@ class OtlpSparkServer:
             self.uri = OtlpUri(self.uri.scheme, self.uri.host,
                                self.receiver.port, self.uri.ipv6)
         for signal in ("logs", "traces", "metrics"):
-            src = (self.spark.readStream
-                   .format("text")
-                   .load(str(self.spool_dir / signal)))
-            q = (src.writeStream
-                 .queryName(f"otlp_seal_{signal}_{self.uri.port}")
-                 .foreachBatch(self._seal_batch(signal))
-                 .option("checkpointLocation",
-                         str(self.work_dir / "checkpoints" / signal))
-                 .trigger(processingTime=f"{self.seal_max_age_ms} milliseconds")
-                 .start())
-            self.queries[signal] = q
+            self.queries[signal] = self._start_query(signal)
+
+    def _start_query(self, signal: str):
+        src = (self.spark.readStream
+               .format("text")
+               .load(str(self.spool_dir / signal)))
+        return (src.writeStream
+                .queryName(f"otlp_seal_{signal}_{self.uri.port}")
+                .foreachBatch(self._seal_batch(signal))
+                .option("checkpointLocation",
+                        str(self.work_dir / "checkpoints" / signal))
+                .trigger(processingTime=f"{self.seal_max_age_ms} milliseconds")
+                .start())
+
+    def _revive_queries(self) -> None:
+        """Rebuild any seal stream its last micro-batch killed — the
+        analog of the reference restoring unsealed rows and rebuilding a
+        wedged connection after a seal failure (reference:
+        otlp_server.cpp:1389-1436). The new query resumes from the SAME
+        checkpoint, so the failed batch replays: no spooled row is lost;
+        the parquet sink's blind append stays at-least-once, the catalog
+        sink's staged-then-commit stays all-or-nothing (a failed seal
+        left only unreferenced staged files)."""
+        for signal, q in list(self.queries.items()):
+            if q.exception() is None:
+                continue
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — already dead
+                pass
+            self.queries[signal] = self._start_query(signal)
+            with self._lock:
+                self.seal_restarts_total += 1
 
     def _ready(self) -> bool:
         """Degrade /readyz when sealing stalls
@@ -534,6 +557,7 @@ class OtlpSparkServer:
         drain pays ~2 trigger intervals of dead wait."""
         before = self.sealed_rows_total
         self.receiver.rotate_all()  # partial spool segments become sealable
+        self._revive_queries()      # a failed seal must not strand its spool
         errors: list[BaseException] = []
 
         def drain(q) -> None:
@@ -617,6 +641,7 @@ class OtlpSparkServer:
             "metrics_requests": st.per_signal_requests["metrics"],
             "seals_total": self._seal_seq,
             "seal_failures_total": self.seal_failures_total,
+            "seal_restarts_total": self.seal_restarts_total,
             "sealed_rows_total": self.sealed_rows_total,
             "last_seal_unix_ms": self.last_seal_unix_ms,
             "maintenance_runs_total": self.maintenance_runs_total,
@@ -644,7 +669,7 @@ _SERVER_ROW_SCHEMA = (
     "rejected_503 long, skipped_summary_points long, skipped_nan_points long, "
     "logs_requests long, traces_requests long, "
     "metrics_requests long, seals_total long, seal_failures_total long, "
-    "sealed_rows_total long, last_seal_unix_ms long, "
+    "seal_restarts_total long, sealed_rows_total long, last_seal_unix_ms long, "
     "maintenance_runs_total long, ready boolean")
 
 
