@@ -230,6 +230,7 @@ class _WorkerConfig:
     max_body_bytes: int
     max_buffered_bytes: int
     formats: str
+    transport: str          # "http" | "grpc"
     stall_after_ms: int     # readiness window: STALL_SEAL_CYCLES * seal age
     pkg_root: str
 
@@ -460,6 +461,97 @@ def _make_handler(cfg: _WorkerConfig, shared: _Shared,
     return Handler
 
 
+# OTLP/gRPC unary Export service paths (public opentelemetry-proto
+# collector services; reference: serve.md:318)
+_GRPC_PATHS = {
+    "/opentelemetry.proto.collector.logs.v1.LogsService/Export": "logs",
+    "/opentelemetry.proto.collector.trace.v1.TraceService/Export": "traces",
+    "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export": "metrics",
+}
+
+# ExportMetricsServiceResponse.partial_success (field 1):
+# rejected_data_points (1, int64) + error_message (2, string)
+_PARTIAL_SUCCESS_SPEC = {"partial_success": (1, ("m", {
+    "rejected_data_points": (1, "iv"), "error_message": (2, "s")}))}
+
+
+def _make_grpc_service(cfg: _WorkerConfig, shared: _Shared,
+                       writers: dict[str, _SpoolSegmentWriter]):
+    """OTLP/gRPC unary Export with the same edge contracts as the HTTP
+    path: constant-time auth -> UNAUTHENTICATED(16), admission cap ->
+    RESOURCE_EXHAUSTED(8), malformed body -> INVALID_ARGUMENT(3), and
+    metrics skip counts reported via ExportMetricsServiceResponse.
+    partial_success (the gRPC analog of the HTTP 202 skip report)."""
+    from duckdb_otlp_spark.streaming.h2c import GrpcError, GrpcService
+
+    def check_auth(headers) -> bool:
+        if cfg.disable_auth:
+            return True
+        supplied = ""
+        auth = headers.get("authorization", "")
+        if auth.startswith("Bearer "):
+            supplied = auth[len("Bearer "):]
+        elif headers.get("x-api-key"):
+            supplied = headers.get("x-api-key")
+        return hmac.compare_digest(supplied.encode(), (cfg.auth_token or "").encode())
+
+    class OtlpExportService(GrpcService):
+        def on_headers(self, stream) -> None:
+            shared.inc("requests_total")
+            signal = _GRPC_PATHS[stream.headers[":path"]]
+            stream.state["signal"] = signal
+            ctype = stream.headers.get("content-type", "")
+            if not ctype.startswith("application/grpc"):
+                raise GrpcError(3, f"bad content-type {ctype}")
+            if not check_auth(stream.headers):
+                shared.inc("rejected_auth")
+                raise GrpcError(16, "unauthenticated")
+
+        def on_message(self, stream, message: bytes) -> list:
+            if "pb" in stream.state:
+                raise GrpcError(3, "unary Export expects exactly one message")
+            stream.state["pb"] = message
+            return []
+
+        def on_end(self, stream):
+            signal = stream.state["signal"]
+            pb = stream.state.get("pb")
+            if pb is None:
+                raise GrpcError(3, "missing request message")
+            from duckdb_otlp_spark.sources.otlp_proto import pb_to_json_line
+            try:
+                line = pb_to_json_line(pb, signal)
+            except ValueError as e:
+                raise GrpcError(3, f"invalid protobuf body: {e}") from e
+            response = b""              # empty Export*ServiceResponse
+            if signal == "metrics":
+                summary, nan = _count_metric_skips(json.loads(line))
+                if summary:
+                    shared.inc("skipped_summary_points", summary)
+                if nan:
+                    shared.inc("skipped_nan_points", nan)
+                if summary or nan:
+                    from duckdb_otlp_spark.sources.otlp_proto_encode import _enc_msg
+                    response = _enc_msg(
+                        {"partial_success": {
+                            "rejected_data_points": summary + nan,
+                            "error_message": f"{summary} summary point(s) and "
+                                             f"{nan} non-finite point(s) skipped"}},
+                        _PARTIAL_SUCCESS_SPEC)
+            data = line.encode() + b"\n"
+            if not shared.try_reserve(len(data), cfg.max_buffered_bytes, signal):
+                shared.inc("rejected_503")
+                raise GrpcError(8, "ingest buffer full, retry later")
+            writers[signal].append_bytes(data)
+            shared.inc("accepted_requests")
+            shared.inc("admitted_bytes_total", len(data))
+            shared.inc(f"{signal}_requests")
+            shared.inc(f"{signal}_admitted_bytes", len(data))
+            return [response], [("grpc-status", "0")]
+
+    return OtlpExportService
+
+
 def _worker_main(cfg: _WorkerConfig, shared: _Shared, ctl) -> None:
     """Accept-worker entrypoint (spawned process): bind SO_REUSEPORT,
     serve, and answer parent control commands over the pipe."""
@@ -468,14 +560,26 @@ def _worker_main(cfg: _WorkerConfig, shared: _Shared, ctl) -> None:
     writers = {sig: _SpoolSegmentWriter(Path(cfg.spool_dir) / sig)
                for sig in ("logs", "traces", "metrics")}
     try:
-        httpd = _ReusePortHTTPServer((cfg.host, cfg.port),
-                                     _make_handler(cfg, shared, writers))
+        if cfg.transport == "grpc":
+            from duckdb_otlp_spark.streaming.h2c import H2cGrpcServer
+            svc = _make_grpc_service(cfg, shared, writers)
+            httpd = H2cGrpcServer(
+                cfg.host, cfg.port,
+                {p: svc for p in _GRPC_PATHS},
+                max_message_bytes=cfg.max_body_bytes)
+        else:
+            httpd = _ReusePortHTTPServer((cfg.host, cfg.port),
+                                         _make_handler(cfg, shared, writers))
     except OSError as e:
         ctl.send(("error", str(e)))
         return
-    serve = threading.Thread(target=httpd.serve_forever,
-                             name="otlp-accept", daemon=True)
-    serve.start()
+    if cfg.transport == "grpc":
+        httpd.start()
+        serve = None
+    else:
+        serve = threading.Thread(target=httpd.serve_forever,
+                                 name="otlp-accept", daemon=True)
+        serve.start()
     stop_janitor = threading.Event()
 
     def janitor() -> None:
@@ -488,7 +592,9 @@ def _worker_main(cfg: _WorkerConfig, shared: _Shared, ctl) -> None:
 
     jan = threading.Thread(target=janitor, name="otlp-janitor", daemon=True)
     jan.start()
-    ctl.send(("ready", httpd.server_address[1]))
+    bound_port = (httpd.port if cfg.transport == "grpc"
+                  else httpd.server_address[1])
+    ctl.send(("ready", bound_port))
     try:
         while True:
             try:
@@ -504,8 +610,11 @@ def _worker_main(cfg: _WorkerConfig, shared: _Shared, ctl) -> None:
             else:
                 ctl.send("ok")     # ping/unknown
     finally:
-        httpd.shutdown()
-        httpd.server_close()
+        if cfg.transport == "grpc":
+            httpd.stop()
+        else:
+            httpd.shutdown()
+            httpd.server_close()
         stop_janitor.set()
         for w in writers.values():
             w.rotate()             # last partial segment stays sealable
@@ -523,10 +632,16 @@ class OtlpHttpReceiver:
                  max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
                  max_buffered_bytes: int = DEFAULT_MAX_BUFFERED_BYTES,
                  formats: str = "otlp",
+                 transport: str = "http",
                  accept_workers: int = DEFAULT_ACCEPT_WORKERS,
                  stall_after_ms: int = 15000):
         if formats not in ("otlp", "otap"):
             raise ValueError(f"unknown formats {formats!r}; use 'otlp' or 'otap'")
+        if transport not in ("http", "grpc"):
+            raise ValueError(f"unknown transport {transport!r}; use 'http' or 'grpc'")
+        if formats == "otap" and transport == "grpc":
+            raise ValueError("otap listeners accept OTAP over HTTP framing here; "
+                             "transport='grpc' applies to otlp listeners")
         if not disable_auth:
             if auth_token is None:
                 auth_token = secrets.token_hex(16)  # 32 hex chars
@@ -535,6 +650,7 @@ class OtlpHttpReceiver:
                 raise ValueError("auth token must be at least 16 characters")
         self.host, self.port = host, port
         self.formats = formats
+        self.transport = transport
         self.spool_dir = Path(spool_dir)
         self.auth_token = auth_token
         self.disable_auth = disable_auth
@@ -596,7 +712,8 @@ class OtlpHttpReceiver:
             auth_token=self.auth_token, disable_auth=self.disable_auth,
             max_body_bytes=self.max_body_bytes,
             max_buffered_bytes=self.max_buffered_bytes,
-            formats=self.formats, stall_after_ms=self.stall_after_ms,
+            formats=self.formats, transport=self.transport,
+            stall_after_ms=self.stall_after_ms,
             pkg_root=str(Path(__file__).resolve().parents[2]))
         parent_conn, child_conn = self._ctx.Pipe()
         proc = self._ctx.Process(target=_worker_main,

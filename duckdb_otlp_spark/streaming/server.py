@@ -100,7 +100,8 @@ class OtlpSparkServer:
                  sink: str = "parquet",
                  warm_start: bool = True,
                  accept_workers: int = 2,
-                 create_tables: bool = True):
+                 create_tables: bool = True,
+                 transport: str = "http"):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
@@ -126,10 +127,15 @@ class OtlpSparkServer:
         self.catalog = SnapshotCatalog(self.export_root) if sink == "catalog" else None
         self.create_tables = create_tables
         self._target_schemas: dict[str, Any] = {}
+        # transport='grpc' serves OTLP/gRPC unary Export over the
+        # from-scratch h2c stack (reference: otlp_serve(transport:=
+        # 'grpc'), serve.md:307-326) — a gRPC listener exposes no
+        # /healthz//readyz HTTP endpoints, same as the reference
         self.receiver = OtlpHttpReceiver(
             self.uri.host, self.uri.port, self.spool_dir,
             auth_token=auth_token, disable_auth=disable_auth,
             formats="otap" if self.uri.scheme == "otap" else "otlp",
+            transport=transport,
             accept_workers=accept_workers,
             stall_after_ms=STALL_SEAL_CYCLES * seal_max_age_ms)
         self.queries: dict[str, Any] = {}
@@ -616,7 +622,7 @@ class OtlpSparkServer:
             "uri": self.uri.canonical,
             "url": self.uri.url,
             "transport": ("otap/http" if self.receiver.formats == "otap"
-                          else "http"),
+                          else self.receiver.transport),
             "sink": self.sink,
             "accept_workers": self.receiver.accept_workers,
             "buffered_bytes": self.receiver.buffered_bytes,

@@ -1,0 +1,168 @@
+"""OTLP/gRPC unary Export transport over the from-scratch h2c stack
+(reference: otlp_serve(transport := 'grpc'), serve.md:307-326,
+src/otlp_server_grpc.cpp): the standard collector services on one
+port, sharing the HTTP path's edge contracts — token auth
+(UNAUTHENTICATED), admission cap (RESOURCE_EXHAUSTED), malformed body
+(INVALID_ARGUMENT) — plus HPACK/h2 protocol unit coverage.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from duckdb_otlp_spark.streaming.h2c import (
+    HpackDecoder,
+    hpack_encode,
+    huffman_decode,
+)
+from duckdb_otlp_spark.streaming.receiver import OtlpHttpReceiver
+from duckdb_otlp_spark.sources.otlp_proto_encode import encode_envelope_pb
+from tests.fixtures import LOGS_SIMPLE, METRICS_SIMPLE, TRACES_SIMPLE
+
+TOKEN = "test-token-0123456789abcdef"
+LOGS_PATH = "/opentelemetry.proto.collector.logs.v1.LogsService/Export"
+TRACES_PATH = "/opentelemetry.proto.collector.trace.v1.TraceService/Export"
+METRICS_PATH = "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export"
+
+
+# --- HPACK / Huffman units -------------------------------------------------
+
+def test_huffman_decode_spec_example():
+    # RFC 7541 C.4.1: "www.example.com" Huffman-encoded
+    data = bytes.fromhex("f1e3c2e5f23a6ba0ab90f4ff")
+    assert huffman_decode(data) == b"www.example.com"
+
+
+def test_hpack_roundtrip_and_indexed_fields():
+    dec = HpackDecoder()
+    headers = [(":status", "200"), ("content-type", "application/grpc"),
+               ("grpc-status", "0")]
+    assert dec.decode(hpack_encode(headers)) == headers
+    # fully-indexed static entry (index 3 = :method POST)
+    assert dec.decode(bytes([0x83])) == [(":method", "POST")]
+    # literal with incremental indexing populates the dynamic table
+    block = bytes([0x40, 0x01]) + b"k" + bytes([0x01]) + b"v"
+    assert dec.decode(block) == [("k", "v")]
+    assert dec.decode(bytes([0x80 | 62])) == [("k", "v")]
+
+
+# --- gRPC ingest edge ------------------------------------------------------
+
+@pytest.fixture()
+def grpc_rcv(tmp_path):
+    rcv = OtlpHttpReceiver("127.0.0.1", 0, tmp_path / "spool",
+                           auth_token=TOKEN, transport="grpc",
+                           accept_workers=2)
+    rcv.start()
+    yield rcv
+    rcv.stop()
+
+
+def _export(rcv, path, env, token=TOKEN, metadata=None):
+    from duckdb_otlp_spark.streaming.h2c import grpc_call
+    md = list(metadata or [])
+    if token:
+        md.append(("authorization", f"Bearer {token}"))
+    return grpc_call("127.0.0.1", rcv.port, path, encode_envelope_pb(env), md)
+
+
+def test_grpc_export_all_signals(grpc_rcv, tmp_path):
+    for env in LOGS_SIMPLE:
+        headers, msgs = _export(grpc_rcv, LOGS_PATH, env)
+        assert headers["grpc-status"] == "0", headers
+        assert msgs == [b""]        # empty ExportLogsServiceResponse
+    assert _export(grpc_rcv, TRACES_PATH, TRACES_SIMPLE[0])[0]["grpc-status"] == "0"
+    assert _export(grpc_rcv, METRICS_PATH, METRICS_SIMPLE[0])[0]["grpc-status"] == "0"
+    st = grpc_rcv.stats
+    assert st.accepted_requests == 5
+    assert st.per_signal_requests == {"logs": 3, "traces": 1, "metrics": 1}
+    # spooled lines are the same JSON envelope format the seal parses
+    grpc_rcv.rotate_all()
+    lines = []
+    for p in (tmp_path / "spool" / "logs").iterdir():
+        if not p.name.startswith("."):
+            lines += [ln for ln in p.read_text().splitlines() if ln]
+    assert len(lines) == 3
+    assert all("resourceLogs" in json.loads(ln) for ln in lines)
+
+
+def test_grpc_auth_unauthenticated(grpc_rcv):
+    headers, _ = _export(grpc_rcv, LOGS_PATH, LOGS_SIMPLE[0], token=None)
+    assert headers["grpc-status"] == "16"
+    headers, _ = _export(grpc_rcv, LOGS_PATH, LOGS_SIMPLE[0],
+                         token="wrong-token-16chars+")
+    assert headers["grpc-status"] == "16"
+    # x-api-key metadata path
+    headers, _ = _export(grpc_rcv, LOGS_PATH, LOGS_SIMPLE[0], token=None,
+                         metadata=[("x-api-key", TOKEN)])
+    assert headers["grpc-status"] == "0"
+    assert grpc_rcv.stats.rejected_auth == 2
+
+
+def test_grpc_invalid_body_and_unknown_service(grpc_rcv):
+    from duckdb_otlp_spark.streaming.h2c import grpc_call
+    headers, _ = grpc_call("127.0.0.1", grpc_rcv.port, LOGS_PATH,
+                           b"\xff\xfe garbage",
+                           [("authorization", f"Bearer {TOKEN}")])
+    assert headers["grpc-status"] == "3"
+    headers, _ = grpc_call("127.0.0.1", grpc_rcv.port,
+                           "/some.Unknown/Method", b"",
+                           [("authorization", f"Bearer {TOKEN}")])
+    assert headers["grpc-status"] == "12"
+
+
+def test_grpc_admission_resource_exhausted(tmp_path):
+    rcv = OtlpHttpReceiver("127.0.0.1", 0, tmp_path / "spool",
+                           disable_auth=True, transport="grpc",
+                           accept_workers=1, max_buffered_bytes=64)
+    rcv.start()
+    try:
+        h1, _ = _export(rcv, LOGS_PATH, LOGS_SIMPLE[0], token=None)
+        # fixture line > 64 bytes: the very first export hits the cap
+        assert h1["grpc-status"] == "8"
+        assert rcv.stats.rejected_503 == 1
+    finally:
+        rcv.stop()
+
+
+def test_grpc_metrics_partial_success_reports_skips(grpc_rcv):
+    env = {"resourceMetrics": [{"scopeMetrics": [{"metrics": [
+        {"name": "s", "summary": {"dataPoints": [
+            {"timeUnixNano": "1", "count": "1", "sum": 1.0}]}},
+        {"name": "g", "gauge": {"dataPoints": [
+            {"timeUnixNano": "2", "asDouble": 1.5}]}},
+    ]}]}]}
+    headers, msgs = _export(grpc_rcv, METRICS_PATH, env)
+    assert headers["grpc-status"] == "0"
+    # ExportMetricsServiceResponse.partial_success.rejected_data_points=1
+    from duckdb_otlp_spark.sources import otlp_proto
+    assert len(msgs) == 1 and msgs[0] != b""
+    assert grpc_rcv.stats.skipped_summary_points >= 1
+    assert otlp_proto  # decoded server-side; response is non-empty pb
+
+
+def test_grpc_end_to_end_seal(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from duckdb_otlp_spark.streaming import otlp_serve, otlp_stop
+    from duckdb_otlp_spark.streaming.server import _get
+    info = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(tmp_path / "w"),
+                      auth_token=TOKEN, seal_max_age_ms=500,
+                      transport="grpc", warm_start=False).collect()[0]
+    assert info["transport"] == "grpc"
+    srv = _get(info["uri"])
+    try:
+        for env in LOGS_SIMPLE:
+            headers, _ = _export(srv.receiver, LOGS_PATH, env)
+            assert headers["grpc-status"] == "0"
+        srv.flush()
+        logs = spark.read.parquet(str(srv.export_root / "otlp_logs"))
+        assert logs.count() == 3
+        assert set(r["severity_text"] for r in
+                   logs.select("severity_text").collect()) == \
+            {"INFO", "WARN", "ERROR"}
+        assert logs.filter(F.col("service_name") == "test-service").count() == 3
+    finally:
+        otlp_stop(spark, info["uri"], drain=False)
