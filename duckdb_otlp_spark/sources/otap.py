@@ -414,9 +414,8 @@ def _render_envelope(g, res_attrs, scope_attrs) -> dict:
 # Per-signal envelope reconstruction
 # ---------------------------------------------------------------------------
 
-def bar_to_envelope(data: bytes, signal: str) -> dict:
-    """One .bar message -> proto3-JSON envelope dict for ``signal``."""
-    tables = _decode_bar(data)
+def envelope_from_tables(tables: dict[int, Any], signal: str) -> dict:
+    """{payload_type: pyarrow.Table} -> proto3-JSON envelope for ``signal``."""
     res_attrs = _attrs_by_parent(tables.get(RESOURCE_ATTRS))
     scope_attrs = _attrs_by_parent(tables.get(SCOPE_ATTRS))
     if signal == "logs":
@@ -432,6 +431,86 @@ def bar_to_envelope(data: bytes, signal: str) -> dict:
             raise _err("file carries no Metrics payload (wrong signal?)")
         return _metrics_envelope(tables, res_attrs, scope_attrs)
     raise _err(f"unknown signal {signal}")
+
+
+def bar_to_envelope(data: bytes, signal: str) -> dict:
+    """One self-contained .bar message -> proto3-JSON envelope dict."""
+    return envelope_from_tables(_decode_bar(data), signal)
+
+
+class OtapStreamDecoder:
+    """Per-stream OTAP decode state — the dictionary-reuse half of the
+    reference's otap_serve gRPC contract (reference:
+    src/otlp_server_grpc.cpp:95-133): successive ``BatchArrowRecords``
+    on ONE ``ArrowStream`` share Arrow IPC schema and dictionary state
+    per (payload_type, schema_id), so a follow-up message may carry
+    only record batches and dictionary DELTAS with no schema message.
+
+    Mechanism: the raw IPC bytes of every payload are accumulated per
+    (payload_type, schema_id) and re-read as one growing IPC stream —
+    pyarrow replays the schema + cumulative dictionary deltas — and the
+    message's OWN rows are the slice beyond the previous row count.
+    Delta-encoded ids restart per message (each record batch is
+    logically self-contained, verified against the reference's
+    initial/reuse fixture pair), so the slice is decoded as a fresh
+    table by the shared envelope builders.
+
+    Memory note: state grows with the stream; otel-arrow producers
+    recycle streams periodically (the protocol's own
+    schema-reset/stream-lifetime mechanism), which naturally bounds it.
+    A decode failure poisons the stream, per the gRPC contract — the
+    caller should terminate the RPC.
+    """
+
+    def __init__(self, signal: str):
+        self.signal = signal
+        self._state: dict[tuple[int, bytes], dict[str, Any]] = {}
+
+    def decode(self, data: bytes) -> tuple[int, dict]:
+        """One BatchArrowRecords message -> (batch_id, envelope of the
+        rows THIS message adds)."""
+        import pyarrow.ipc as ipc
+        batch_id = 0
+        payloads = []
+        try:
+            for f, _, v in _fields(data):
+                if f == 1:
+                    batch_id = v
+                elif f == 2:
+                    payloads.append(v)
+        except ValueError as e:
+            raise _err(f"not a BatchArrowRecords message ({e})") from e
+        tables: dict[int, Any] = {}
+        for payload in payloads:
+            ptype, schema_id, record = None, b"", None
+            try:
+                for f2, _, v2 in _fields(payload):
+                    if f2 == 1:
+                        schema_id = v2 if isinstance(v2, bytes) else b""
+                    elif f2 == 2:
+                        ptype = v2
+                    elif f2 == 3:
+                        record = v2
+            except ValueError as e:
+                raise _err(f"bad ArrowPayload ({e})") from e
+            if ptype is None or not isinstance(record, bytes):
+                raise _err("ArrowPayload missing type or record")
+            st = self._state.setdefault((ptype, schema_id),
+                                        {"buf": bytearray(), "rows": 0})
+            st["buf"] += record
+            try:
+                combined = ipc.open_stream(bytes(st["buf"])).read_all()
+            except Exception as e:
+                raise _err(f"Arrow IPC decode failed for payload type "
+                           f"{ptype}: {e}") from e
+            new = combined.slice(st["rows"])
+            st["rows"] = combined.num_rows
+            # combine_chunks: the slice must behave as a standalone
+            # table for the per-message delta-id decode
+            tables[ptype] = new.combine_chunks()
+        if not tables:
+            raise _err("no Arrow payloads in BatchArrowRecords message")
+        return batch_id, envelope_from_tables(tables, self.signal)
 
 
 def _maybe(d: dict, key: str, val) -> None:

@@ -469,6 +469,18 @@ _GRPC_PATHS = {
     "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export": "metrics",
 }
 
+# OTAP/Arrow bidirectional streaming services (public otel-arrow proto;
+# reference: serve.md:319 — stream BatchArrowRecords -> stream BatchStatus)
+_OTAP_GRPC_PATHS = {
+    "/opentelemetry.proto.experimental.arrow.v1.ArrowLogsService/ArrowLogs": "logs",
+    "/opentelemetry.proto.experimental.arrow.v1.ArrowTracesService/ArrowTraces": "traces",
+    "/opentelemetry.proto.experimental.arrow.v1.ArrowMetricsService/ArrowMetrics": "metrics",
+}
+
+# otel-arrow BatchStatus {batch_id(1), status_code(2), status_message(3)}
+_BATCH_STATUS_SPEC = {"batch_id": (1, "iv"), "status_code": (2, "u"),
+                      "status_message": (3, "s")}
+
 # ExportMetricsServiceResponse.partial_success (field 1):
 # rejected_data_points (1, int64) + error_message (2, string)
 _PARTIAL_SUCCESS_SPEC = {"partial_success": (1, ("m", {
@@ -552,6 +564,62 @@ def _make_grpc_service(cfg: _WorkerConfig, shared: _Shared,
     return OtlpExportService
 
 
+def _make_otap_grpc_service(cfg: _WorkerConfig, shared: _Shared,
+                            writers: dict[str, _SpoolSegmentWriter]):
+    """OTAP/Arrow bidirectional streaming (the reference's otap_serve,
+    serve.md:319): the client streams ``BatchArrowRecords``; each batch
+    is acked with a ``BatchStatus`` on the same stream. Arrow IPC
+    schema + dictionary state is kept PER STREAM (OtapStreamDecoder),
+    so follow-up messages may carry schema-less continuations with
+    dictionary deltas. A decode failure poisons the stream (gRPC
+    error), per the otel-arrow contract."""
+    from duckdb_otlp_spark.streaming.h2c import GrpcError, GrpcService
+
+    def check_auth(headers) -> bool:
+        if cfg.disable_auth:
+            return True
+        supplied = ""
+        auth = headers.get("authorization", "")
+        if auth.startswith("Bearer "):
+            supplied = auth[len("Bearer "):]
+        elif headers.get("x-api-key"):
+            supplied = headers.get("x-api-key")
+        return hmac.compare_digest(supplied.encode(), (cfg.auth_token or "").encode())
+
+    class OtapArrowService(GrpcService):
+        def on_headers(self, stream) -> None:
+            from duckdb_otlp_spark.sources.otap import OtapStreamDecoder
+            signal = _OTAP_GRPC_PATHS[stream.headers[":path"]]
+            if not check_auth(stream.headers):
+                shared.inc("rejected_auth")
+                raise GrpcError(16, "unauthenticated")
+            stream.state["signal"] = signal
+            stream.state["decoder"] = OtapStreamDecoder(signal)
+
+        def on_message(self, stream, message: bytes) -> list:
+            from duckdb_otlp_spark.sources.otap import OtapDecodeError
+            from duckdb_otlp_spark.sources.otlp_proto_encode import _enc_msg
+            shared.inc("requests_total")
+            signal = stream.state["signal"]
+            try:
+                batch_id, env = stream.state["decoder"].decode(message)
+            except OtapDecodeError as e:
+                raise GrpcError(3, str(e)) from e
+            data = json.dumps(env, separators=(",", ":")).encode() + b"\n"
+            if not shared.try_reserve(len(data), cfg.max_buffered_bytes, signal):
+                shared.inc("rejected_503")
+                raise GrpcError(8, "ingest buffer full, retry later")
+            writers[signal].append_bytes(data)
+            shared.inc("accepted_requests")
+            shared.inc("admitted_bytes_total", len(data))
+            shared.inc(f"{signal}_requests")
+            shared.inc(f"{signal}_admitted_bytes", len(data))
+            return [_enc_msg({"batch_id": batch_id, "status_code": 0},
+                             _BATCH_STATUS_SPEC)]
+
+    return OtapArrowService
+
+
 def _worker_main(cfg: _WorkerConfig, shared: _Shared, ctl) -> None:
     """Accept-worker entrypoint (spawned process): bind SO_REUSEPORT,
     serve, and answer parent control commands over the pipe."""
@@ -562,10 +630,14 @@ def _worker_main(cfg: _WorkerConfig, shared: _Shared, ctl) -> None:
     try:
         if cfg.transport == "grpc":
             from duckdb_otlp_spark.streaming.h2c import H2cGrpcServer
-            svc = _make_grpc_service(cfg, shared, writers)
+            if cfg.formats == "otap":
+                svc = _make_otap_grpc_service(cfg, shared, writers)
+                paths = {p: svc for p in _OTAP_GRPC_PATHS}
+            else:
+                svc = _make_grpc_service(cfg, shared, writers)
+                paths = {p: svc for p in _GRPC_PATHS}
             httpd = H2cGrpcServer(
-                cfg.host, cfg.port,
-                {p: svc for p in _GRPC_PATHS},
+                cfg.host, cfg.port, paths,
                 max_message_bytes=cfg.max_body_bytes)
         else:
             httpd = _ReusePortHTTPServer((cfg.host, cfg.port),
@@ -639,9 +711,6 @@ class OtlpHttpReceiver:
             raise ValueError(f"unknown formats {formats!r}; use 'otlp' or 'otap'")
         if transport not in ("http", "grpc"):
             raise ValueError(f"unknown transport {transport!r}; use 'http' or 'grpc'")
-        if formats == "otap" and transport == "grpc":
-            raise ValueError("otap listeners accept OTAP over HTTP framing here; "
-                             "transport='grpc' applies to otlp listeners")
         if not disable_auth:
             if auth_token is None:
                 auth_token = secrets.token_hex(16)  # 32 hex chars

@@ -621,7 +621,8 @@ class OtlpSparkServer:
         return {
             "uri": self.uri.canonical,
             "url": self.uri.url,
-            "transport": ("otap/http" if self.receiver.formats == "otap"
+            "transport": (f"otap/{self.receiver.transport}"
+                          if self.receiver.formats == "otap"
                           else self.receiver.transport),
             "sink": self.sink,
             "accept_workers": self.receiver.accept_workers,
