@@ -5,5 +5,6 @@ from duckdb_otlp_spark.streaming.server import (  # noqa: F401
     otlp_seal_list,
     otlp_serve,
     otlp_server_list,
+    otlp_server_log,
     otlp_stop,
 )

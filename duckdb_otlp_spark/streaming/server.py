@@ -139,6 +139,11 @@ class OtlpSparkServer:
             accept_workers=accept_workers,
             stall_after_ms=STALL_SEAL_CYCLES * seal_max_age_ms)
         self.queries: dict[str, Any] = {}
+        # observability log channel — the analog of the reference writing
+        # server events through the duckdb_otlp log type into duckdb_logs
+        # (reference: otlp_server.cpp:369-378, src/include/otlp_log.hpp);
+        # queryable via otlp_server_log(), bounded like seal history
+        self.server_log: list[dict[str, Any]] = []
         self.seal_history: list[SealEvent] = []
         self._seal_seq = 0
         self._lock = threading.Lock()
@@ -173,6 +178,18 @@ class OtlpSparkServer:
             self._ewma_last_t = now
             self._ewma_last_bytes = admitted
             return self._ewma_rate
+
+    def _log_event(self, message: str, level: str = "INFO") -> None:
+        """Append to the server's observability log channel
+        (reference: OtlpServer::LogServerEvent, otlp_server.cpp:369-378)."""
+        with self._lock:
+            self.server_log.append({
+                "unix_ms": int(time.time() * 1000),
+                "level": level,
+                "message": message,
+            })
+            if len(self.server_log) > SEAL_HISTORY_LIMIT:
+                self.server_log = self.server_log[-SEAL_HISTORY_LIMIT:]
 
     # -- target tables (reference: otlp_server.cpp:455-526) --
     def _promoted_fields(self):
@@ -334,8 +351,9 @@ class OtlpSparkServer:
                     "duration_ms": round((time.perf_counter() - t0) * 1000, 3),
                     "unix_ms": int(time.time() * 1000),
                 })
-        except Exception:  # noqa: BLE001 — best-effort, never fails the seal
-            pass
+            self._log_event(f"maintenance: partitions_compacted={merged}")
+        except Exception as e:  # noqa: BLE001 — best-effort, never fails the seal
+            self._log_event(f"maintenance failed: {e}", "WARN")
         finally:
             self._maintenance_busy.release()
 
@@ -361,11 +379,16 @@ class OtlpSparkServer:
              .partitionBy("year", "month", "day")
              .option("compression", self.compression)
              .parquet(str(self.export_root / table)))
-            self._record_seal(table, int(obs.get["rows"]), batch_id,
+            rows = int(obs.get["rows"])
+            self._record_seal(table, rows, batch_id,
                               (time.perf_counter() - t0) * 1000, "ok")
+            self._log_event(f"parquet seal: table={table} rows={rows} "
+                            f"batch={batch_id}")
         except Exception as e:  # noqa: BLE001 — seal failures are recorded
             self._record_seal(table, 0, batch_id,
                               (time.perf_counter() - t0) * 1000, "error", str(e))
+            self._log_event(f"parquet seal failed: table={table} "
+                            f"batch={batch_id} error={e}", "WARN")
             raise
 
     def _seal_catalog(self, tables: list[tuple[str, DataFrame]],
@@ -399,10 +422,13 @@ class OtlpSparkServer:
             ms = (time.perf_counter() - t0) * 1000
             for table, _ in tables:
                 self._record_seal(table, 0, batch_id, ms, "error", str(e))
+            self._log_event(f"seal failed: batch={batch_id} error={e}", "WARN")
             raise
         for table, _ in tables:
             self._record_seal(table, rows[table], batch_id, stage_ms, "ok",
                               commit_ms=commit_ms)
+        self._log_event(f"seal: catalog={self.export_root} "
+                        f"rows={sum(rows.values())} batch={batch_id}")
 
     def _seal_batch(self, signal: str):
         def seal(batch_df: DataFrame, batch_id: int) -> None:
@@ -510,6 +536,8 @@ class OtlpSparkServer:
                                self.receiver.port, self.uri.ipv6)
         for signal in ("logs", "traces", "metrics"):
             self.queries[signal] = self._start_query(signal)
+        self._log_event(f"listening: uri={self.uri.canonical} "
+                        f"transport={self.receiver.transport} sink={self.sink}")
 
     def _start_query(self, signal: str):
         src = (self.spark.readStream
@@ -542,6 +570,8 @@ class OtlpSparkServer:
             self.queries[signal] = self._start_query(signal)
             with self._lock:
                 self.seal_restarts_total += 1
+            self._log_event(f"seal stream revived after failure: "
+                            f"signal={signal}", "WARN")
 
     def _ready(self) -> bool:
         """Degrade /readyz when sealing stalls
@@ -595,6 +625,8 @@ class OtlpSparkServer:
                 except Exception:  # noqa: BLE001 — retry the drain
                     continue
         dropped = self.receiver.buffered_bytes
+        self._log_event(f"stopped: dropped_bytes={dropped}",
+                        "WARN" if dropped else "INFO")
         for q in self.queries.values():
             try:
                 q.stop()
@@ -737,6 +769,17 @@ def otlp_server_list(spark: SparkSession) -> DataFrame:
     with _REG_LOCK:
         rows = [s.server_row() for s in _SERVERS.values()]
     return spark.createDataFrame(rows, schema=_SERVER_ROW_SCHEMA)
+
+
+def otlp_server_log(spark: SparkSession, uri: str) -> DataFrame:
+    """The listener's observability log channel — the analog of querying
+    duckdb_logs for the reference's duckdb_otlp log type
+    (reference: otlp_server.cpp:369-378, serve.md:347)."""
+    server = _get(uri)
+    with server._lock:
+        rows = list(server.server_log)
+    return spark.createDataFrame(
+        rows, schema="unix_ms long, level string, message string")
 
 
 def otlp_seal_list(spark: SparkSession, uri: str) -> DataFrame:

@@ -235,5 +235,6 @@ def write_fixtures(root: Path) -> dict[str, Path]:
 # ---------------------------------------------------------------------------
 
 from duckdb_otlp_spark.sources.otlp_proto_encode import (  # noqa: E402,F401
+    _enc_varint,
     encode_envelope_pb,
 )

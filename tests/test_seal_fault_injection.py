@@ -81,6 +81,41 @@ def test_catalog_commit_failure_no_loss_no_dupes(spark, tmp_path):
         otlp_stop(spark, info["uri"], drain=False)
 
 
+def test_server_log_channel_records_events(spark, tmp_path):
+    """A31: server lifecycle/seal events land in the queryable
+    observability log channel (reference: duckdb_otlp log type ->
+    duckdb_logs, otlp_server.cpp:369-378); a failed seal logs WARN."""
+    from duckdb_otlp_spark.streaming import otlp_server_log
+
+    info = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(tmp_path / "w"),
+                      export_root=str(tmp_path / "exp"), disable_auth=True,
+                      seal_max_age_ms=60_000, warm_start=False).collect()[0]
+    srv = _get(info["uri"])
+    try:
+        # a regular file squatting on the table path makes the first
+        # seal's parquet append fail inside _write_table (real failure,
+        # so the WARN log entry comes from the production path)
+        blocker = tmp_path / "exp" / "otlp_logs"
+        blocker.write_text("not a directory")
+        assert _post_log(srv.uri.url, LOGS_SIMPLE[0]) == 202
+        try:
+            srv.flush()
+        except Exception:  # noqa: BLE001 — expected injected failure
+            pass
+        blocker.unlink()
+        _drain_with_retries(srv)
+        log = otlp_server_log(spark, info["uri"]).collect()
+        msgs = [(r["level"], r["message"]) for r in log]
+        assert any(lvl == "INFO" and m.startswith("listening:")
+                   for lvl, m in msgs)
+        assert any(lvl == "WARN" and "seal failed" in m for lvl, m in msgs)
+        assert any(lvl == "WARN" and "revived" in m for lvl, m in msgs)
+        assert any(lvl == "INFO" and m.startswith("parquet seal:")
+                   for lvl, m in msgs)
+    finally:
+        otlp_stop(spark, info["uri"], drain=False)
+
+
 def test_parquet_write_failure_at_least_once(spark, tmp_path):
     """Failure injected AFTER the blind append (mid-commit: data landed,
     checkpoint did not advance) — the replay may duplicate, must not
