@@ -15,6 +15,10 @@ Environment (CLI flags override):
   OTLP_SPARK_SEAL_MAX_AGE_MS seal age trigger (default 5000)
   OTLP_SPARK_PROMOTE_RESOURCE comma-separated resource attr keys
   OTLP_SPARK_PROMOTE_SCOPE    comma-separated scope attr keys
+  OTLP_SPARK_TRANSPORT       "http" (default) or "grpc"
+  OTLP_SPARK_SINK            "parquet" (default) or "catalog"
+  OTLP_SPARK_ACCEPT_WORKERS  SO_REUSEPORT accept processes (default 2)
+  OTLP_SPARK_CREATE_TABLES   "0" to fail fast on missing catalog tables
   SPARK_GRAFT_CPUS           local[N] parallelism
 """
 
@@ -49,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--promote-resource",
                     default=env("OTLP_SPARK_PROMOTE_RESOURCE", ""))
     ap.add_argument("--promote-scope", default=env("OTLP_SPARK_PROMOTE_SCOPE", ""))
+    ap.add_argument("--transport", choices=("http", "grpc"),
+                    default=env("OTLP_SPARK_TRANSPORT", "http"))
+    ap.add_argument("--sink", choices=("parquet", "catalog"),
+                    default=env("OTLP_SPARK_SINK", "parquet"))
+    ap.add_argument("--accept-workers", type=int,
+                    default=int(env("OTLP_SPARK_ACCEPT_WORKERS", "2")))
+    ap.add_argument("--no-create-tables", action="store_true",
+                    default=env("OTLP_SPARK_CREATE_TABLES") == "0")
     args = ap.parse_args(argv)
 
     spark = get_spark("otlp-spark-daemon")
@@ -61,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
         seal_max_age_ms=args.seal_max_age_ms,
         promote_resource=_split(args.promote_resource),
         promote_scope=_split(args.promote_scope),
+        transport=args.transport,
+        sink=args.sink,
+        accept_workers=args.accept_workers,
+        create_tables=not args.no_create_tables,
     ).collect()[0]
     server = _get(row["uri"])
     print(f"listening on {row['url']} (uri {row['uri']})", flush=True)
