@@ -1187,6 +1187,27 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 10
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-probed approximate top-k (operators/similarity.build_ivf_index
+    + ivf_search): vectors partition by nearest-of-16 deterministic
+    centroids; the query probes only the 4 closest partitions — the
+    100 TB layout prunes ~C/nprobe of the scan. No DuckDB oracle: the
+    centroid seeding uses Spark's xxhash64 (not SQL-expressible
+    cross-engine), so the driver records the rows-only check; the exact
+    brute-force baseline (`ann_cosine_topk`) IS hash-checked."""
+    from duckdb_otlp_spark.operators.similarity import build_ivf_index, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").cast("array<double>")).first()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index(corpus, "vec_id", "embedding",
+                                          n_centroids=16, iters=2)
+    return (ivf_search(assigned, centroids, "vec_id", "embedding", q,
+                       k=10, nprobe=4)
+            .select("vec_id", F.col("cosine").alias("cos_sim")))
+
+
 def q_embedding_group_stats(spark, sf_dir):
     """Per-label embedding stats: count + mean first-component (array ops)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1271,6 +1292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,       # rows-only: non-SQL-expressible
     "embedding_group_stats": q_embedding_group_stats,
     "lang_id": q_lang_id,
 }
