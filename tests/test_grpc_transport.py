@@ -127,6 +127,32 @@ def test_grpc_admission_resource_exhausted(tmp_path):
         rcv.stop()
 
 
+def test_grpc_large_message_flow_control(grpc_rcv, tmp_path):
+    """A ~1.5 MiB Export spans many DATA frames and exceeds the 64 KiB
+    initial flow-control window — the server's WINDOW_UPDATE top-ups
+    must keep the stream moving."""
+    big = {"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "bulk"}}]},
+        "scopeLogs": [{"scope": {"name": "bulk"}, "logRecords": [
+            {"timeUnixNano": str(1700000000000000000 + i),
+             "severityNumber": 9,
+             "body": {"stringValue": "x" * 100 + str(i)}}
+            for i in range(10000)]}]}]}
+    headers, msgs = _export(grpc_rcv, LOGS_PATH, big)
+    assert headers["grpc-status"] == "0", headers
+    assert msgs == [b""]
+    grpc_rcv.rotate_all()
+    lines = []
+    for p in (tmp_path / "spool" / "logs").iterdir():
+        if not p.name.startswith("."):
+            lines += [ln for ln in p.read_text().splitlines() if ln]
+    env = json.loads(lines[-1])
+    n = sum(len(sl["logRecords"]) for rl in env["resourceLogs"]
+            for sl in rl["scopeLogs"])
+    assert n == 10000
+
+
 def test_grpc_metrics_partial_success_reports_skips(grpc_rcv):
     env = {"resourceMetrics": [{"scopeMetrics": [{"metrics": [
         {"name": "s", "summary": {"dataPoints": [
