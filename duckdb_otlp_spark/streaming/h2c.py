@@ -542,6 +542,14 @@ class H2cGrpcServer:
                         handlers.pop(sid, None)
         except (ConnectionError, OSError):
             pass
+        except Exception:  # noqa: BLE001 — malformed frame/HPACK from a bad
+            # peer must never leave a wedged half-open connection; GOAWAY
+            # then close is the RFC 7540 protocol-error path
+            try:
+                sock.sendall(_frame(_F_GOAWAY, 0, 0,
+                                    struct.pack(">II", 0, 0x1)))  # PROTOCOL_ERROR
+            except OSError:
+                pass
         finally:
             try:
                 sock.close()

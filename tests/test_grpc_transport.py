@@ -169,6 +169,29 @@ def test_grpc_metrics_partial_success_reports_skips(grpc_rcv):
     assert otlp_proto  # decoded server-side; response is non-empty pb
 
 
+def test_grpc_malformed_peer_goaway_and_recovery(grpc_rcv):
+    """Garbage frames from a bad peer get GOAWAY(PROTOCOL_ERROR) + a
+    closed connection, never a wedged half-open one — and the listener
+    keeps serving."""
+    import socket
+
+    from duckdb_otlp_spark.streaming.h2c import PREFACE
+    s = socket.create_connection(("127.0.0.1", grpc_rcv.port), timeout=5)
+    # valid preface, then a HEADERS frame whose payload is invalid HPACK
+    s.sendall(PREFACE + b"\x00\x00\x08\x01\x04\x00\x00\x00\x01" + b"\xff" * 8)
+    s.settimeout(10)
+    data = b""
+    while True:
+        chunk = s.recv(4096)
+        if not chunk:
+            break
+        data += chunk
+    assert data, "expected GOAWAY before close"
+    assert data[-9 - 8 + 3] == 7          # last frame type byte = GOAWAY
+    headers, _ = _export(grpc_rcv, LOGS_PATH, LOGS_SIMPLE[0])
+    assert headers["grpc-status"] == "0"
+
+
 def test_grpc_end_to_end_seal(spark, tmp_path):
     from pyspark.sql import functions as F
 
