@@ -221,6 +221,9 @@ def _any_json(v):
         return str(int(v["intValue"]))
     if "doubleValue" in v:
         return _dbl_text(v["doubleValue"])
+    if "bytesValue" in v:
+        # base64 text, matching the flatten's JSON-quote of bytesValue
+        return _quote(v["bytesValue"])
     if "arrayValue" in v:
         return "[" + ",".join(_any_json(x) for x in v["arrayValue"].get("values", [])) + "]"
     if "kvlistValue" in v:
@@ -269,9 +272,9 @@ def _scope_cols(resource, scope):
     }
 
 
-def expected_logs():
+def expected_logs(envelopes=None):
     rows = []
-    for env in LOGS_ENVELOPES:
+    for env in (LOGS_ENVELOPES if envelopes is None else envelopes):
         for rl in env["resourceLogs"]:
             for sl in rl["scopeLogs"]:
                 sc = _scope_cols(rl.get("resource"), sl.get("scope"))
@@ -529,6 +532,31 @@ READER_GATE_SQL["read_logs_pb"] = READER_GATE_SQL["read_logs_json"]
 
 
 # ---------------------------------------------------------------------------
+# OTAP (Arrow) decode path under the driver gate.  Spark side: the real
+# read_otap_logs over the reference's logs-initial.bar Arrow-IPC fixture
+# (read-only at /root/reference/test/data/otap).  Oracle side: the
+# semantically-equivalent logs-initial.otlp protobuf twin decoded by the
+# pure-Python proto wire decoder and hand-flattened by the SAME row-wise
+# flattener the other gate entries use — zero OTAP code on the oracle path.
+# This is the reference's own EXCEPT-parity contract
+# (test/sql/read_otap.test:44-79) upgraded to a value-hash check.
+# ---------------------------------------------------------------------------
+
+_OTAP_FIXTURE_DIR = Path("/root/reference/test/data/otap")
+
+
+def _otap_expected_logs_rows():
+    from duckdb_otlp_spark.sources.otlp_proto import decode_logs
+    env = decode_logs((_OTAP_FIXTURE_DIR / "logs-initial.otlp").read_bytes())
+    return expected_logs([env])
+
+
+if _OTAP_FIXTURE_DIR.exists():
+    READER_GATE_SQL["read_otap_logs"] = _values_sql(
+        _otap_expected_logs_rows(), _schemas.LOGS_SCHEMA, "time_unix_nano")
+
+
+# ---------------------------------------------------------------------------
 # Fixture files + Spark-side gate queries
 # ---------------------------------------------------------------------------
 
@@ -602,6 +630,13 @@ def q_read_metrics_exp_histogram_json(spark: SparkSession, sf_dir: str) -> DataF
     return df.orderBy("time_unix_nano")
 
 
+def q_read_otap_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_otlp_spark.sources.otap import OTAP_READERS
+    df = OTAP_READERS["logs"](
+        spark, str(_OTAP_FIXTURE_DIR / "logs-initial.bar"))
+    return df.orderBy("time_unix_nano")
+
+
 READER_GATE_QUERIES = {
     "read_logs_json": q_read_logs_json,
     "read_logs_pb": q_read_logs_pb,
@@ -611,3 +646,6 @@ READER_GATE_QUERIES = {
     "read_metrics_histogram_json": q_read_metrics_histogram_json,
     "read_metrics_exp_histogram_json": q_read_metrics_exp_histogram_json,
 }
+
+if _OTAP_FIXTURE_DIR.exists():
+    READER_GATE_QUERIES["read_otap_logs"] = q_read_otap_logs
