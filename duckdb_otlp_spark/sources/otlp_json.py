@@ -1061,14 +1061,19 @@ def read_otlp_metrics_summary(spark: SparkSession, path: str | list[str],
 
 
 def envelopes_from_lines(lines: DataFrame, signal: str,
-                         strict: bool = True) -> DataFrame:
+                         strict: bool = True,
+                         drop_observation=None) -> DataFrame:
     """Raw NDJSON lines (column ``value``) -> envelope rows (column ``env``).
 
     The streaming-ingest seal path: each spooled request body line parses
     with the same schema/error contract as the file readers. With
     ``strict=False`` malformed lines are dropped instead of failing the
     batch (receiver-side skip-and-count semantics,
-    reference: src/otlp_server.cpp:699-702).
+    reference: src/otlp_server.cpp:699-702).  Pass ``drop_observation``
+    (a ``pyspark.sql.Observation``) to count the dropped lines as metric
+    ``malformed`` — the observe node sits between the parse and the
+    keep-filter, so the count rides the seal's own job with no second
+    parse and no extra action.
     """
     def build():
         field, env_schema = _ENVELOPES[signal]
@@ -1090,7 +1095,13 @@ def envelopes_from_lines(lines: DataFrame, signal: str,
     nonblank, strict_env, lax_env, lax_keep = _memo(f"env_lines_{signal}", build)
     if strict:
         return lines.filter(nonblank).select(strict_env)
-    return lines.filter(nonblank).select(lax_env).filter(lax_keep)
+    parsed = lines.filter(nonblank).select(lax_env)
+    if drop_observation is not None:
+        parsed = parsed.observe(
+            drop_observation,
+            F.coalesce(F.sum(F.when(~lax_keep, F.lit(1)).otherwise(F.lit(0))),
+                       F.lit(0)).alias("malformed"))
+    return parsed.filter(lax_keep)
 
 
 FLATTEN = {

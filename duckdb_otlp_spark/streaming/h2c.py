@@ -194,6 +194,10 @@ class HpackDecoder:
     def __init__(self, max_table_size: int = 4096):
         self.dynamic: list[tuple[str, str]] = []
         self.max_size = max_table_size
+        # RFC 7541 §4.2: dynamic-table size updates above the advertised
+        # SETTINGS_HEADER_TABLE_SIZE are a decoding error (unbounded growth
+        # would be a memory DoS); we never advertise a different value.
+        self.settings_max_size = max_table_size
         self.size = 0
 
     @staticmethod
@@ -263,6 +267,11 @@ class HpackDecoder:
                 out.append((name, value))
             elif b & 0x20:                     # dynamic table size update
                 size, pos = self._int(data, pos, 5)
+                if size > self.settings_max_size:
+                    raise ValueError(
+                        "HPACK table size update %d exceeds advertised "
+                        "SETTINGS_HEADER_TABLE_SIZE %d"
+                        % (size, self.settings_max_size))
                 self.max_size = size
                 self._evict()
             else:                              # literal w/o indexing / never
@@ -484,6 +493,10 @@ class H2cGrpcServer:
                     if ftype == _F_HEADERS:
                         if flags & FLAG_PADDED:
                             pad = block[0]
+                            if pad >= len(block):   # RFC 7540 §6.2: padding
+                                # >= payload length is a PROTOCOL_ERROR
+                                raise ValueError("HEADERS pad length %d >= "
+                                                 "payload %d" % (pad, len(block)))
                             block = block[1:len(block) - pad]
                         if flags & 0x20:        # PRIORITY present
                             block = block[5:]
@@ -513,18 +526,30 @@ class H2cGrpcServer:
                             self._finish(send, stream, handlers.pop(sid))
                             streams.pop(sid, None)
                 elif ftype == _F_DATA:
+                    # Receive flow control: the CONNECTION window top-up must
+                    # happen for every DATA payload, even on unknown/rejected/
+                    # completed streams — their bytes still drained the
+                    # connection window, and a compliant client that keeps
+                    # sending after a reject would otherwise stall later
+                    # streams on a long-lived connection (RFC 7540 §6.9.1).
+                    if payload:
+                        send(_frame(_F_WINDOW, 0, 0,
+                                    struct.pack(">I", len(payload))))
                     stream = streams.get(sid)
                     if stream is None:
                         continue
                     data = payload
                     if flags & FLAG_PADDED:
                         pad = data[0]
+                        if pad >= len(data):    # RFC 7540 §6.1: padding >=
+                            # payload length is a PROTOCOL_ERROR
+                            raise ValueError("DATA pad length %d >= payload %d"
+                                             % (pad, len(data)))
                         data = data[1:len(data) - pad]
-                    # receive flow control: hand the window straight back
+                    # stream-level window top-up only while the stream lives
                     if payload:
-                        inc = struct.pack(">I", len(payload))
-                        send(_frame(_F_WINDOW, 0, 0, inc)
-                             + _frame(_F_WINDOW, 0, sid, inc))
+                        send(_frame(_F_WINDOW, 0, sid,
+                                    struct.pack(">I", len(payload))))
                     stream.buffer += data
                     handler = handlers.get(sid)
                     try:
@@ -595,6 +620,10 @@ class H2cGrpcServer:
                        ("content-type", "application/grpc")] + headers
         send(_frame(_F_HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM, sid,
                     hpack_encode(headers)))
+        # RST_STREAM(NO_ERROR) after the trailers tells a client that is
+        # still sending its body to stop (RFC 7540 §8.1) — otherwise its
+        # remaining DATA only burns window until end-of-stream.
+        send(_frame(_F_RST, 0, sid, struct.pack(">I", 0)))
 
 
 # ---------------------------------------------------------------------------

@@ -241,10 +241,14 @@ def _spool_payload(body: bytes) -> tuple[bytes, int]:
 
     Validation here is a prefix check only (every envelope line must
     open with '{'): full JSON validation on the accept path was the
-    single biggest GIL cost, and the seal's lax ``from_json`` parse
-    already drops malformed lines — the same split the reference makes
-    between its HTTP edge and its parse-at-seal
-    (reference: otlp_server.cpp:528-557). Raises ValueError -> 400."""
+    single biggest GIL cost. This is a DELIBERATE divergence from the
+    reference, which fully parses at ingest and 400s malformed bodies
+    (otlp_server.cpp:596-602) — we trade that for edge throughput. The
+    consequence is that a 202-accepted body can still be dropped by the
+    seal's lax ``from_json``; that loss is counted per seal and surfaced
+    as ``seal_malformed_lines`` in otlp_server_list plus a WARN line in
+    otlp_server_log, so a client with a broken exporter is observable
+    even though it got a success status. Raises ValueError -> 400."""
     stripped = body.strip()
     if not stripped:
         raise ValueError("empty body")
@@ -819,8 +823,10 @@ class OtlpHttpReceiver:
                 continue
         for conn in self._pipes:
             try:
-                conn.poll(10)
-                conn.recv()
+                # recv() only after poll() confirms data: a wedged (or
+                # killed) worker must time out here, not hang the flush
+                if conn.poll(10):
+                    conn.recv()
             except (EOFError, OSError):
                 continue
 

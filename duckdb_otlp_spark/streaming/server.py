@@ -151,6 +151,15 @@ class OtlpSparkServer:
         self.seal_failures_total = 0
         self.seal_restarts_total = 0
         self.sealed_rows_total = 0
+        # Lines 202-accepted at the edge but dropped by the seal's lax
+        # parse (the edge validates only a '{' prefix by design — the
+        # accept-path/parse-at-seal split).  Non-zero means a client's
+        # exporter is sending broken JSON and its data is being lost;
+        # surfaced per-seal in otlp_server_log and cumulatively in
+        # otlp_server_list (reference parses at ingest and 400s:
+        # otlp_server.cpp:596-602 — we trade that for edge throughput
+        # but keep the loss observable).
+        self.seal_malformed_total = 0
         self.warm_start = warm_start
         self.maintenance_every_seals = maintenance_every_seals
         self.maintenance_runs_total = 0
@@ -456,9 +465,10 @@ class OtlpSparkServer:
             batch_df = batch_df.observe(
                 obs, F.coalesce(F.sum(F.octet_length("value") + F.lit(1)),
                                 F.lit(0)).alias("nbytes"))
+            drop_obs = Observation()
             env = envelopes_from_lines(batch_df,
                                        "metrics" if signal == "metrics" else signal,
-                                       strict=False)
+                                       strict=False, drop_observation=drop_obs)
             if signal == "metrics":
                 shapes = (
                     ("otlp_metrics_gauge", flatten_metrics_gauge),
@@ -483,6 +493,13 @@ class OtlpSparkServer:
                 else:
                     self._write_table(df, table, batch_id)
             self.receiver.release_sealed(int(obs.get["nbytes"]), signal)
+            dropped = int(drop_obs.get["malformed"])
+            if dropped:
+                self.seal_malformed_total += dropped
+                self._log_event(
+                    f"seal dropped {dropped} malformed {signal} line(s) "
+                    f"(accepted at edge, unparseable at seal) batch={batch_id}",
+                    "WARN")
         return seal
 
     _WARM_SAMPLES = {
@@ -675,6 +692,7 @@ class OtlpSparkServer:
             "rejected_503": st.rejected_503,
             "skipped_summary_points": st.skipped_summary_points,
             "skipped_nan_points": st.skipped_nan_points,
+            "seal_malformed_lines": self.seal_malformed_total,
             "logs_requests": st.per_signal_requests["logs"],
             "traces_requests": st.per_signal_requests["traces"],
             "metrics_requests": st.per_signal_requests["metrics"],
@@ -706,6 +724,7 @@ _SERVER_ROW_SCHEMA = (
     "requests_total long, accepted_requests long, "
     "rejected_auth long, rejected_413 long, rejected_415 long, "
     "rejected_503 long, skipped_summary_points long, skipped_nan_points long, "
+    "seal_malformed_lines long, "
     "logs_requests long, traces_requests long, "
     "metrics_requests long, seals_total long, seal_failures_total long, "
     "seal_restarts_total long, sealed_rows_total long, last_seal_unix_ms long, "

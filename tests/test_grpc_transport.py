@@ -215,3 +215,119 @@ def test_grpc_end_to_end_seal(spark, tmp_path):
         assert logs.filter(F.col("service_name") == "test-service").count() == 3
     finally:
         otlp_stop(spark, info["uri"], drain=False)
+
+
+# --- flow-control / protocol-error hardening -------------------------------
+
+def _read_frames(sock, deadline=10.0):
+    """Yield (type, flags, sid, payload) until the peer closes or the
+    deadline passes."""
+    import struct as _struct
+    import time as _time
+    sock.settimeout(1.0)
+    buf = b""
+    end = _time.monotonic() + deadline
+    while _time.monotonic() < end:
+        while len(buf) >= 9:
+            ln = int.from_bytes(buf[:3], "big")
+            if len(buf) < 9 + ln:
+                break
+            ftype, flags = buf[3], buf[4]
+            sid = _struct.unpack(">I", buf[5:9])[0] & 0x7FFFFFFF
+            yield ftype, flags, sid, buf[9:9 + ln]
+            buf = buf[9 + ln:]
+        try:
+            chunk = sock.recv(4096)
+        except TimeoutError:
+            continue
+        except OSError:
+            return
+        if not chunk:
+            return
+        buf += chunk
+
+
+def test_hpack_table_size_update_bounded():
+    """RFC 7541 §4.2: a dynamic-table size update above the advertised
+    SETTINGS_HEADER_TABLE_SIZE (4096, never changed by this server) is a
+    decoding error, not an unbounded memory grant."""
+    dec = HpackDecoder()
+    # legal update: shrink to 0 then back within bounds
+    assert dec.decode(bytes([0x20])) == []          # size 0
+    assert dec.decode(bytes([0x20 | 0x1F, 0xE1, 0x1F])) == []  # 31+4065=4096
+    with pytest.raises(ValueError, match="table size update"):
+        # 31 + 8161 = 8192 > 4096
+        dec.decode(bytes([0x20 | 0x1F, 0xE1, 0x3F]))
+
+
+def test_padded_data_pad_too_large_is_protocol_error(grpc_rcv):
+    """RFC 7540 §6.1: pad length >= payload length must tear the
+    connection down via GOAWAY(PROTOCOL_ERROR), not corrupt the gRPC
+    frame buffer with a wrong slice."""
+    import socket
+    import struct
+
+    from duckdb_otlp_spark.streaming.h2c import PREFACE, hpack_encode
+
+    def frame(ftype, flags, sid, payload):
+        return (len(payload).to_bytes(3, "big") + bytes([ftype, flags])
+                + struct.pack(">I", sid) + payload)
+
+    s = socket.create_connection(("127.0.0.1", grpc_rcv.port), timeout=5)
+    try:
+        hdrs = hpack_encode([
+            (":method", "POST"), (":scheme", "http"), (":path", LOGS_PATH),
+            (":authority", "localhost"), ("content-type", "application/grpc"),
+            ("authorization", f"Bearer {TOKEN}")])
+        s.sendall(PREFACE + frame(1, 0x4, 1, hdrs))          # END_HEADERS
+        # PADDED DATA: pad length 200 >= 3-byte payload
+        s.sendall(frame(0, 0x8, 1, bytes([200]) + b"ab"))
+        saw_goaway = any(f[0] == 7 for f in _read_frames(s))
+        assert saw_goaway, "expected GOAWAY(PROTOCOL_ERROR)"
+    finally:
+        s.close()
+    # listener still serves fresh connections
+    headers, _ = _export(grpc_rcv, LOGS_PATH, LOGS_SIMPLE[0])
+    assert headers["grpc-status"] == "0"
+
+
+def test_window_topup_for_rejected_stream_data(grpc_rcv):
+    """DATA arriving for a stream the server already rejected must still
+    replenish the CONNECTION flow-control window (RFC 7540 §6.9.1) —
+    otherwise a long-lived connection leaks window until later streams
+    stall mid-body. The reject must also carry RST_STREAM so a compliant
+    client stops sending."""
+    import socket
+    import struct
+
+    from duckdb_otlp_spark.streaming.h2c import PREFACE, hpack_encode
+
+    def frame(ftype, flags, sid, payload):
+        return (len(payload).to_bytes(3, "big") + bytes([ftype, flags])
+                + struct.pack(">I", sid) + payload)
+
+    s = socket.create_connection(("127.0.0.1", grpc_rcv.port), timeout=5)
+    try:
+        # unknown service path -> rejected at on_headers (UNIMPLEMENTED)
+        hdrs = hpack_encode([
+            (":method", "POST"), (":scheme", "http"),
+            (":path", "/no.such.Service/Export"),
+            (":authority", "localhost"), ("content-type", "application/grpc")])
+        s.sendall(PREFACE + frame(1, 0x4, 1, hdrs))
+        # client keeps streaming its body after the reject
+        probe = b"x" * 37
+        s.sendall(frame(0, 0x0, 1, probe))
+        s.sendall(frame(0, 0x1, 1, b""))                      # END_STREAM
+        saw_rst = saw_topup = False
+        for ftype, flags, sid, payload in _read_frames(s, deadline=5.0):
+            if ftype == 3 and sid == 1:
+                saw_rst = True
+            if ftype == 8 and sid == 0 and \
+                    struct.unpack(">I", payload)[0] & 0x7FFFFFFF == len(probe):
+                saw_topup = True
+            if saw_rst and saw_topup:
+                break
+        assert saw_topup, "connection window never replenished for rejected-stream DATA"
+        assert saw_rst, "reject did not RST_STREAM the client"
+    finally:
+        s.close()

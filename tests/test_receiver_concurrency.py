@@ -133,3 +133,27 @@ def test_admission_budget_shared_across_workers(tmp_path):
         assert _post(rcv.port, "/v1/logs", LOG_ENV)[0] == 202
     finally:
         rcv.stop()
+
+
+def test_rotate_all_skips_wedged_worker():
+    """A wedged accept worker (pipe never answers) must not hang
+    otlp_flush: rotate_all only recv()s after poll() confirms a reply."""
+    import time
+
+    from duckdb_otlp_spark.streaming.receiver import OtlpHttpReceiver
+
+    class WedgedPipe:
+        def send(self, msg):
+            pass
+
+        def poll(self, timeout):
+            return False            # never answers
+
+        def recv(self):
+            raise AssertionError("recv() called on a pipe that never polled ready")
+
+    rcv = object.__new__(OtlpHttpReceiver)
+    rcv._pipes = [WedgedPipe()]
+    t0 = time.monotonic()
+    rcv.rotate_all()                # must return, not block forever
+    assert time.monotonic() - t0 < 5

@@ -321,3 +321,37 @@ def test_otap_http_ingest_end_to_end(spark, tmp_path_factory):
             str(srv.export_root / "otlp_metrics_gauge")).count() == 1
     finally:
         otlp_stop(spark, srv.uri.canonical)
+
+
+def test_seal_counts_malformed_dropped_lines(spark, tmp_path_factory):
+    """A body that passes the edge's '{' prefix check but is unparseable
+    JSON gets a 202 and is dropped by the seal's lax parse — that loss
+    must be observable: counted in otlp_server_list.seal_malformed_lines
+    and WARNed in otlp_server_log (the reference instead 400s at ingest,
+    otlp_server.cpp:596-602; we keep the edge cheap but never silent)."""
+    work = tmp_path_factory.mktemp("malformed")
+    row = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(work),
+                     auth_token=TOKEN, seal_max_age_ms=500, warm_start=False)
+    info = row.collect()[0]
+    from duckdb_otlp_spark.streaming.server import _get, otlp_server_log
+    srv = _get(info["uri"])
+    try:
+        url = srv.uri.url
+        # one good envelope + one '{'-prefixed but truncated body
+        assert _post(url, "/v1/logs", LOGS_SIMPLE[0])[0] == 202
+        code, _ = _post(url, "/v1/logs", b'{"resourceLogs": [', )
+        assert code == 202          # edge accepts: prefix check only
+        otlp_flush(spark, srv.uri.canonical)
+
+        assert srv.seal_malformed_total == 1
+        lst = otlp_server_list(spark).collect()
+        me = [r for r in lst if r["uri"] == srv.uri.canonical][0]
+        assert me["seal_malformed_lines"] == 1
+        logline = [r for r in otlp_server_log(spark, srv.uri.canonical).collect()
+                   if "malformed" in r["message"]]
+        assert logline and logline[0]["level"] == "WARN"
+        # the good envelope still sealed
+        logs = spark.read.parquet(str(srv.export_root / "otlp_logs"))
+        assert logs.count() == 1
+    finally:
+        otlp_stop(spark, info["uri"], drain=False)
