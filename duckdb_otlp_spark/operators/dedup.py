@@ -197,8 +197,7 @@ def _dot(a: Column, b: Column) -> Column:
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95,
-                             planes: int = 16, seed: int = 42,
-                             dims: int | None = None) -> DataFrame:
+                             planes: int = 16, seed: int = 42) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Candidates from random-hyperplane LSH (sign sketch over `planes`
@@ -206,24 +205,23 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     High-cosine pairs agree on most plane signs, so bucketing on the full
     sign sketch plus each one-bit-flipped variant catches near-dups
     without a cross join.
+
+    The hyperplane projection runs per-row over the array with
+    ``transform``/``aggregate``, so the plan is independent of the
+    embedding dimensionality — no driver-side probe of the data at
+    plan-build time (a ``first()`` here cost a Spark job per call), and
+    no d*planes unrolled expression tree.
     """
     v = F.col(vec_col).cast("array<double>")
-    first = df.select(F.col(vec_col)).first()
-    d = dims or (len(first[0]) if first else 0)
-    if d == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, cosine double")
 
-    # deterministic hyperplanes: component h[p][i] from xxhash64(seed,p,i)
-    def plane_component(p: int, i: int) -> Column:
-        h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(i))
-        return (h % 10007).cast("double") / 10007.0 - 0.5
-
+    # deterministic hyperplane component h[p][i] from xxhash64(seed,p,i),
+    # generated inside the row expression from the element index
     def sign_bit(p: int) -> Column:
-        proj = None
-        for i in range(d):
-            term = F.get(v, i) * plane_component(p, i)
-            proj = term if proj is None else proj + term
+        idx = F.sequence(F.lit(0), F.size(v) - F.lit(1))
+        terms = F.transform(idx, lambda i: F.get(v, i) * (
+            (F.xxhash64(F.lit(seed), F.lit(p), i) % 10007).cast("double")
+            / 10007.0 - 0.5))
+        proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     sketch = F.concat(*[sign_bit(p) for p in range(planes)])

@@ -1002,12 +1002,19 @@ _SQL_MINHASH_LIST = ", ".join(
 
 
 def _docs_parallel(spark, sf_dir):
-    """documents scan spread over all cores: locally the table is one
-    small parquet file (one split -> one task), so the CPU-heavy shingle
-    and hash work must be repartitioned; at scale the scan already has
-    enough splits and this is a narrow (doc_id, text) shuffle."""
-    return (_t(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    """documents scan with enough tasks to keep every core busy for the
+    CPU-heavy shingle/hash work.  The repartition is CONDITIONAL: it
+    only fires when the scan yields fewer splits than cores (the local
+    one-small-file case).  At scale the scan already has >= cores
+    splits, and an unconditional ``repartition()`` would be a full
+    shuffle of the text corpus before every MinHash/SimHash query —
+    exactly the shape that dies at 100 TB.  The split count comes from
+    the planned partitioning (file listing only, no job)."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= par:
+        return docs
+    return docs.repartition(par)
 
 
 def q_minhash_signature(spark, sf_dir):

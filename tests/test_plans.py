@@ -105,3 +105,36 @@ def test_codegen_active(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert rep.codegen_stages >= 1
+
+
+def test_docs_parallel_no_shuffle_when_splits_suffice(spark, tmp_path):
+    """_docs_parallel must NOT repartition when the scan already yields
+    >= defaultParallelism splits — an unconditional repartition() is a
+    full shuffle of the text corpus before every MinHash/SimHash query
+    at 100 TB. Simulated here with a many-file documents table."""
+    from duckdb_otlp_spark import queries as q
+
+    par = spark.sparkContext.defaultParallelism
+    src = q._t(spark, SF, "documents")
+    many = str(tmp_path / "documents.parquet")
+    src.repartition(par * 2).write.parquet(many)
+
+    df = q._docs_parallel(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the local one-small-file case still fans out
+    df_small = q._docs_parallel(spark, SF)
+    assert df_small.rdd.getNumPartitions() == par
+
+
+def test_embedding_near_dup_builds_plan_without_spark_job(spark):
+    """Building the near-dup plan must not run a Spark job (the old
+    first()-based dims probe cost one driver-side job per call)."""
+    from duckdb_otlp_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    scheduler = spark.sparkContext._jsc.sc().dagScheduler()
+    before = scheduler.nextJobId()          # total-jobs counter (py4j int)
+    pairs = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding")
+    _ = pairs._jdf.queryExecution().optimizedPlan()  # force analysis/optimize
+    assert scheduler.nextJobId() == before, "plan build triggered a Spark job"
