@@ -66,10 +66,18 @@ def build_ivf_index(df: DataFrame, id_col: str, vec_col: str,
 
     v = df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
 
-    # deterministic seeds: the n_centroids smallest-hashed vectors
-    seeds = (v.withColumn("__h", F.xxhash64(F.lit(seed), F.col("__id")))
-             .orderBy("__h").limit(n_centroids)
-             .select((F.row_number().over(W.orderBy("__h")) - 1).alias("centroid_id"),
+    # deterministic seeds: the n_centroids smallest-hashed vectors.  The
+    # hash is md5-derived (first 60 bits) rather than xxhash64 so the
+    # whole seeding is expressible in ANSI SQL and a foreign engine can
+    # re-derive the identical index (the driver's DuckDB oracle does).
+    seed_hash = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"),
+                                   F.col("__id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    seeds = (v.withColumn("__h", seed_hash)
+             .orderBy("__h", "__id").limit(n_centroids)
+             .select((F.row_number().over(W.orderBy("__h", "__id")) - 1)
+                     .alias("centroid_id"),
                      F.col("__v").alias("centroid")))
 
     centroids = seeds
@@ -115,6 +123,7 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, id_col: str,
                      "centroid_id",
                      (dot(F.col("centroid"), q)
                       / (l2_norm(F.col("centroid")) * l2_norm(q))).alias("c"))
-                  .orderBy(F.col("c").desc()).limit(nprobe).collect())]
+                  .orderBy(F.col("c").desc(), F.col("centroid_id"))
+                  .limit(nprobe).collect())]
     subset = assigned.filter(F.col("centroid_id").isin(probe_ids))
     return cosine_topk(subset, id_col, vec_col, query, k)

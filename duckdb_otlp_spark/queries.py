@@ -1197,11 +1197,17 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 10
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-probed approximate top-k (operators/similarity.build_ivf_index
     + ivf_search): vectors partition by nearest-of-16 deterministic
-    centroids; the query probes only the 4 closest partitions — the
-    100 TB layout prunes ~C/nprobe of the scan. No DuckDB oracle: the
-    centroid seeding uses Spark's xxhash64 (not SQL-expressible
-    cross-engine), so the driver records the rows-only check; the exact
-    brute-force baseline (`ann_cosine_topk`) IS hash-checked."""
+    md5-seeded centroids; the query probes only the 4 closest partitions
+    — the 100 TB layout prunes ~C/nprobe of the scan.
+
+    Fully oracle-checked: seeding is md5-derived (SQL-expressible), and
+    the registered query uses iters=0 (seed-vector quantizer, no Lloyd
+    refinement) because group-averaged centroid means cannot be
+    reproduced bitwise across engines (aggregation order differs); every
+    comparison in this pipeline is then a left-to-right fold both
+    engines compute identically (verified bitwise vs DuckDB
+    list_dot_product).  The Lloyd path (iters>0) stays covered by
+    pytest (tests/test_operators.py)."""
     from duckdb_otlp_spark.operators.similarity import build_ivf_index, ivf_search
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1209,10 +1215,63 @@ def q_ann_ivf_topk(spark, sf_dir):
          .select(F.col("embedding").cast("array<double>")).first()[0]]
     corpus = emb.filter(F.col("vec_id") != 0)
     assigned, centroids = build_ivf_index(corpus, "vec_id", "embedding",
-                                          n_centroids=16, iters=2)
+                                          n_centroids=16, iters=0)
     return (ivf_search(assigned, centroids, "vec_id", "embedding", q,
                        k=10, nprobe=4)
             .select("vec_id", F.col("cosine").alias("cos_sim")))
+
+
+# DuckDB twin of the ENTIRE IVF pipeline: identical md5-hash seeding,
+# identical nearest-centroid assignment (cos DESC, centroid_id
+# tie-break), identical 4-probe selection, identical final top-10.
+# list_dot_product is an ordered left-to-right fold, bitwise-equal to
+# the Spark aggregate/zip_with fold over the same doubles.
+SQL_ANN_IVF_TOPK = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS centroid_id,
+         v AS centroid
+  FROM (
+    SELECT vec_id, v,
+           CAST(('0x' || substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM corpus ORDER BY h, vec_id LIMIT 16
+  )
+),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT c.vec_id, c.v, s.centroid_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, s.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(s.centroid, s.centroid))) DESC,
+                      s.centroid_id) AS rn
+    FROM corpus c CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM seeds, q
+  ORDER BY list_dot_product(centroid, q.v)
+           / (sqrt(list_dot_product(centroid, centroid))
+              * sqrt(list_dot_product(q.v, q.v))) DESC,
+           centroid_id
+  LIMIT 4
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, q.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+FROM assign a JOIN probes p USING (centroid_id), q
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+"""
 
 
 def q_embedding_group_stats(spark, sf_dir):
@@ -1300,7 +1359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,       # fully oracle-checked (see SQL twin)
     "embedding_group_stats": q_embedding_group_stats,
     "lang_id": q_lang_id,
 }
@@ -1377,6 +1436,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_group_stats": SQL_EMBEDDING_GROUP_STATS,
     "lang_id": SQL_LANG_ID,
 }
