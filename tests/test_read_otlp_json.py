@@ -271,3 +271,49 @@ def test_join_logs_traces_on_ids(spark, otlp_fixtures):
     joined = logs.join(traces, "trace_id", "inner")
     # 2 logs share the trace with 3 spans -> 6 rows
     assert joined.count() == 6
+
+
+# --- Hadoop-FS URI scheme path (the s3a/abfs/gs claim rests on this same
+#     FileSystem API; `file:` is the in-container scheme that exercises it:
+#     reference analog: read_otlp.cpp:109-117 runs its glob through DuckDB's
+#     pluggable filesystems) ---
+
+def test_file_scheme_uri_and_glob(spark, otlp_fixtures):
+    """Explicit file:-scheme URIs (absolute URI form Hadoop FS resolves,
+    not bare local paths) through every reader mode, plus glob and
+    multi-directory patterns."""
+    root = otlp_fixtures["logs_simple.jsonl"].parent
+    uri = f"file://{root}/logs_simple.jsonl"
+    n = read_otlp_logs(spark, str(otlp_fixtures["logs_simple.jsonl"])).count()
+    assert n > 0
+    for mode in ("auto", "json", "lines"):
+        assert read_otlp_logs(spark, uri, mode=mode).count() == n
+
+    # scheme + glob through the binaryFile (auto) and text paths
+    assert read_otlp_logs(spark, f"file://{root}/logs_simp*.jsonl").count() == n
+    # bracket/char-class glob (Hadoop GlobFilter syntax)
+    assert read_otlp_logs(spark, f"file://{root}/logs_[s]imple.jsonl").count() == n
+    # multi-path list mixing scheme and plain
+    both = read_otlp_logs(
+        spark, [uri, str(otlp_fixtures["logs_simple.jsonl"])]).count()
+    assert both == 2 * n
+
+
+def test_file_scheme_glob_error_contracts(spark, otlp_fixtures, tmp_path):
+    """The 0-match and fail-on-any-bad-file contracts hold through the
+    file:-scheme FS path exactly as for bare paths
+    (reference: read_otlp_multifile_glob.test)."""
+    root = otlp_fixtures["multifile_valid_traces.jsonl"].parent
+    with pytest.raises(Exception):
+        read_otlp_logs(spark, f"file://{root}/nope_*.jsonl").count()
+    with pytest.raises(Exception, match="OTLP parse error"):
+        read_otlp_traces(spark, f"file://{root}/multifile_*_traces.jsonl").count()
+    # glob over a subdirectory tree: dir1/dir2/*.jsonl
+    d1 = tmp_path / "a" / "b"
+    d1.mkdir(parents=True)
+    src = otlp_fixtures["logs_simple.jsonl"].read_bytes()
+    (d1 / "part1.jsonl").write_bytes(src)
+    (d1 / "part2.jsonl").write_bytes(src)
+    per_file = read_otlp_logs(spark, str(d1 / "part1.jsonl")).count()
+    n = read_otlp_logs(spark, f"file://{tmp_path}/*/b/part*.jsonl").count()
+    assert n == 2 * per_file
