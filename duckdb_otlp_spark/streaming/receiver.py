@@ -118,6 +118,10 @@ class _SpoolSegmentWriter:
                 self._bytes = 0
                 self._opened = time.monotonic()
             self._fh.write(data)
+            # flush to the OS page cache: a SIGKILLed worker then loses at
+            # most a torn final line, not its whole userspace buffer — the
+            # orphaned .tmp is recovered (renamed visible) at next start
+            self._fh.flush()
             self._bytes += len(data)
             if (self._bytes >= self.rotate_bytes
                     or (time.monotonic() - self._opened) * 1000 >= self.rotate_ms):
@@ -805,7 +809,21 @@ class OtlpHttpReceiver:
         self._pipes.append(parent_conn)
         return int(detail)
 
+    def _recover_orphan_segments(self) -> None:
+        """Rename leftover dot-prefixed temp segments (from a crashed
+        worker of a previous incarnation) visible, so their accepted
+        lines re-enter the pipeline instead of rotting on disk.  A torn
+        final line (write cut mid-flush) is dropped by the seal's lax
+        parse and counted in seal_malformed_lines."""
+        for sig in ("logs", "traces", "metrics"):
+            for tmp in (self.spool_dir / sig).glob(".seg_*.jsonl.tmp"):
+                try:
+                    tmp.rename(tmp.parent / tmp.name[1:-len(".tmp")])
+                except OSError:
+                    pass  # concurrent recovery; the other rename won
+
     def start(self) -> None:
+        self._recover_orphan_segments()
         # worker 0 resolves port 0 to a real port and holds it; the
         # remaining shards then bind the SAME port via SO_REUSEPORT —
         # no discover/close/rebind race

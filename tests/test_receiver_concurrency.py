@@ -157,3 +157,96 @@ def test_rotate_all_skips_wedged_worker():
     t0 = time.monotonic()
     rcv.rotate_all()                # must return, not block forever
     assert time.monotonic() - t0 < 5
+
+
+def test_worker_kill9_bounded_loss_and_live_listener(tmp_path):
+    """Process-death chaos (the gRPC GOAWAY tests cover protocol errors;
+    this covers kill -9): SIGKILL one SO_REUSEPORT accept worker
+    mid-load, then assert (a) the listener keeps accepting on the other
+    shards, (b) rotate_all/stop do not hang on the dead worker's pipe,
+    and (c) the loss window is EXACTLY the documented at-most-once
+    window — accepted lines that sat in the dead worker's un-rotated
+    dot-prefixed temp segment, still present on disk and accounted for:
+    visible + orphaned-tmp == all 202-accepted lines
+    (reference contract: serve.md:363-369)."""
+    import json
+    import os
+    import signal
+    import time
+    import urllib.request
+    import urllib.error
+
+    from duckdb_otlp_spark.streaming.receiver import OtlpHttpReceiver
+
+    spool = tmp_path / "spool"
+    rcv = OtlpHttpReceiver("127.0.0.1", 0, spool, disable_auth=True,
+                           accept_workers=3)
+    rcv.start()
+    env = {"resourceLogs": [{"scopeLogs": [{"logRecords": [
+        {"timeUnixNano": "1", "body": {"stringValue": "chaos"}}]}]}]}
+    body = json.dumps(env).encode()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rcv.port}/v1/logs", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status
+
+    accepted = 0
+    for _ in range(40):
+        assert post() == 202
+        accepted += 1
+
+    victim = rcv._procs[1]
+    os.kill(victim.pid, signal.SIGKILL)
+    victim.join(timeout=10)
+    assert not victim.is_alive()
+
+    # listener keeps serving: SO_REUSEPORT stops routing to the dead
+    # shard once its socket closes; a request racing the close may fail
+    # once and is retried (that's inside the documented window)
+    ok = 0
+    for _ in range(40):
+        try:
+            if post() == 202:
+                ok += 1
+        except (urllib.error.URLError, ConnectionError, OSError):
+            continue
+    assert ok >= 35, f"listener degraded after worker death: {ok}/40"
+    accepted += ok
+
+    # rotate_all must return despite the dead worker's pipe (poll guard)
+    t0 = time.monotonic()
+    rcv.rotate_all()
+    assert time.monotonic() - t0 < 15
+
+    def count_lines(paths):
+        return sum(len(p.read_bytes().decode().splitlines()) for p in paths)
+
+    visible = count_lines((spool / "logs").glob("seg_*.jsonl"))
+    orphaned = count_lines((spool / "logs").glob(".seg_*.jsonl.tmp"))
+    # at-most-once accounting: appends flush to the page cache, so the
+    # victim's accepts survive SIGKILL in its orphaned .tmp segment —
+    # the loss window is at most one torn final line.  Everything
+    # accepted by the surviving shards, before or after the kill, must
+    # be durable once rotate_all returns.
+    loss = accepted - (visible + orphaned)
+    assert 0 <= loss <= 1, (visible, orphaned, accepted)
+    assert visible >= ok, "a post-kill accept was lost"
+    assert visible > 0
+
+    # a restarted receiver over the same spool recovers the orphan
+    rcv2 = OtlpHttpReceiver("127.0.0.1", 0, spool, disable_auth=True,
+                            accept_workers=1)
+    rcv2._recover_orphan_segments()
+    assert not list((spool / "logs").glob(".seg_*.jsonl.tmp"))
+    recovered = count_lines((spool / "logs").glob("seg_*.jsonl"))
+    assert recovered == visible + orphaned
+
+    # shared accept counters survived the worker death
+    assert rcv.stats.accepted_requests == accepted
+
+    t0 = time.monotonic()
+    rcv.stop()
+    assert time.monotonic() - t0 < 30
