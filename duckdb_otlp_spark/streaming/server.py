@@ -98,6 +98,7 @@ class OtlpSparkServer:
                  maintenance_every_seals: int = DEFAULT_MAINTENANCE_EVERY_SEALS,
                  zstd: bool = True,
                  sink: str = "parquet",
+                 iceberg_export: bool = True,
                  warm_start: bool = True,
                  accept_workers: int = 2,
                  create_tables: bool = True,
@@ -125,6 +126,15 @@ class OtlpSparkServer:
         # (all signals of a seal commit in ONE snapshot, otlp_server.cpp:
         # 1109-1271); parquet mode = the at-least-once COPY export path
         self.catalog = SnapshotCatalog(self.export_root) if sink == "catalog" else None
+        # catalog commits additionally publish Iceberg v1 metadata so any
+        # Iceberg-speaking engine (Trino, DuckDB iceberg_scan, Spark with
+        # jars) reads the live tables — the reference's DuckLake/Iceberg
+        # ecosystem contract (reference: otlp_server.cpp:1109-1271,
+        # serve.md:199-213). Incremental: O(new files) per seal.
+        self.iceberg: Any = None
+        if self.catalog is not None and iceberg_export:
+            from duckdb_otlp_spark.iceberg_export import IcebergExporter
+            self.iceberg = IcebergExporter(self.catalog)
         self.create_tables = create_tables
         self._target_schemas: dict[str, Any] = {}
         # transport='grpc' serves OTLP/gRPC unary Export over the
@@ -436,6 +446,15 @@ class OtlpSparkServer:
         for table, _ in tables:
             self._record_seal(table, rows[table], batch_id, stage_ms, "ok",
                               commit_ms=commit_ms)
+        if self.iceberg is not None:
+            try:
+                for table, _ in tables:
+                    self.iceberg.export_table(table)
+            except Exception as e:  # noqa: BLE001 — metadata mirror only:
+                # the catalog commit already succeeded; losing one Iceberg
+                # render is recoverable (next seal re-renders), a failed
+                # seal is not
+                self._log_event(f"iceberg export failed: {e}", "WARN")
         self._log_event(f"seal: catalog={self.export_root} "
                         f"rows={sum(rows.values())} batch={batch_id}")
 
