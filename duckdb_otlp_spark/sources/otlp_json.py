@@ -393,10 +393,17 @@ def _ns_long(c: Column, what: str) -> Column:
 
     Mirrors the parse failure in the reference
     (reference: test/sql/read_otlp_timestamp_overflow.test:1-38).
-    """
+
+    Hot-path shape: ``try_cast('long')`` (a cheap integer parse) covers
+    every in-range value; only values it rejects — non-numeric,
+    fractional, or > i64::MAX, all rare — pay the Decimal(38,0) parse
+    that distinguishes overflow from garbage. CASE branches evaluate
+    lazily in codegen, so well-formed batches never touch decimal."""
+    fast = c.try_cast("long")
     dec = c.try_cast(T.DecimalType(38, 0))
     return (
         F.when(c.isNull(), F.lit(None).cast("long"))
+        .when(fast.isNotNull(), fast)
         .when(dec.isNull(),
               F.raise_error(F.concat(F.lit(f"OTLP parse error: invalid {what} value '"),
                                      c, F.lit("'"))))
@@ -407,17 +414,24 @@ def _ns_long(c: Column, what: str) -> Column:
 
 
 def _ns_ts(c: Column, what: str) -> Column:
-    """u64-nanosecond value -> TimestampNTZ (µs precision, ns truncated)."""
+    """u64-nanosecond value -> TimestampNTZ (µs precision, ns truncated).
+
+    The ns -> µs division must be exact above 2^53, so it cannot run in
+    double; long -> decimal is a cheap widening (no string parse), only
+    the original string -> decimal parse was hot."""
     dec_us = _ns_long(c, what).cast(T.DecimalType(38, 0)) / F.lit(1000)
     us = F.floor(dec_us).try_cast("long")
     return F.timestamp_micros(us).cast(T.TimestampNTZType())
 
 
 def _ns_suspect(c: Column) -> Column:
-    """True when a u64-ns field is non-numeric or overflows int64."""
+    """True when a u64-ns field is non-numeric or overflows int64.
+    Long-first like :func:`_ns_long`: anything try_cast('long') accepts
+    is in range, so the decimal parse only runs on its rejects."""
     dec = c.try_cast(T.DecimalType(38, 0))
-    return (c.isNotNull() & dec.isNull()) | \
-        (dec > F.lit(_I64_MAX).cast(T.DecimalType(38, 0)))
+    return (F.when(c.isNull() | c.try_cast("long").isNotNull(), F.lit(False))
+            .otherwise(dec.isNull() |
+                       (dec > F.lit(_I64_MAX).cast(T.DecimalType(38, 0)))))
 
 
 def _validated(arr: Column, ns_fields: list[str]) -> Column:
@@ -463,10 +477,17 @@ _ENUM_MAPS = {
 
 
 def _enum_int(c: Column, mapping: dict[str, int], default: int | None = 0) -> Column:
-    """proto3 JSON enum (name string or number) -> IntegerType."""
-    out = c.try_cast("long").try_cast("int")
-    for name, num in mapping.items():
-        out = F.when(c == name, F.lit(num)).otherwise(out)
+    """proto3 JSON enum (name string or number) -> IntegerType.
+
+    Numeric-first: exporters overwhelmingly send the number form, and the
+    branch chain over the name strings (24 deep for severity) would
+    otherwise run string-compares on every record before falling through
+    to the cast it needed all along."""
+    num = c.try_cast("long").try_cast("int")
+    by_name: Column = F.lit(None).cast("int")
+    for name, n in mapping.items():
+        by_name = F.when(c == name, F.lit(n)).otherwise(by_name)
+    out = F.when(num.isNotNull(), num).otherwise(by_name)
     if default is not None:
         out = F.coalesce(out, F.lit(default))
     return out.cast("int")

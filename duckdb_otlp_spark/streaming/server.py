@@ -464,6 +464,9 @@ class OtlpSparkServer:
             # start, or a signal with no traffic); short-circuit before
             # building four flatten plans + four parquet commits of
             # nothing — this was tens of seconds of dead work per drain.
+            # (inputFiles() is NOT usable here: the micro-batch DF hides
+            # its file list, returning [] even for non-empty batches —
+            # isEmpty's limit-1 job is the cheapest correct check.)
             if batch_df.isEmpty():
                 return
             # The streaming file source plans one scan task per spool
@@ -543,7 +546,17 @@ class OtlpSparkServer:
         The three signals warm in parallel threads: the Python-side
         expression build interleaves py4j socket round-trips (GIL
         released while the JVM works), and the JVM compiles the three
-        codegen units concurrently."""
+        codegen units concurrently.
+
+        After the plan warm, one *realistic* mini-seal runs for the logs
+        signal: a spooled text scan -> lax parse -> flatten -> y/m/d
+        partitioned parquet write of a few tens of thousands of rows to
+        a scratch dir. A fresh JVM's first heavy seal was measured 2.5-4x
+        slower than steady state (C2 JIT + the FileScan-variant codegen
+        + parquet/zstd writer init all cold); tens of thousands of rows
+        cross the JIT thresholds so the first real batch runs compiled
+        code. This happens before the listener accepts, so it never
+        counts against live ingest."""
         def warm(signal: str, line: str) -> None:
             df = self.spark.createDataFrame([(line,)], "value string")
             env = envelopes_from_lines(df, signal, strict=False)
@@ -561,6 +574,42 @@ class OtlpSparkServer:
             t.start()
         for t in threads:
             t.join()
+        self._warm_write_path()
+
+    def _warm_write_path(self, lines: int = 32, records: int = 1000) -> None:
+        import json as _json
+        import shutil
+        import tempfile
+
+        rec = {"timeUnixNano": "1700000000000000000", "severityNumber": 9,
+               "severityText": "INFO", "body": {"stringValue": "warm line"},
+               "attributes": [{"key": "k", "value": {"stringValue": "v"}}]}
+        env = {"resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "warm"}}]},
+            "scopeLogs": [{"scope": {"name": "warm"},
+                           "logRecords": [rec] * records}]}]}
+        line = _json.dumps(env, separators=(",", ":")) + "\n"
+        scratch = Path(tempfile.mkdtemp(prefix="otlp_warm_"))
+        try:
+            spool = scratch / "spool"
+            spool.mkdir()
+            (spool / "warm.ndjson").write_text(line * lines)
+            src = self.spark.read.format("text").load(str(spool))
+            par = self.spark.sparkContext.defaultParallelism
+            df = FLATTEN["logs"](envelopes_from_lines(
+                src.repartition(par), "logs", strict=False))
+            (df.withColumn("year", F.date_format(F.col("time_unix_nano"), "yyyy"))
+               .withColumn("month", F.date_format(F.col("time_unix_nano"), "MM"))
+               .withColumn("day", F.date_format(F.col("time_unix_nano"), "dd"))
+               .write.mode("overwrite")
+               .partitionBy("year", "month", "day")
+               .option("compression", self.compression)
+               .parquet(str(scratch / "out")))
+        except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+            self._log_event(f"write-path warm failed: {e}", "WARN")
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
 
     def start(self) -> None:
         self._ensure_target_tables()
