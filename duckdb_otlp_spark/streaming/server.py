@@ -476,7 +476,19 @@ class OtlpSparkServer:
             # are already balanced, and shuffling the raw spool lines
             # was measured to DOUBLE the seal wall time (15.5 s vs
             # 7.3 s for a 2M-row batch) versus parsing in place.
-            par = self.spark.sparkContext.defaultParallelism
+            # Edge co-location headroom: the accept workers are Python
+            # processes sharing this host with the executor threads (in
+            # local mode, and on any edge node running both roles). A
+            # seal that schedules one scan task per core starves them —
+            # measured: a seal overlapping the accept burst dragged
+            # acceptance from 1.4 s to 10.9 s for the same 2M records,
+            # a 3-task reservation restored it. Reserving a few cores
+            # costs the seal <15% when uncontended and removes the
+            # collapse entirely. On a real cluster where receivers run
+            # on separate edge nodes, defaultParallelism counts executor
+            # cores (not the edge host), so the reservation is noise.
+            dp = self.spark.sparkContext.defaultParallelism
+            par = max(8, dp - 2 - 2 * self.receiver.accept_workers)
             batch_df = batch_df.coalesce(par)
             # the spooled-byte sum rides the seal's write job as an
             # Observation instead of costing its own aggregation job
@@ -576,7 +588,19 @@ class OtlpSparkServer:
             t.join()
         self._warm_write_path()
 
-    def _warm_write_path(self, lines: int = 32, records: int = 1000) -> None:
+    def _warm_write_path(self, files: int = 8, lines: int = 8,
+                         records: int = 1000) -> None:
+        """Replicate the live seal's EXACT plan shape on scratch data.
+
+        Shape matters, not just the operators: the seal's
+        coalesce-above-scan keeps scan -> parse -> flatten -> write in
+        ONE whole-stage-codegen unit, so warming with a repartition
+        (which splits the plan at an Exchange) compiles a *different*
+        generated class and the first live batch still runs cold. This
+        mirrors `_seal_batch` statement-for-statement — coalesce, both
+        Observations, `_promote`, y/m/d append write — minus the
+        telemetry side effects (seal events, byte release) that would
+        pollute `otlp_seal_list` with a synthetic seal."""
         import json as _json
         import shutil
         import tempfile
@@ -594,18 +618,30 @@ class OtlpSparkServer:
         try:
             spool = scratch / "spool"
             spool.mkdir()
-            (spool / "warm.ndjson").write_text(line * lines)
-            src = self.spark.read.format("text").load(str(spool))
-            par = self.spark.sparkContext.defaultParallelism
-            df = FLATTEN["logs"](envelopes_from_lines(
-                src.repartition(par), "logs", strict=False))
-            (df.withColumn("year", F.date_format(F.col("time_unix_nano"), "yyyy"))
-               .withColumn("month", F.date_format(F.col("time_unix_nano"), "MM"))
-               .withColumn("day", F.date_format(F.col("time_unix_nano"), "dd"))
-               .write.mode("overwrite")
+            for i in range(files):
+                (spool / f"warm-{i}.ndjson").write_text(line * lines)
+            dp = self.spark.sparkContext.defaultParallelism
+            par = max(8, dp - 2 - 2 * self.receiver.accept_workers)
+            src = (self.spark.read.format("text").load(str(spool))
+                   .coalesce(par))
+            obs = Observation()
+            src = src.observe(
+                obs, F.coalesce(F.sum(F.octet_length("value") + F.lit(1)),
+                                F.lit(0)).alias("nbytes"))
+            drop_obs = Observation()
+            df = self._promote(FLATTEN["logs"](envelopes_from_lines(
+                src, "logs", strict=False, drop_observation=drop_obs)))
+            ts = _PARTITION_TS.get(TARGET_TABLES["logs"], "time_unix_nano")
+            wobs = Observation()
+            (df.withColumn("year", F.date_format(F.col(ts), "yyyy"))
+               .withColumn("month", F.date_format(F.col(ts), "MM"))
+               .withColumn("day", F.date_format(F.col(ts), "dd"))
+               .observe(wobs, F.count(F.lit(1)).alias("rows"))
+               .write.mode("append")
                .partitionBy("year", "month", "day")
                .option("compression", self.compression)
                .parquet(str(scratch / "out")))
+            assert int(wobs.get["rows"]) == files * lines * records
         except Exception as e:  # noqa: BLE001 — warm-up is best-effort
             self._log_event(f"write-path warm failed: {e}", "WARN")
         finally:
