@@ -175,6 +175,11 @@ class OtlpSparkServer:
         self.maintenance_runs_total = 0
         self.maintenance_history: list[dict[str, Any]] = []
         self._maintenance_busy = threading.Lock()
+        # async-maintenance quiescence: scheduled-but-unfinished runs.
+        # flush() waits on this so "flush then inspect" stays
+        # deterministic even though compaction runs off-thread.
+        self._maintenance_cv = threading.Condition()
+        self._maintenance_pending = 0
         # EWMA ingress rate (reference: otlp_start_stop.cpp EWMA column):
         # sampled from the admitted-bytes counter on every seal and on
         # every server_row read, tau = 10 s
@@ -336,7 +341,39 @@ class OtlpSparkServer:
         self._update_ewma()
         if (status == "ok" and self.maintenance_every_seals
                 and seq % self.maintenance_every_seals == 0):
+            self._schedule_maintenance()
+
+    def _schedule_maintenance(self) -> None:
+        """Run cadence maintenance on a daemon thread, NOT inline in the
+        seal: a synchronous compaction inside foreachBatch blocks the
+        micro-batch loop for the whole rewrite, so every Nth seal would
+        stall live ingest until the bounded buffer fills and the edge
+        starts shedding 503s. Off-thread, the seal only pays the thread
+        spawn; `_maintenance_busy` still guarantees single-flight, and
+        `_wait_maintenance_idle` restores determinism where callers
+        need it (flush)."""
+        with self._maintenance_cv:
+            self._maintenance_pending += 1
+        threading.Thread(target=self._run_scheduled_maintenance,
+                         name="otlp-maintenance", daemon=True).start()
+
+    def _run_scheduled_maintenance(self) -> None:
+        try:
             self._maybe_run_maintenance()
+        finally:
+            with self._maintenance_cv:
+                self._maintenance_pending -= 1
+                self._maintenance_cv.notify_all()
+
+    def _wait_maintenance_idle(self, timeout: float = 300.0) -> bool:
+        deadline = time.monotonic() + timeout
+        with self._maintenance_cv:
+            while self._maintenance_pending > 0:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    return False
+                self._maintenance_cv.wait(left)
+        return True
 
     def _maybe_run_maintenance(self) -> None:
         """Post-seal best-effort compaction, cadence-gated like the
@@ -731,6 +768,10 @@ class OtlpSparkServer:
             t.join()
         if errors:
             raise errors[0]
+        # flush is the sync point: seals scheduled during the drain may
+        # have kicked off async compaction — callers that flush-then-read
+        # must see its result, not race it
+        self._wait_maintenance_idle()
         return {"status": "ok", "sealed_rows": self.sealed_rows_total - before,
                 "seals_total": self._seal_seq}
 
