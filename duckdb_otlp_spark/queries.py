@@ -1308,6 +1308,204 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: sessionization / sampling / clustering / ranking
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream: a new session
+    starts after >6 h of inactivity per user; one row per session with
+    start/end/count/value rollups — the classic telemetry -> training
+    -sequence step.
+
+    Scale shape: ONE hash shuffle on user_id serves everything. The lag
+    window, the running-sum window, and the (user_id, session_idx)
+    aggregation all share that partitioning, so Catalyst plans a single
+    Exchange (pinned by tests/test_plans.py) — at 100 TB the sort
+    within each user partition is the only per-row cost after the
+    shuffle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts"))
+    new_sess = F.when(sec - F.lag(sec).over(w) > 6 * 3600, 1).otherwise(0)
+    run = (W.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sess = (ev.withColumn("new_sess", new_sess)
+            .withColumn("session_idx", F.sum("new_sess").over(run)))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .orderBy("user_id", "session_idx"))
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+), sess AS (
+    SELECT user_id, ts, value,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+    FROM flagged)
+SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-data splits:
+    keep 15% of English docs and 40% of every other language, decided
+    by a content-stable hash (md5 of lang:doc_id mod 1000), NOT rand()
+    — the split is reproducible across runs, engines, and repartitions,
+    which is the property a train/eval split actually needs.
+
+    Scale shape: map-only — a per-row hash + comparison, no shuffle
+    (the orderBy here is presentation-only; the operator itself is a
+    filter). Sampling 100 TB costs one scan."""
+    docs = _t(spark, sf_dir, "documents")
+    key = _md5int(F.concat_ws(":", F.col("lang"),
+                              F.col("doc_id").cast("string"))) % 1000
+    rate = F.when(F.col("lang") == "en", F.lit(150)).otherwise(F.lit(400))
+    return (docs.filter(key < rate)
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id"))
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_SQL_MD5INT % "lang || ':' || CAST(doc_id AS VARCHAR)"} % 1000
+      < CASE WHEN lang = 'en' THEN 150 ELSE 400 END
+ORDER BY doc_id
+"""
+
+
+def q_dedup_cluster(spark, sf_dir):
+    """Connected components over the verified MinHash-LSH near-duplicate
+    pairs — the 'group duplicates, keep one canonical doc per cluster'
+    step after candidate verification. cluster_id = min doc_id in the
+    component; is_canonical marks the survivor.
+
+    Scale shape: min-label propagation to a fixpoint. Each round is one
+    shuffle-join of the label table against the (persisted) symmetric
+    edge list + a groupBy min — O(E) per round, and near-dup components
+    are near-cliques (every copy pairs with every other), so the label
+    radius covers them in 2-3 rounds; the loop stops when a round
+    changes nothing (convergence test is a limit-1 anti-check, not a
+    full count). Labels persist per round so lineage never re-runs the
+    MinHash pipeline. This is the standard Spark pattern for
+    small-diameter CC (large-star/small-star reduces to it when
+    components are cliques)."""
+    from pyspark.storagelevel import StorageLevel
+
+    disk = StorageLevel.MEMORY_AND_DISK
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                   F.col("doc_a").alias("doc_b"))).persist(disk)
+    labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).persist(disk))
+    for _ in range(20):
+        nbr = (sym.join(labels.select(F.col("doc_id").alias("doc_b"), "label"),
+                        "doc_b")
+               .groupBy("doc_a").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
+                      .select(labels["doc_id"],
+                              F.least(labels["label"],
+                                      F.coalesce(F.col("nbr_label"),
+                                                 labels["label"])).alias("label"))
+                      .persist(disk))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (labels.select("doc_id", F.col("label").alias("cluster_id"),
+                         (F.col("doc_id") == F.col("label")).alias("is_canonical"))
+           .orderBy("cluster_id", "doc_id"))
+    sym.unpersist()
+    return out
+
+
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, node) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
+SELECT src AS doc_id, min(node) AS cluster_id,
+       src = min(node) AS is_canonical
+FROM reach GROUP BY src ORDER BY cluster_id, doc_id
+"""
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 relevance ranking of the corpus against a fixed term query
+    — the retrieval/quality-scoring primitive of a data pipeline
+    (Okapi BM25, k1=1.2 b=0.75, natural-log idf).
+
+    Scale shape: the term filter applies DIRECTLY under the explode, so
+    only query-term tokens ever reach a shuffle — the groupBys run on a
+    vanishingly small slice of the corpus. Document frequency (3 rows)
+    and the corpus stats (1 row) broadcast; nothing re-shuffles the
+    documents table itself."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = (docs.select("doc_id", F.size(words).alias("dl"),
+                        F.explode(words).alias("term"))
+            .filter(F.col("term").isin(*_BM25_TERMS)))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    stats = docs.agg(F.count("*").alias("n_docs"),
+                     F.avg(F.size(words)).alias("avgdl"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0)
+    k1, b = _BM25_K1, _BM25_B
+    score = (idf * F.col("tf") * (k1 + 1)
+             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum(score), 4).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), "doc_id").limit(15))
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+    SELECT doc_id, len(words) AS dl, unnest(words) AS term
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+          FROM documents)
+), tf AS (
+    SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+    WHERE term IN {_BM25_TERMS!r}
+    GROUP BY doc_id, dl, term
+), stats AS (
+    SELECT count(*) AS n_docs,
+           avg(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS avgdl
+    FROM documents
+), dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))),
+             4) AS bm25
+FROM tf JOIN dfreq USING (term), stats
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1325,12 +1523,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "like_search": q_like_search,
     "ilike_search": q_ilike_search,
     "regexp": q_regexp,
-    "coalesce_cast": q_coalesce_cast,
     "json_extract": q_json_extract,
-    "string_funcs": q_string_funcs,
-    "date_trunc": q_date_trunc,
     "time_bucket": q_time_bucket,
-    "array_ops": q_array_ops,
     "unnest_struct": q_unnest_struct,
     "multimodal_features": q_multimodal_features,
     "dedup_embedding": q_dedup_embedding,
@@ -1362,6 +1556,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,       # fully oracle-checked (see SQL twin)
     "embedding_group_stats": q_embedding_group_stats,
     "lang_id": q_lang_id,
+    "sessionize": q_sessionize,
+    "stratified_sample": q_stratified_sample,
+    "dedup_cluster": q_dedup_cluster,
+    "bm25_topk": q_bm25_topk,
 }
 
 # Reader-layer differential gate (§2A readers under the driver's hard
@@ -1376,15 +1574,21 @@ from duckdb_otlp_spark.reader_gate import (  # noqa: E402
 QUERIES.update(READER_GATE_QUERIES)
 
 # Past the driver's 50-entry snapshot boundary from here on: trivial scalar
-# variants (IN-list, CASE, IS NULL, make_timestamp, hex codec, UNION ALL,
-# DISTINCT) whose behaviour is redundantly exercised by in-window siblings
-# and by the pytest oracle differential over every registered entry.
+# variants (IN-list, CASE, IS NULL, scalar string/date/array functions,
+# make_timestamp, hex codec, UNION ALL, DISTINCT) whose behaviour is
+# redundantly exercised by in-window siblings (regexp/json_extract/
+# time_bucket/unnest_struct cover the same expression families) and by the
+# pytest oracle differential over every registered entry.
 QUERIES.update({
     "in_list": q_in_list,
     "case_when": q_case_when,
+    "coalesce_cast": q_coalesce_cast,
     "null_checks": q_null_checks,
+    "string_funcs": q_string_funcs,
+    "date_trunc": q_date_trunc,
     "make_timestamp": q_make_timestamp,
     "hex_roundtrip": q_hex_roundtrip,
+    "array_ops": q_array_ops,
     "union_all": q_union_all,
     "distinct": q_distinct,
 })
@@ -1439,6 +1643,10 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_group_stats": SQL_EMBEDDING_GROUP_STATS,
     "lang_id": SQL_LANG_ID,
+    "sessionize": SQL_SESSIONIZE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "dedup_cluster": SQL_DEDUP_CLUSTER,
+    "bm25_topk": SQL_BM25_TOPK,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

@@ -127,6 +127,59 @@ def test_docs_parallel_no_shuffle_when_splits_suffice(spark, tmp_path):
     assert df_small.rdd.getNumPartitions() == par
 
 
+def test_sessionize_single_shuffle(spark):
+    """Sessionization must reuse ONE user_id hash partitioning for the
+    lag window, the running-sum window, and the per-session aggregation
+    — a second exchange doubles the dominant cost at 100 TB. (The only
+    other exchange allowed is the presentation orderBy's range
+    partitioning.)"""
+    rep = _rep(spark, "sessionize")
+    # audit counts each Exchange twice in formatted mode (tree + detail):
+    # 4 == one user_id hash exchange + the presentation range exchange
+    assert rep.exchanges <= 4, rep.exchanges
+    assert not rep.has_python_eval
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Hash-mod stratified sampling is a filter: no hash exchange may
+    appear below the presentation sort, and the hash predicate must not
+    block column pruning."""
+    rep = _rep(spark, "stratified_sample")
+    # one range exchange for the orderBy (double-counted), zero hash
+    assert rep.exchanges <= 2, rep.exchanges
+    scan = rep.scan_for("documents.parquet")
+    assert set(scan.read_columns) == {"doc_id", "lang", "source"}
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """BM25's document-frequency (|terms| rows) and corpus-stats (1 row)
+    sides must broadcast; re-shuffling per-token rows against them would
+    shuffle the tokenized corpus twice."""
+    rep = _rep(spark, "bm25_topk")
+    assert rep.broadcast_joins >= 1
+    assert not rep.has_python_eval
+
+
+def test_dedup_cluster_converges_and_is_exact(spark):
+    """Min-label propagation must reach the true connected components
+    (fixpoint), not a fixed-round approximation: clusters where A~B~C
+    but A!~C still collapse to one label."""
+    from duckdb_otlp_spark.queries import QUERIES as Q
+
+    rows = Q["dedup_cluster"](spark, SF).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    pairs = Q["minhash_lsh_pairs"](spark, SF).collect()
+    for p in pairs:
+        assert label[p["doc_a"]] == label[p["doc_b"]], (p, label)
+    # every cluster_id is the min member id and is flagged canonical
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+
+
 def test_embedding_near_dup_builds_plan_without_spark_job(spark):
     """Building the near-dup plan must not run a Spark job (the old
     first()-based dims probe cost one driver-side job per call)."""
