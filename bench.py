@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "ann_cosine_topk",
     "embedding_bucket_ann",
+    "sessionize",
+    "stratified_sample",
+    "dedup_cluster",
+    "bm25_topk",
 ]
 
 
@@ -122,6 +126,79 @@ def run_ingest_bench(spark, n_requests: int = 2000, batch: int = 1000,
     }
 
 
+def run_compaction_bench(spark) -> dict:
+    """Small-file merge probe, shaped like the reference's compaction
+    probe (BASELINE.md: 80 small files -> 2 in ~150-250 ms, bounded
+    O(new) per cycle): 80 small parquet files in one y/m/d leaf
+    partition, one compact_table call, wall-clock reported."""
+    import shutil
+    import tempfile
+
+    from duckdb_otlp_spark.streaming.maintenance import compact_table
+
+    root = Path(tempfile.mkdtemp(prefix="compact_bench_"))
+    try:
+        leaf = root / "otlp_logs" / "year=2024" / "month=01" / "day=01"
+        leaf.mkdir(parents=True)
+        stage = root / "_stage"
+        (spark.range(80 * 2500)
+         .selectExpr("id", "CAST(id % 16 AS STRING) AS service_name",
+                     "repeat('x', 64) AS body")
+         .repartition(80).write.parquet(str(stage)))
+        for f in stage.glob("*.parquet"):
+            f.rename(leaf / f.name)
+        t0 = time.perf_counter()
+        res = compact_table(spark, root, "otlp_logs")
+        ms = round((time.perf_counter() - t0) * 1000, 1)
+        return {"files_before": res.files_before,
+                "files_after": res.files_after, "ms": ms}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_pruning_probe(spark) -> dict:
+    """File-pruning probe — the reference query probe's PRIMARY metric
+    is files/MB scanned after pruning (BASELINE.md), not latency. A
+    30-day catalog table (file-per-day via range partitioning, manifest
+    min/max stats) is queried over 15m/1h/24h windows; reported is how
+    many files/MB the manifest actually hands Spark. The driver-side
+    prune is what makes a time-bounded query at 100 TB open ~N files
+    instead of 400k footers."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from duckdb_otlp_spark.catalog import SnapshotCatalog
+
+    root = tempfile.mkdtemp(prefix="prune_bench_")
+    try:
+        cat = SnapshotCatalog(root)
+        df = (spark.range(30 * 24 * 3600 // 15)   # one row / 15 s, 30 days
+              .selectExpr(
+                  "timestampadd(SECOND, CAST(id * 15 AS INT), "
+                  "TIMESTAMP'2024-01-01') AS time_unix_nano",
+                  "CAST(id % 16 AS STRING) AS service_name",
+                  "id AS n")
+              .repartitionByRange(30, "time_unix_nano"))
+        entries = cat.stage_dataframe(df, "otlp_logs")
+        cat.commit(add={"otlp_logs": entries},
+                   schemas={"otlp_logs": df.schema.json()})
+        total_files = len(entries)
+        total_mb = round(sum(e.bytes for e in entries) / 1e6, 2)
+        base = datetime(2024, 1, 15, 12, 0, 0)
+        out: dict = {"files_total": total_files, "mb_total": total_mb}
+        for label, minutes in (("15m", 15), ("1h", 60), ("24h", 1440)):
+            sel = cat.read_table(spark, "otlp_logs",
+                                 time_range=(base, base + timedelta(minutes=minutes)))
+            files = sel.inputFiles()
+            mb = round(sum((Path(f.removeprefix("file:"))).stat().st_size
+                           for f in files) / 1e6, 2)
+            out[label] = {"files_scanned": len(files), "mb_scanned": mb}
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
@@ -164,6 +241,14 @@ def main() -> None:
             out["ingest"] = run_ingest_bench(spark)
         except Exception as e:  # noqa: BLE001 — never lose the query numbers
             out["ingest"] = {"error": str(e)[:200]}
+        try:
+            out["compaction"] = run_compaction_bench(spark)
+        except Exception as e:  # noqa: BLE001
+            out["compaction"] = {"error": str(e)[:200]}
+        try:
+            out["pruning"] = run_pruning_probe(spark)
+        except Exception as e:  # noqa: BLE001
+            out["pruning"] = {"error": str(e)[:200]}
     print(json.dumps(out))
     spark.stop()
 
