@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "stratified_sample",
     "dedup_cluster",
     "bm25_topk",
+    "asof_join",
+    "contamination_overlap",
+    "repetition_ratio",
+    "vocab_topk",
 ]
 
 

@@ -1505,6 +1505,184 @@ GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join: each purchase matched to the latest
+    click AT OR BEFORE it by the same user — the feature-attribution /
+    backfill primitive Spark lacks as a built-in (DuckDB ships ASOF
+    JOIN natively; that is the oracle twin).
+
+    Scale shape: expressed as ONE window pass instead of a join — both
+    sides are the same stream, so a single hash shuffle on user_id plus
+    a per-partition sort replaces the sort-merge ASOF join entirely
+    (no join build side, no range probe). At equal timestamps the
+    click sorts before the purchase, matching the oracle's
+    ``p.ts >= c.ts`` inclusive bound."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "user_id", "ts", "event_type"))
+    is_click = (F.col("event_type") == "click").cast("int")
+    w = (W.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), is_click.desc(), F.col("event_id").asc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    matched = ev.withColumn(
+        "click_ts", F.last(click_ts, ignorenulls=True).over(w))
+    return (matched.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "click_ts",
+                    F.expr("timestampdiff(MICROSECOND, click_ts, ts)")
+                    .alias("gap_us"))
+            .orderBy("event_id"))
+
+
+SQL_ASOF_JOIN = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+       date_diff('microseconds', c.ts, p.ts) AS gap_us
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def _grams5(text_col):
+    """Distinct word 5-gram shingles; empty array below 5 words."""
+    words = F.split(F.trim(text_col), r"\s+")
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(words) - 5),
+        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2],
+                              words[i + 3], words[i + 4])))
+    return F.when(F.size(words) >= 5, sh).otherwise(
+        F.array().cast("array<string>"))
+
+
+def q_contamination_overlap(spark, sf_dir):
+    """Train/eval contamination check: fraction of each training doc's
+    distinct word 5-grams that also appear in the held-out eval split
+    (doc_id % 17 == 0) — the benchmark-leakage audit every pretraining
+    corpus needs; top 25 most-contaminated docs.
+
+    Scale shape: the eval side reduces to a DISTINCT gram set (a small
+    fraction of the corpus' distinct grams), and the train side joins
+    against it on the gram string — an equi-join AQE can broadcast when
+    the eval set is small, a plain hash join otherwise. The per-doc
+    rollup is a partial-aggregated groupBy on doc_id. The shingle
+    projection persists so eval and train branches shingle once."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs_parallel(spark, sf_dir)
+    sh = (docs.select("doc_id", _grams5(F.col("text")).alias("grams"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    is_eval = F.col("doc_id") % 17 == 0
+    eval_grams = (sh.filter(is_eval)
+                  .select(F.explode("grams").alias("g")).distinct())
+    train = sh.filter(~is_eval)
+    totals = (train.select("doc_id", F.size("grams").alias("n_grams"))
+              .filter(F.col("n_grams") > 0))
+    hits = (train.select("doc_id", F.explode("grams").alias("g"))
+            .join(eval_grams, "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
+    return (totals.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_grams"), 4).alias("overlap_frac"))
+            .orderBy(F.col("overlap_frac").desc(), "doc_id")
+            .limit(25))
+
+
+SQL_CONTAMINATION_OVERLAP = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          || ' ' || words[i+3] || ' ' || words[i+4]
+                          for i in range(1, len(words) - 3)]) AS grams
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+          FROM documents)),
+eval_grams AS (
+    SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 17 = 0),
+train AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 17 <> 0),
+hits AS (
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM train t JOIN eval_grams e ON t.g = e.g GROUP BY t.doc_id),
+totals AS (
+    SELECT doc_id, len(grams) AS n_grams FROM sh
+    WHERE doc_id % 17 <> 0 AND len(grams) > 0)
+SELECT totals.doc_id, totals.n_grams,
+       coalesce(n_hit, 0) AS n_hit,
+       round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams, 4) AS overlap_frac
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+ORDER BY overlap_frac DESC, totals.doc_id LIMIT 25
+"""
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Within-document repetition: fraction of word 3-grams that are
+    duplicates of an earlier gram in the SAME doc — the Gopher-style
+    'repetitive doc' quality filter (boilerplate, keyword stuffing,
+    degenerate generations).
+
+    Scale shape: pure map-only column expressions (split / transform /
+    array_distinct) — no shuffle at all, scales linearly with the
+    corpus and composes under any downstream filter."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]))
+    n = F.size(grams)
+    n_dup = n - F.size(F.array_distinct(grams))
+    return (docs.filter(F.size(words) >= 3)
+            .select("doc_id", n.alias("n_grams"), n_dup.alias("n_dup"),
+                    F.round(n_dup / n, 4).alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+SQL_REPETITION_RATIO = """
+WITH g AS (
+    SELECT doc_id,
+           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+            for i in range(1, len(words) - 1)] AS grams
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+          FROM documents)
+    WHERE len(words) >= 3)
+SELECT doc_id, len(grams) AS n_grams,
+       len(grams) - len(list_distinct(grams)) AS n_dup,
+       round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / len(grams), 4) AS dup_frac
+FROM g ORDER BY doc_id
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: top-50 terms by total frequency
+    with document frequency — the tokenizer-training / stopword-mining
+    pass over a pretraining corpus.
+
+    Scale shape: explode then ONE groupBy on the term — count() partial
+    -aggregates map-side, and count(DISTINCT doc_id) expands to the
+    standard two-phase distinct aggregate, both shuffling only (term,
+    doc_id) pairs, never the text."""
+    docs = _t(spark, sf_dir, "documents")
+    term = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return (docs.select("doc_id", term.alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("tf"),
+                 F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.col("tf").desc(), "term")
+            .limit(50))
+
+
+SQL_VOCAB_TOPK = """
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents)
+GROUP BY term ORDER BY tf DESC, term LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1520,7 +1698,6 @@ GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tail_topk": q_tail_topk,
     "point_lookup": q_point_lookup,
-    "like_search": q_like_search,
     "ilike_search": q_ilike_search,
     "regexp": q_regexp,
     "json_extract": q_json_extract,
@@ -1530,14 +1707,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "agg_stats": q_agg_stats,
     "percentile": q_percentile,
-    "count_distinct": q_count_distinct,
     "topn_groups": q_topn_groups,
     "join_inner": q_join_inner,
     "join_multi": q_join_multi,
-    "scalar_subquery": q_scalar_subquery,
     "correlated_subquery": q_correlated_subquery,
-    "cross_cte": q_cross_cte,
     "except_all": q_except,
+    "asof_join": q_asof_join,
+    "contamination_overlap": q_contamination_overlap,
+    "repetition_ratio": q_repetition_ratio,
+    "vocab_topk": q_vocab_topk,
     "window_topk_per_group": q_window_topk_per_group,
     "window_running_sum": q_window_running_sum,
     "tpch_q1": q_tpch_q1,
@@ -1574,12 +1752,17 @@ from duckdb_otlp_spark.reader_gate import (  # noqa: E402
 QUERIES.update(READER_GATE_QUERIES)
 
 # Past the driver's 50-entry snapshot boundary from here on: trivial scalar
-# variants (IN-list, CASE, IS NULL, scalar string/date/array functions,
-# make_timestamp, hex codec, UNION ALL, DISTINCT) whose behaviour is
-# redundantly exercised by in-window siblings (regexp/json_extract/
-# time_bucket/unnest_struct cover the same expression families) and by the
-# pytest oracle differential over every registered entry.
+# variants (IN-list, LIKE, CASE, IS NULL, scalar string/date/array functions,
+# make_timestamp, hex codec, set ops, simple subqueries) whose behaviour is
+# redundantly exercised by in-window siblings (ilike/regexp/json_extract/
+# time_bucket/unnest_struct/correlated_subquery/except_all cover the same
+# expression families) and by the pytest oracle differential over every
+# registered entry.
 QUERIES.update({
+    "like_search": q_like_search,
+    "count_distinct": q_count_distinct,
+    "scalar_subquery": q_scalar_subquery,
+    "cross_cte": q_cross_cte,
     "in_list": q_in_list,
     "case_when": q_case_when,
     "coalesce_cast": q_coalesce_cast,
@@ -1647,6 +1830,10 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "bm25_topk": SQL_BM25_TOPK,
+    "asof_join": SQL_ASOF_JOIN,
+    "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
+    "repetition_ratio": SQL_REPETITION_RATIO,
+    "vocab_topk": SQL_VOCAB_TOPK,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

@@ -191,3 +191,49 @@ def test_embedding_near_dup_builds_plan_without_spark_job(spark):
     pairs = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding")
     _ = pairs._jdf.queryExecution().optimizedPlan()  # force analysis/optimize
     assert scheduler.nextJobId() == before, "plan build triggered a Spark job"
+
+
+def test_asof_join_is_window_not_join(spark):
+    """The as-of join is expressed as one window pass over the unioned
+    stream: exactly one hash exchange on user_id (plus the presentation
+    orderBy's range exchange), NO join operator of any kind, and the
+    event-type filter pushed into the scan. A sort-merge ASOF join
+    would shuffle both sides and range-probe per row."""
+    rep = _rep(spark, "asof_join")
+    assert rep.broadcast_joins + rep.sort_merge_joins \
+        + rep.shuffled_hash_joins + rep.nested_loop_joins == 0
+    # one user_id hash exchange + presentation range exchange
+    # (audit double-counts each in formatted mode)
+    assert rep.exchanges <= 4, rep.exchanges
+    scan = rep.scan_for("events.parquet")
+    assert any("In(event_type" in f for f in scan.pushed_filters)
+    assert not rep.has_python_eval
+
+
+def test_contamination_no_allpairs_join(spark):
+    """Train-vs-eval contamination must candidate via the gram equi-join
+    — never an all-pairs doc x doc comparison."""
+    rep = _rep(spark, "contamination_overlap")
+    assert rep.nested_loop_joins == 0
+    assert not rep.has_python_eval
+
+
+def test_repetition_ratio_is_map_only(spark):
+    """Within-doc repetition is pure column expressions: zero joins, and
+    the only exchange is the presentation orderBy."""
+    rep = _rep(spark, "repetition_ratio")
+    assert rep.broadcast_joins + rep.sort_merge_joins \
+        + rep.shuffled_hash_joins + rep.nested_loop_joins == 0
+    assert rep.exchanges <= 2, rep.exchanges
+    scan = rep.scan_for("documents.parquet")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+    assert not rep.has_python_eval
+
+
+def test_vocab_topk_partial_aggregates(spark):
+    """Vocabulary stats shuffle only (term, doc_id) pairs, never the
+    text column, and stay JVM-side."""
+    rep = _rep(spark, "vocab_topk")
+    scan = rep.scan_for("documents.parquet")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+    assert not rep.has_python_eval
