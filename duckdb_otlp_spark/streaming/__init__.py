@@ -1,3 +1,7 @@
+from duckdb_otlp_spark.streaming.operators import (  # noqa: F401
+    sessionize_stateful,
+    windowed_counts,
+)
 from duckdb_otlp_spark.streaming.server import (  # noqa: F401
     OtlpSparkServer,
     otlp_flush,

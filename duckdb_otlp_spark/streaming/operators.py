@@ -1,0 +1,144 @@
+"""Streaming operators over event streams: watermarked windowed rollups
+and custom stateful sessionization.
+
+The seal pipeline (server.py) already runs on Structured Streaming
+internally; this module is the USER-facing streaming surface — the
+operators a pipeline applies to a live event stream (`readStream` over
+a landing directory, Kafka, or the sealed tables themselves) instead of
+a static table.
+
+Design notes for 100 TB / unbounded streams:
+
+- ``windowed_counts`` is a plain watermarked groupBy-window: state is
+  bounded by (watermark delay / window size) per group key, late rows
+  beyond the watermark are dropped by Spark itself, and partial
+  aggregation applies map-side exactly as in the batch plan.
+- ``sessionize_stateful`` uses ``applyInPandasWithState`` — the custom
+  -stateful-operator escape hatch for semantics a watermarked window
+  cannot express (gap-based sessions close on *inactivity*, not on a
+  fixed boundary). State per user is one fixed-size tuple; sessions
+  emit when the event-time timeout fires, so memory is O(active users)
+  regardless of stream length. Arrow batches cross the Python boundary
+  (vectorized), never row-at-a-time.
+
+Reference parity: the reference engine has no streaming query surface
+(its server only ingests; queries run on sealed tables —
+site/reference/serve.md), so these are beyond-reference additions in
+the same spirit as the batch pipeline operators (SURVEY.md §2C). The
+batch twins (`queries.py::q_time_bucket` / `q_sessionize`) define the
+semantics; tests/test_streaming_operators.py drives both on the same
+rows and asserts the streaming results converge to the batch answer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["windowed_counts", "sessionize_stateful",
+           "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
+
+
+def windowed_counts(events: DataFrame, *, window: str = "5 minutes",
+                    watermark: str = "10 minutes",
+                    ts_col: str = "ts") -> DataFrame:
+    """Tumbling-window per-event-type rollup (count + value sum).
+
+    On a streaming input the watermark bounds state and drops rows
+    later than ``watermark`` behind the max observed event time; on a
+    batch input the identical expression tree runs without one, so the
+    streaming result provably converges to the batch answer (pinned by
+    tests/test_streaming_operators.py).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+SESSION_OUTPUT_SCHEMA = ("user_id bigint, session_start timestamp, "
+                         "session_end timestamp, n_events bigint, "
+                         "sum_value double")
+# epoch-microsecond bounds + running count/sum: one fixed-size row per
+# active user — the entire per-key state.
+SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint, sv double"
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1_000)
+
+
+def sessionize_stateful(events: DataFrame, *, gap_minutes: int = 30,
+                        watermark: str = "10 minutes",
+                        ts_col: str = "ts") -> DataFrame:
+    """Gap-based sessionization of a live stream via
+    ``applyInPandasWithState``: a session closes after ``gap_minutes``
+    of per-user inactivity *in event time*, enforced with an event-time
+    timeout against the watermark. Emits one row per CLOSED session
+    (same rollup as the batch `sessionize` query).
+
+    Why stateful-apply and not a window: a gap session has no fixed
+    boundary, so no watermarked groupBy-window expresses it; this is
+    exactly the custom-stateful-operator case. State is one
+    (start, end, n, sum) tuple per active user.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def close_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
+                       state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us * 1_000)],
+                "session_end": [pd.Timestamp(end_us * 1_000)],
+                "n_events": [n],
+                "sum_value": [round(sv, 4)],
+            })
+            return
+        start_us = end_us = None
+        n, sv = 0, 0.0
+        if state.exists:
+            start_us, end_us, n, sv = state.get
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, value in zip(pdf[ts_col], pdf["value"]):
+                t = _us(ts)
+                if end_us is not None and t - end_us > gap_us:
+                    closed.append((start_us, end_us, n, sv))
+                    start_us, end_us, n, sv = None, None, 0, 0.0
+                if start_us is None:
+                    start_us = t
+                end_us = t if end_us is None else max(end_us, t)
+                n += 1
+                sv += float(value) if value == value else 0.0
+        state.update((start_us, end_us, n, sv))
+        # the session is closed by inactivity: wake when the watermark
+        # passes last-event + gap
+        state.setTimeoutTimestamp(end_us // 1_000 + gap_us // 1_000)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s * 1_000) for s, *_ in closed],
+                "session_end": [pd.Timestamp(e * 1_000) for _, e, *_ in closed],
+                "n_events": [c[2] for c in closed],
+                "sum_value": [round(c[3], 4) for c in closed],
+            })
+
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                close_sessions, SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
+                "append", GroupStateTimeout.EventTimeTimeout))

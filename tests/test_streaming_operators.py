@@ -1,0 +1,172 @@
+"""Streaming-operator semantics: watermarked windowed rollups converge
+to the batch answer, late data beyond the watermark is dropped, and the
+applyInPandasWithState sessionizer closes gap sessions on event-time
+timeouts with the same rollup as the batch `sessionize` query.
+
+Harness: a parquet landing directory read with ``readStream``
+(maxFilesPerTrigger=1 so each file is one micro-batch — the watermark
+advances between files exactly like between live triggers), results
+collected through a memory sink with ``processAllAvailable``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_otlp_spark.streaming import sessionize_stateful, windowed_counts
+
+SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mins(m: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=m)
+
+
+def _write_slice(spark, path, rows, i):
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.parquet(f"{path}/slice={i}", mode="overwrite")
+
+
+def _stream(spark, path):
+    return (spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{path}/slice=*"))
+
+
+def _run(stream_df, output_mode):
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).start())
+    return q, name
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path):
+    path = str(tmp_path / "landing")
+    rows1 = [(1, _mins(0.5), "click", 1.0), (1, _mins(1.5), "click", 2.0),
+             (2, _mins(3.0), "view", 3.0), (2, _mins(6.0), "click", 4.0)]
+    rows2 = [(1, _mins(7.0), "view", 5.0), (3, _mins(11.0), "click", 6.0)]
+    _write_slice(spark, path, rows1, 0)
+
+    q, name = _run(windowed_counts(_stream(spark, path),
+                                   window="5 minutes",
+                                   watermark="10 minutes"), "update")
+    try:
+        q.processAllAvailable()
+        _write_slice(spark, path, rows2, 1)
+        q.processAllAvailable()
+        got = (spark.table(name)
+               .groupBy("window_start", "window_end", "event_type")
+               .agg(F.last("n_events").alias("n_events"),
+                    F.last("sum_value").alias("sum_value")))
+        batch = windowed_counts(
+            spark.read.schema(SCHEMA).parquet(f"{path}/slice=*"),
+            window="5 minutes")
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, batch.collect()))
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_drops_late_rows(spark, tmp_path):
+    """A row arriving behind the watermark must NOT update its window —
+    bounded state requires Spark to refuse arbitrarily-late data."""
+    path = str(tmp_path / "landing")
+    _write_slice(spark, path, [(1, _mins(0.5), "click", 1.0)], 0)
+    # advances the watermark to 100m - 10m = 90m
+    _write_slice(spark, path, [(2, _mins(100.0), "view", 1.0)], 1)
+
+    q, name = _run(windowed_counts(_stream(spark, path),
+                                   window="5 minutes",
+                                   watermark="10 minutes"), "update")
+    try:
+        q.processAllAvailable()
+        # a very-late second click in the (closed) first window
+        _write_slice(spark, path, [(1, _mins(1.0), "click", 1.0)], 2)
+        q.processAllAvailable()
+        first_win = (spark.table(name)
+                     .filter(F.col("window_start") == _mins(0.0))
+                     .select("n_events").collect())
+        assert [r.n_events for r in first_win] == [1]
+    finally:
+        q.stop()
+
+
+def test_sessionize_stateful_closes_on_gap(spark, tmp_path):
+    """Two activity bursts separated by > gap close as two sessions with
+    exact (start, end, count, sum) rollups; a user who never goes
+    quiet for the full gap emits nothing."""
+    path = str(tmp_path / "landing")
+    # user 1: burst A (0-2m, 3 events), burst B (60-61m, 2 events)
+    # user 2: one chain with gaps < 30m spanning both slices (0, 20, 40m)
+    rows1 = [(1, _mins(0), "click", 1.0), (1, _mins(1), "click", 2.0),
+             (1, _mins(2), "view", 3.0), (2, _mins(0), "view", 10.0),
+             (2, _mins(20), "view", 20.0)]
+    rows2 = [(1, _mins(60), "click", 4.0), (1, _mins(61), "view", 5.0),
+             (2, _mins(40), "view", 30.0)]
+    # pushes the watermark far enough to time out everything above
+    rows3 = [(9, _mins(300), "view", 0.0)]
+    _write_slice(spark, path, rows1, 0)
+
+    q, name = _run(sessionize_stateful(_stream(spark, path),
+                                       gap_minutes=30,
+                                       watermark="5 minutes"), "append")
+    try:
+        q.processAllAvailable()
+        _write_slice(spark, path, rows2, 1)
+        q.processAllAvailable()
+        _write_slice(spark, path, rows3, 2)
+        q.processAllAvailable()
+        # one more batch so timeouts fire against the advanced watermark
+        _write_slice(spark, path, [(9, _mins(301), "view", 0.0)], 3)
+        q.processAllAvailable()
+
+        got = {(r.user_id, r.session_start, r.session_end,
+                r.n_events, r.sum_value)
+               for r in spark.table(name).collect()}
+        assert (1, _mins(0), _mins(2), 3, 6.0) in got
+        assert (1, _mins(60), _mins(61), 2, 9.0) in got
+        # user 2's 0-20-40m chain (every gap < 30m) closes as ONE
+        # session once the watermark passes 40m + gap
+        assert (2, _mins(0), _mins(40), 3, 60.0) in got
+        assert len([g for g in got if g[0] == 2]) == 1
+    finally:
+        q.stop()
+
+
+def test_sessionize_stateful_batch_parity(spark, tmp_path):
+    """Sessions the stateful operator closes must carry the same rollup
+    the batch sessionize computes for those bursts (6h gap in the batch
+    query vs explicit gap here — so compare against a direct batch
+    recomputation with the same 30m gap)."""
+    path = str(tmp_path / "landing")
+    rows = [(u, _mins(m), "click", float(u + m))
+            for u in (1, 2, 3) for m in (0, 1, 2, 90, 91)]
+    _write_slice(spark, path, rows, 0)
+    _write_slice(spark, path, [(9, _mins(500), "view", 0.0)], 1)
+
+    q, name = _run(sessionize_stateful(_stream(spark, path),
+                                       gap_minutes=30,
+                                       watermark="1 minutes"), "append")
+    try:
+        q.processAllAvailable()
+        _write_slice(spark, path, [(9, _mins(501), "view", 0.0)], 2)
+        q.processAllAvailable()
+        got = {(r.user_id, r.session_start, r.session_end, r.n_events,
+                r.sum_value) for r in spark.table(name).collect()}
+        for u in (1, 2, 3):
+            assert (u, _mins(0), _mins(2), 3, float(3 * u + 3)) in got
+            assert (u, _mins(90), _mins(91), 2, float(2 * u + 181)) in got
+    finally:
+        q.stop()
