@@ -40,6 +40,15 @@ from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_FILE_BYTES = 256 * 1024 * 1024  # reference: serve.md target_file_size
 
+# Below this total, a merge batch is driver-side pyarrow instead of a
+# Spark job: scheduling a distributed job over a few MB of tiny files
+# costs ~500 ms of fixed overhead for ~10 ms of IO (the reference's
+# native merge does 80 files in 150-250 ms — BASELINE.md). At 100 TB
+# the threshold routes real partitions through Spark and only the
+# pathological many-tiny-files case (exactly what post-seal compaction
+# exists to fix) through the fast path, one leaf at a time.
+PYARROW_MERGE_MAX_BYTES = 64 * 1024 * 1024
+
 # reference's tier-2 cluster keys per signal (otlp-compaction-probe/README.md:63-69)
 SORT_KEYS = {
     "otlp_traces": ("service_name", "start_time_unix_nano"),
@@ -101,13 +110,36 @@ def _swap_in(spark: SparkSession, df, part: Path, old_files: list[Path],
     return n
 
 
+def _merge_small_pyarrow(part: Path, small: list[Path],
+                         compression: str) -> int:
+    """Driver-side merge of one tiny-file batch into one file. Same
+    swap discipline as _swap_in: the merged file lands under a temp
+    name and renames in before the originals unlink (at-least-once
+    for concurrent readers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = part / f"_compact_{uuid.uuid4().hex}.tmp"
+    merged = pa.concat_tables([pq.read_table(str(f)) for f in small])
+    pq.write_table(merged, str(tmp), compression=compression)
+    tmp.rename(part / f"compact_{uuid.uuid4().hex}.parquet")
+    for old in small:
+        old.unlink()
+    return 1
+
+
 def compact_table(spark: SparkSession, export_root: str | Path, table: str,
                   target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
                   compression: str = "zstd") -> CompactionResult:
     """Tier-1 bounded merge: per leaf partition, coalesce under-target
     files into ~target-size outputs. At-target files are skipped, so a
     steady-state partition costs nothing to re-examine (O(new) per cycle,
-    reference: otlp-compaction-probe/README.md:44-48)."""
+    reference: otlp-compaction-probe/README.md:44-48).
+
+    Merge batches whose TOTAL is under PYARROW_MERGE_MAX_BYTES skip
+    Spark entirely (see the constant's comment) — that's the common
+    post-seal shape and the one the reference's 150-250 ms probe
+    number measures."""
     root = Path(export_root) / table
     res = CompactionResult(table=table)
     if not root.exists():
@@ -119,10 +151,15 @@ def compact_table(spark: SparkSession, export_root: str | Path, table: str,
         if len(small) < 2:
             continue
         total = sum(f.stat().st_size for f in small)
-        n_out = max(1, total // target_file_bytes + (1 if total % target_file_bytes else 0))
-        df = spark.read.parquet(*[str(f) for f in small]).coalesce(int(n_out))
         res.files_before += len(files)
-        n_new = _swap_in(spark, df, part, small, compression)
+        if total <= PYARROW_MERGE_MAX_BYTES:
+            n_new = _merge_small_pyarrow(part, small, compression)
+        else:
+            n_out = max(1, total // target_file_bytes
+                        + (1 if total % target_file_bytes else 0))
+            df = (spark.read.parquet(*[str(f) for f in small])
+                  .coalesce(int(n_out)))
+            n_new = _swap_in(spark, df, part, small, compression)
         res.files_after += len(files) - len(small) + n_new
         res.partitions_compacted += 1
         res.details.append(f"{part.relative_to(root)}: {len(small)} -> {n_new}")
