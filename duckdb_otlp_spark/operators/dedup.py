@@ -78,12 +78,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= jaccard_threshold.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = num_hashes // bands
+    # Persisted: sigs feeds the band join (twice, via band_entries) AND
+    # the verification joins; band_entries feeds both sides of the
+    # candidate self-join. Without the persists each consumer re-runs
+    # the full shingle+hash pass over the corpus — single execution
+    # must be structural, not ReuseExchange-dependent.
     sigs = df.select(
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), shingle_n).alias("__sh"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("__sig"),
-    ).filter(F.size("__sh") > 0)
+    ).filter(F.size("__sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_entries = sigs.select(
         "__id",
@@ -94,7 +101,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.xxhash64(F.concat_ws(
                     ",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
                 )).alias("bucket")))).alias("e"),
-    ).select("__id", "e.band", "e.bucket")
+    ).select("__id", "e.band", "e.bucket").persist(StorageLevel.MEMORY_AND_DISK)
 
     left = band_entries.alias("l")
     right = band_entries.alias("r")

@@ -1064,13 +1064,17 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                .persist(disk))
     sig = (docs_sh.select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
            .select("doc_id", *_minhash_cols(F.col("hs"))))
+    # persisted: the self-join below otherwise re-derives the md5
+    # signature pipeline on BOTH branches (docs_sh caches only the
+    # shingles) — 15k tiny rows of cache buy back ~2.4 s at sf0.1
     bands = (sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
                      F.concat_ws("_", f"m{2 * b}", f"m{2 * b + 1}").alias("key"))
             for b in range(3)])).alias("band"))
-        .select("doc_id", "band.band_idx", "band.key"))
+        .select("doc_id", "band.band_idx", "band.key")
+        .persist(disk))
     cand = (bands.alias("a")
             .join(bands.alias("b"), ["band_idx", "key"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
