@@ -85,6 +85,84 @@ def _ingest_producer(args) -> tuple[int, float]:
     return ok, time.perf_counter() - t0
 
 
+def _paced_producer(args) -> tuple[int, int]:
+    """One producer process posting at a FIXED pace: a batch every
+    `interval_s`, like the reference capacity gate's rate-limited Go
+    producer. Returns (accepted, sent). Falling behind the pace is not
+    compensated with bursts — missing the schedule shows up as
+    sent < expected, exactly how the reference's gate fails."""
+    import http.client
+
+    host, port, bodies, interval_s = args
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    ok = 0
+    t0 = time.perf_counter()
+    for i, b in enumerate(bodies):
+        target = t0 + i * interval_s
+        now = time.perf_counter()
+        if now < target:
+            time.sleep(target - now)
+        conn.request("POST", "/v1/logs", body=b, headers={
+            "Content-Type": "application/json", "Content-Encoding": "gzip"})
+        resp = conn.getresponse()
+        resp.read()
+        if resp.status == 202:
+            ok += 1
+    return ok, len(bodies)
+
+
+def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
+                         batch: int = 1000, workers: int = 4) -> dict:
+    """Sustained-rate capacity gate, shaped like the reference's
+    175k records/s / 180 s benchmark (BASELINE.md): producers pace
+    batches to hit `rate` aggregate for `seconds`, seals overlap the
+    posting, and the gate passes iff every batch was accepted on
+    schedule AND everything sent is queryable afterwards."""
+    import multiprocessing as mp
+    import tempfile
+
+    from duckdb_otlp_spark.streaming import otlp_serve, otlp_stop
+    from duckdb_otlp_spark.streaming.server import _get
+
+    n_requests = rate * seconds // batch
+    per_worker = n_requests // workers
+    interval_s = batch * workers / rate
+    bodies = [_ingest_envelope(i, batch) for i in range(n_requests)]
+    work = tempfile.mkdtemp(prefix="sustained_bench_")
+    info = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=work,
+                      disable_auth=True, seal_max_age_ms=2000).collect()[0]
+    server = _get(info["uri"])
+    host, port = info["uri"].split("//")[1].rsplit(":", 1)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(workers) as pool:
+        pool.map(len, [b""] * workers)
+        jobs = [(host, int(port), bodies[w::workers][:per_worker], interval_s)
+                for w in range(workers)]
+        t0 = time.perf_counter()
+        results = pool.map(_paced_producer, jobs)
+        send_s = time.perf_counter() - t0
+    accepted = sum(r[0] for r in results)
+    sent = sum(r[1] for r in results)
+    try:
+        t_flush = time.perf_counter()
+        server.flush()
+        drain_s = time.perf_counter() - t_flush
+        sealed = spark.read.parquet(str(server.export_root / "otlp_logs")).count()
+    finally:
+        otlp_stop(spark, info["uri"], drain=False)
+    achieved = round(accepted * batch / send_s, 1)
+    return {
+        "target_logs_per_sec": rate,
+        "seconds": round(send_s, 1),
+        "achieved_logs_per_sec": achieved,
+        "errors": sent - accepted,
+        "drain_backlog_s": round(drain_s, 2),
+        "sealed_rows": sealed,
+        "pass": bool(sent - accepted == 0 and sealed == sent * batch
+                     and achieved >= rate * 0.97),
+    }
+
+
 def run_ingest_bench(spark, n_requests: int = 2000, batch: int = 1000,
                      workers: int = 4) -> dict:
     """Live-ingest throughput, shaped like the reference's capacity gate
@@ -245,6 +323,10 @@ def main() -> None:
             out["ingest"] = run_ingest_bench(spark)
         except Exception as e:  # noqa: BLE001 — never lose the query numbers
             out["ingest"] = {"error": str(e)[:200]}
+        try:
+            out["sustained"] = run_sustained_ingest(spark)
+        except Exception as e:  # noqa: BLE001
+            out["sustained"] = {"error": str(e)[:200]}
         try:
             out["compaction"] = run_compaction_bench(spark)
         except Exception as e:  # noqa: BLE001
