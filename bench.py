@@ -112,7 +112,7 @@ def _paced_producer(args) -> tuple[int, int]:
 
 
 def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
-                         batch: int = 1000, workers: int = 4) -> dict:
+                         batch: int = 1000, workers: int = 6) -> dict:
     """Sustained-rate capacity gate, shaped like the reference's
     175k records/s / 180 s benchmark (BASELINE.md): producers pace
     batches to hit `rate` aggregate for `seconds`, seals overlap the

@@ -1628,9 +1628,11 @@ def q_repetition_ratio(spark, sf_dir):
     degenerate generations).
 
     Scale shape: pure map-only column expressions (split / transform /
-    array_distinct) — no shuffle at all, scales linearly with the
-    corpus and composes under any downstream filter."""
-    docs = _t(spark, sf_dir, "documents")
+    array_distinct) — no data-dependent shuffle, scales linearly with
+    the corpus and composes under any downstream filter. The scan goes
+    through _docs_parallel: gram-building is CPU-bound, so the local
+    one-file-one-split case must still fan out across cores."""
+    docs = _docs_parallel(spark, sf_dir)
     words = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - 3),

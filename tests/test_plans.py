@@ -219,12 +219,14 @@ def test_contamination_no_allpairs_join(spark):
 
 
 def test_repetition_ratio_is_map_only(spark):
-    """Within-doc repetition is pure column expressions: zero joins, and
-    the only exchange is the presentation orderBy."""
+    """Within-doc repetition is pure column expressions: zero joins; the
+    only exchanges are the presentation orderBy and (locally) the
+    _docs_parallel fan-out, which does not fire when the scan already
+    yields >= cores splits (see test_docs_parallel_no_shuffle...)."""
     rep = _rep(spark, "repetition_ratio")
     assert rep.broadcast_joins + rep.sort_merge_joins \
         + rep.shuffled_hash_joins + rep.nested_loop_joins == 0
-    assert rep.exchanges <= 2, rep.exchanges
+    assert rep.exchanges <= 4, rep.exchanges
     scan = rep.scan_for("documents.parquet")
     assert set(scan.read_columns) == {"doc_id", "text"}
     assert not rep.has_python_eval
