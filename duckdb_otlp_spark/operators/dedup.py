@@ -72,11 +72,23 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) ->
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= jaccard_threshold.
+
+    ``max_bucket_size`` is the 100 TB skew guard: a corpus with d
+    byte-identical documents puts all d in the SAME bucket of every
+    band, and the candidate self-join emits d(d-1)/2 rows — quadratic
+    blowup that kills the job long before verification. Buckets larger
+    than the cap switch to STAR candidates: every member pairs with the
+    bucket's min-id representative only — O(d) rows, and every
+    duplicate still surfaces in at least one verified pair (what dedup
+    needs), at the cost of pair-completeness *within* the mega-bucket
+    (transitively recoverable via duplicate clustering). None (default)
+    keeps exact all-pairs semantics.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -103,12 +115,29 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 )).alias("bucket")))).alias("e"),
     ).select("__id", "e.band", "e.bucket").persist(StorageLevel.MEMORY_AND_DISK)
 
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
-    candidates = (left.join(right, ["band", "bucket"])
-                  .filter(F.col("l.__id") < F.col("r.__id"))
-                  .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-                  .distinct())
+    if max_bucket_size is not None:
+        sizes = (band_entries.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("__n"), F.min("__id").alias("__rep")))
+        entries = band_entries.join(sizes, ["band", "bucket"])
+        ok = entries.filter(F.col("__n") <= max_bucket_size)
+        candidates_small = (
+            ok.alias("l").join(ok.alias("r"), ["band", "bucket"])
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .select(F.col("l.__id").alias("id_a"),
+                    F.col("r.__id").alias("id_b")))
+        candidates_star = (
+            entries.filter((F.col("__n") > max_bucket_size)
+                           & (F.col("__id") != F.col("__rep")))
+            .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b")))
+        candidates = candidates_small.union(candidates_star).distinct()
+    else:
+        left = band_entries.alias("l")
+        right = band_entries.alias("r")
+        candidates = (left.join(right, ["band", "bucket"])
+                      .filter(F.col("l.__id") < F.col("r.__id"))
+                      .select(F.col("l.__id").alias("id_a"),
+                              F.col("r.__id").alias("id_b"))
+                      .distinct())
 
     sh = sigs.select("__id", "__sh")
     verified = (candidates

@@ -190,3 +190,29 @@ def test_frame_sample_plan_prunes_payload(spark):
     # payload must not appear in the physical plan's scan schema
     explained = plan._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in explained
+
+
+def test_minhash_lsh_mega_bucket_cap(spark):
+    """The max_bucket_size skew guard: 200 byte-identical docs form a
+    mega-bucket in every band; star candidates bound the pair count to
+    O(d) while every duplicate still surfaces in a verified pair with
+    the representative. Distinct docs are unaffected."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(200)]
+    rows += [(1000 + i, f"unique text number {i} with words w{i} x{i} y{i} z{i}")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text",
+                                    num_hashes=64, bands=16,
+                                    jaccard_threshold=0.9,
+                                    max_bucket_size=50).collect()
+    dup_pairs = [(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < 1000]
+    # star shape: exactly one pair per non-representative member
+    assert sorted(dup_pairs) == [(0, b) for b in range(1, 200)]
+    assert all(r["jaccard"] == 1.0 for r in pairs if r["id_b"] < 1000)
+    # dedup built on the capped pairs still drops every duplicate
+    out = dedup.minhash_dedup(df, "doc_id", "text", num_hashes=64,
+                              bands=16, jaccard_threshold=0.9,
+                              max_bucket_size=50)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and not any(1 <= i < 200 for i in ids)
+    assert all(1000 + i in ids for i in range(20))
