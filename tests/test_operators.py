@@ -216,3 +216,15 @@ def test_minhash_lsh_mega_bucket_cap(spark):
     ids = {r["doc_id"] for r in out.collect()}
     assert 0 in ids and not any(1 <= i < 200 for i in ids)
     assert all(1000 + i in ids for i in range(20))
+
+
+def test_cosine_topk_batched_matches_expression_variant(spark, emb):
+    """The Arrow-batched numpy scan must agree with the JVM expression
+    variant: same ids, same 6-dp cosines, same order."""
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    a = similarity.cosine_topk(emb.filter(F.col("vec_id") != 0),
+                               "vec_id", "embedding", list(q), k=10)
+    b = similarity.cosine_topk_batched(
+        emb.filter(F.col("vec_id") != 0).repartition(7),
+        "vec_id", "embedding", list(q), k=10)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
