@@ -57,8 +57,10 @@ def cosine_topk_batched(df: DataFrame, id_col: str, vec_col: str,
 
     The JVM expression variant evaluates O(dim) scalar lambda steps per
     row (aggregate/zip_with); this one crosses the Python boundary once
-    per Arrow batch and scores the whole batch as a single BLAS matmul,
-    ~an order of magnitude faster per row at realistic dims. Each
+    per Arrow batch and scores the whole batch as a single BLAS matmul
+    (2x at dim=64 on a local micro-bench where fixed overheads dominate;
+    the per-row gap widens with dim — production embeddings are
+    768-4096). Each
     PARTITION emits only its local top-k (k rows), so the final global
     top-k shuffles k x partitions rows no matter how large the scan.
     Same (id, cosine) contract and tie-break as cosine_topk.
