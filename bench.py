@@ -65,49 +65,44 @@ def _ingest_envelope(req_id: int, batch: int) -> bytes:
     return gzip.compress(json.dumps(env, separators=(",", ":")).encode())
 
 
-def _ingest_producer(args) -> tuple[int, float]:
-    """One producer process: POST its bodies over a keep-alive connection.
-    Runs outside the server's GIL, like the reference's Go producer
-    (BASELINE.md capacity gate)."""
+def _post_loop(host: str, port: int, bodies, interval_s: float = 0.0) -> int:
+    """POST bodies over one keep-alive connection, optionally paced to a
+    fixed schedule (interval_s > 0: one batch per interval, lateness is
+    NOT compensated with bursts — missing the schedule shows up as a
+    lower achieved rate, exactly how the reference's gate fails).
+    Runs in a producer process outside the server's GIL, like the
+    reference's Go producer (BASELINE.md capacity gate). Returns the
+    202-accepted count."""
     import http.client
 
-    host, port, bodies = args
-    conn = http.client.HTTPConnection(host, port, timeout=60)
-    ok = 0
-    t0 = time.perf_counter()
-    for b in bodies:
-        conn.request("POST", "/v1/logs", body=b, headers={
-            "Content-Type": "application/json", "Content-Encoding": "gzip"})
-        resp = conn.getresponse()
-        resp.read()
-        if resp.status == 202:
-            ok += 1
-    return ok, time.perf_counter() - t0
-
-
-def _paced_producer(args) -> tuple[int, int]:
-    """One producer process posting at a FIXED pace: a batch every
-    `interval_s`, like the reference capacity gate's rate-limited Go
-    producer. Returns (accepted, sent). Falling behind the pace is not
-    compensated with bursts — missing the schedule shows up as
-    sent < expected, exactly how the reference's gate fails."""
-    import http.client
-
-    host, port, bodies, interval_s = args
     conn = http.client.HTTPConnection(host, port, timeout=60)
     ok = 0
     t0 = time.perf_counter()
     for i, b in enumerate(bodies):
-        target = t0 + i * interval_s
-        now = time.perf_counter()
-        if now < target:
-            time.sleep(target - now)
+        if interval_s > 0:
+            target = t0 + i * interval_s
+            now = time.perf_counter()
+            if now < target:
+                time.sleep(target - now)
         conn.request("POST", "/v1/logs", body=b, headers={
             "Content-Type": "application/json", "Content-Encoding": "gzip"})
         resp = conn.getresponse()
         resp.read()
         if resp.status == 202:
             ok += 1
+    return ok
+
+
+def _ingest_producer(args) -> tuple[int, float]:
+    host, port, bodies = args
+    t0 = time.perf_counter()
+    ok = _post_loop(host, port, bodies)
+    return ok, time.perf_counter() - t0
+
+
+def _paced_producer(args) -> tuple[int, int]:
+    host, port, bodies, interval_s = args
+    ok = _post_loop(host, port, bodies, interval_s)
     return ok, len(bodies)
 
 

@@ -73,7 +73,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3,
                       jaccard_threshold: float = 0.5,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      persist: bool = True) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -97,12 +98,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # the verification joins; band_entries feeds both sides of the
     # candidate self-join. Without the persists each consumer re-runs
     # the full shingle+hash pass over the corpus — single execution
-    # must be structural, not ReuseExchange-dependent.
+    # must be structural, not ReuseExchange-dependent. The cache entries
+    # are keyed by logical plan, so REPEATED calls with the same inputs
+    # reuse one entry rather than stacking copies; a parameter sweep
+    # over the same corpus does create one entry per distinct plan —
+    # pass persist=False there (or spark.catalog.clearCache() between
+    # sweeps) to trade recomputation for cache pressure.
     sigs = df.select(
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), shingle_n).alias("__sh"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("__sig"),
-    ).filter(F.size("__sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    ).filter(F.size("__sh") > 0)
+    if persist:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_entries = sigs.select(
         "__id",
@@ -113,7 +121,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.xxhash64(F.concat_ws(
                     ",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
                 )).alias("bucket")))).alias("e"),
-    ).select("__id", "e.band", "e.bucket").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("__id", "e.band", "e.bucket")
+    if persist:
+        band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
 
     if max_bucket_size is not None:
         sizes = (band_entries.groupBy("band", "bucket")

@@ -70,7 +70,8 @@ def cosine_topk_batched(df: DataFrame, id_col: str, vec_col: str,
 
     q = np.asarray(query, dtype="float64")
     qn = float(np.linalg.norm(q))
-    out_schema = f"{id_col} long, cosine double"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cosine double"
 
     def score(batches):
         ids: list = []
@@ -86,11 +87,15 @@ def cosine_topk_batched(df: DataFrame, id_col: str, vec_col: str,
             return
         all_ids = np.concatenate(ids)
         all_sims = np.round(np.concatenate(sims), 6)
-        if len(all_sims) > k:
-            keep = np.argpartition(-all_sims, k)[:k]
-        else:
-            keep = np.arange(len(all_sims))
-        yield pd.DataFrame({id_col: all_ids[keep], "cosine": all_sims[keep]})
+        # local top-k under the SAME total order the global sort uses —
+        # (cosine desc with NaN ranked first, then id asc) — so the
+        # global winners are always inside the per-partition survivors
+        # even when cosines tie at the k-th boundary (duplicate vectors)
+        # or zero-norm rows produce NaN
+        rank_sims = np.where(np.isnan(all_sims), np.inf, all_sims)
+        order = np.lexsort((all_ids, -rank_sims))[:k]
+        yield pd.DataFrame({id_col: all_ids[order],
+                            "cosine": all_sims[order]})
 
     return (df.select(id_col, _as_double(vec_col).alias(vec_col))
             .mapInPandas(score, out_schema)

@@ -120,8 +120,12 @@ def _merge_small_pyarrow(part: Path, small: list[Path],
     import pyarrow.parquet as pq
 
     tmp = part / f"_compact_{uuid.uuid4().hex}.tmp"
-    merged = pa.concat_tables([pq.read_table(str(f)) for f in small])
-    pq.write_table(merged, str(tmp), compression=compression)
+    try:
+        merged = pa.concat_tables([pq.read_table(str(f)) for f in small])
+        pq.write_table(merged, str(tmp), compression=compression)
+    except Exception:
+        tmp.unlink(missing_ok=True)
+        raise
     tmp.rename(part / f"compact_{uuid.uuid4().hex}.parquet")
     for old in small:
         old.unlink()
@@ -152,12 +156,25 @@ def compact_table(spark: SparkSession, export_root: str | Path, table: str,
             continue
         total = sum(f.stat().st_size for f in small)
         res.files_before += len(files)
+        n_new = None
         if total <= PYARROW_MERGE_MAX_BYTES:
-            n_new = _merge_small_pyarrow(part, small, compression)
-        else:
+            try:
+                n_new = _merge_small_pyarrow(part, small, compression)
+            except Exception:  # noqa: BLE001
+                # concat_tables needs byte-identical Arrow schemas; a
+                # leaf mixing files from before/after a promoted-column
+                # config change (or prior Spark-written files with a
+                # different field layout) falls back to the Spark merge,
+                # which schema-merges instead of crashing the cycle
+                n_new = None
+        if n_new is None:
             n_out = max(1, total // target_file_bytes
                         + (1 if total % target_file_bytes else 0))
-            df = (spark.read.parquet(*[str(f) for f in small])
+            # mergeSchema: without it the reader picks ONE file's schema
+            # and silently drops columns the other files carry (e.g. a
+            # promoted column added between seals)
+            df = (spark.read.option("mergeSchema", "true")
+                  .parquet(*[str(f) for f in small])
                   .coalesce(int(n_out)))
             n_new = _swap_in(spark, df, part, small, compression)
         res.files_after += len(files) - len(small) + n_new

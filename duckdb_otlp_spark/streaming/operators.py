@@ -90,6 +90,17 @@ def sessionize_stateful(events: DataFrame, *, gap_minutes: int = 30,
     boundary, so no watermarked groupBy-window expresses it; this is
     exactly the custom-stateful-operator case. State is one
     (start, end, n, sum) tuple per active user.
+
+    Ordering contract: each micro-batch is sorted once across all its
+    Arrow chunks, and cross-batch rows older than the open session
+    merge backward when within the gap of its start. Because state is
+    an aggregate (not the event buffer), a within-watermark row whose
+    burst was ALREADY emitted in an earlier batch surfaces as its own
+    session instead of re-opening the emitted one — the standard
+    aggregate-state trade-off; exact late-merge would require retaining
+    every event in state. OTLP-shaped streams are roughly time-ordered
+    (the reference states this of its ingest), which is the regime this
+    operator targets.
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -112,22 +123,44 @@ def sessionize_stateful(events: DataFrame, *, gap_minutes: int = 30,
         if state.exists:
             start_us, end_us, n, sv = state.get
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, value in zip(pdf[ts_col], pdf["value"]):
+        # one sort over the WHOLE micro-batch: a group arriving as
+        # several Arrow chunks (arrow.maxRecordsPerBatch) must not be
+        # sessionized chunk-by-chunk
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            allrows = pd.concat(frames) if len(frames) > 1 else frames[0]
+            allrows = allrows.sort_values(ts_col)
+            for ts, value in zip(allrows[ts_col], allrows["value"]):
                 t = _us(ts)
-                if end_us is not None and t - end_us > gap_us:
-                    closed.append((start_us, end_us, n, sv))
-                    start_us, end_us, n, sv = None, None, 0, 0.0
+                v = float(value) if value == value else 0.0
                 if start_us is None:
-                    start_us = t
-                end_us = t if end_us is None else max(end_us, t)
-                n += 1
-                sv += float(value) if value == value else 0.0
-        state.update((start_us, end_us, n, sv))
-        # the session is closed by inactivity: wake when the watermark
-        # passes last-event + gap
-        state.setTimeoutTimestamp(end_us // 1_000 + gap_us // 1_000)
+                    start_us = end_us = t
+                    n, sv = 1, v
+                elif t - end_us > gap_us:
+                    closed.append((start_us, end_us, n, sv))
+                    start_us = end_us = t
+                    n, sv = 1, v
+                elif t < start_us:
+                    # within-watermark row older than the open session's
+                    # start (cross-batch disorder): merge when it is
+                    # within the gap of the session start; otherwise it
+                    # belongs to a burst whose peers were already sealed
+                    # — emit it as its own closed single-event session
+                    if start_us - t <= gap_us:
+                        start_us = t
+                        n += 1
+                        sv += v
+                    else:
+                        closed.append((t, t, 1, v))
+                else:
+                    end_us = max(end_us, t)
+                    n += 1
+                    sv += v
+        if start_us is not None:
+            state.update((start_us, end_us, n, sv))
+            # the session is closed by inactivity: wake when the
+            # watermark passes last-event + gap
+            state.setTimeoutTimestamp(end_us // 1_000 + gap_us // 1_000)
         if closed:
             yield pd.DataFrame({
                 "user_id": [user_id] * len(closed),

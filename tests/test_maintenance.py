@@ -103,3 +103,27 @@ def test_expire_partitions(spark, export_tree):
     remaining = _files(export_tree)
     assert all("day=02" in str(f) for f in remaining)
     assert spark.read.parquet(str(export_tree / "otlp_logs")).count() == 15
+
+
+def test_compact_table_mixed_schema_falls_back_to_spark(spark, tmp_path):
+    """A leaf partition mixing files with different schemas (promoted
+    column added between seals) must still compact — the pyarrow fast
+    path cannot concat unequal schemas, so the cycle falls back to the
+    schema-merging Spark merge instead of crashing."""
+    from duckdb_otlp_spark.streaming.maintenance import compact_table
+
+    leaf = tmp_path / "otlp_logs" / "year=2024" / "month=01" / "day=01"
+    leaf.mkdir(parents=True)
+    a = spark.createDataFrame([(1, "x")], "id long, body string")
+    b = spark.createDataFrame([(2, "y", "svc")],
+                              "id long, body string, service_name string")
+    for i, df in enumerate((a, b)):
+        stage = tmp_path / f"_s{i}"
+        df.coalesce(1).write.parquet(str(stage))
+        for f in stage.glob("*.parquet"):
+            f.rename(leaf / f"seal_{i}.parquet")
+    res = compact_table(spark, tmp_path, "otlp_logs")
+    assert res.partitions_compacted == 1
+    out = spark.read.parquet(str(leaf))
+    assert out.count() == 2
+    assert "service_name" in out.columns

@@ -228,3 +228,16 @@ def test_cosine_topk_batched_matches_expression_variant(spark, emb):
         emb.filter(F.col("vec_id") != 0).repartition(7),
         "vec_id", "embedding", list(q), k=10)
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_cosine_topk_batched_tie_break_and_id_type(spark):
+    """Cosines tied at the k-th boundary must resolve by id exactly as
+    the global orderBy does, and a non-bigint id column must survive."""
+    rows = [(i, [1.0, 0.0]) for i in range(20)]          # all cosine 1.0
+    rows += [(100 + i, [0.0, 1.0]) for i in range(5)]    # cosine 0.0
+    df = spark.createDataFrame(rows, "vid int, embedding array<double>")
+    got = similarity.cosine_topk_batched(df.repartition(3), "vid",
+                                         "embedding", [1.0, 0.0], k=10)
+    want = similarity.cosine_topk(df, "vid", "embedding", [1.0, 0.0], k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert [r["vid"] for r in got.collect()] == list(range(10))

@@ -170,3 +170,43 @@ def test_sessionize_stateful_batch_parity(spark, tmp_path):
             assert (u, _mins(90), _mins(91), 2, float(2 * u + 181)) in got
     finally:
         q.stop()
+
+
+def test_sessionize_stateful_unordered_chunks(spark, tmp_path):
+    """A micro-batch split across several Arrow chunks (tiny
+    maxRecordsPerBatch) with rows in arbitrary order must sessionize
+    identically to sorted input, and a cross-batch row older than the
+    open session's start (within gap) must merge backward."""
+    path = str(tmp_path / "landing")
+    # unsorted within the slice: 60m row first, then the 0-2m burst
+    rows1 = [(1, _mins(60), "click", 4.0), (1, _mins(1), "click", 2.0),
+             (1, _mins(2), "view", 3.0), (1, _mins(0), "click", 1.0),
+             (1, _mins(61), "view", 5.0)]
+    # 58m is older than the open session's start (60m) but within gap
+    rows2 = [(1, _mins(58), "click", 7.0)]
+    rows3 = [(9, _mins(300), "view", 0.0)]
+    _write_slice(spark, path, rows1, 0)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        q, name = _run(sessionize_stateful(_stream(spark, path),
+                                           gap_minutes=30,
+                                           watermark="5 minutes"), "append")
+        try:
+            q.processAllAvailable()
+            _write_slice(spark, path, rows2, 1)
+            q.processAllAvailable()
+            _write_slice(spark, path, rows3, 2)
+            q.processAllAvailable()
+            _write_slice(spark, path, [(9, _mins(301), "view", 0.0)], 3)
+            q.processAllAvailable()
+            got = {(r.user_id, r.session_start, r.session_end,
+                    r.n_events, r.sum_value)
+                   for r in spark.table(name).collect()}
+            assert (1, _mins(0), _mins(2), 3, 6.0) in got
+            assert (1, _mins(58), _mins(61), 3, 16.0) in got
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
