@@ -233,6 +233,67 @@ def run_compaction_bench(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_promotion_probe(spark, rows: int = 2_000_000) -> dict:
+    """The reference query probe's L5: the SAME predicate filtered via
+    JSON attribute extraction vs via a promoted typed column
+    (BASELINE.md; probe.py L5). The promoted path reads a dictionary
+    -encoded int column with a pushed-down predicate; the JSON path
+    must materialize and parse the attributes string per row — the
+    layout decision the reference's attribute promotion exists for."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="promo_bench_")
+    try:
+        (spark.range(rows).selectExpr(
+            "id",
+            "CAST(id % 16 AS STRING) AS service_name",
+            """concat('{"http.status_code": ', CAST(200 + (id % 5) * 100 AS STRING),
+                      ', "http.method": "GET", "http.route": "/api/v1/items/',
+                      CAST(id % 997 AS STRING),
+                      '", "net.peer.ip": "10.0.', CAST(id % 256 AS STRING),
+                      '.', CAST((id * 7) % 256 AS STRING),
+                      '", "http.user_agent": "bench-agent/1.0 (linux)"}')
+               AS attributes""",
+            "CAST(200 + (id % 5) * 100 AS INT) AS attr_http_status_code")
+         .write.parquet(d, mode="overwrite"))
+        t = spark.read.parquet(d)
+        t0 = time.perf_counter()
+        n_json = t.filter(
+            F.get_json_object("attributes", "$['http.status_code']") == "500"
+        ).count()
+        ms_json = round((time.perf_counter() - t0) * 1000, 1)
+        t0 = time.perf_counter()
+        n_prom = t.filter(F.col("attr_http_status_code") == 500).count()
+        ms_prom = round((time.perf_counter() - t0) * 1000, 1)
+
+        # the metric that matters at 100 TB: compressed bytes each plan
+        # must scan (column pruning means the promoted filter never
+        # touches the attributes string)
+        import pyarrow.parquet as pq
+        col_bytes: dict[str, int] = {}
+        for f in Path(d).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema.split(".")[0]
+                    col_bytes[name] = (col_bytes.get(name, 0)
+                                       + c.total_compressed_size)
+        mb = 1024 * 1024
+        return {"rows": rows, "matched": n_prom,
+                "agree": bool(n_json == n_prom),
+                "json_ms": ms_json, "promoted_ms": ms_prom,
+                "json_scan_mb": round(col_bytes.get("attributes", 0) / mb, 2),
+                "promoted_scan_mb": round(
+                    col_bytes.get("attr_http_status_code", 0) / mb, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def run_pruning_probe(spark) -> dict:
     """File-pruning probe — the reference query probe's PRIMARY metric
     is files/MB scanned after pruning (BASELINE.md), not latency. A
@@ -330,6 +391,10 @@ def main() -> None:
             out["pruning"] = run_pruning_probe(spark)
         except Exception as e:  # noqa: BLE001
             out["pruning"] = {"error": str(e)[:200]}
+        try:
+            out["promotion"] = run_promotion_probe(spark)
+        except Exception as e:  # noqa: BLE001
+            out["promotion"] = {"error": str(e)[:200]}
     print(json.dumps(out))
     spark.stop()
 
