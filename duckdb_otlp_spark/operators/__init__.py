@@ -8,10 +8,16 @@ from duckdb_otlp_spark.operators.dedup import (  # noqa: F401
     simhash_hamming,
     simhash_pairs,
 )
+from duckdb_otlp_spark.operators.pipeline import (  # noqa: F401
+    annotate_quality,
+    clean_corpus,
+    contamination_screen,
+)
 from duckdb_otlp_spark.operators.similarity import (  # noqa: F401
     build_ivf_index,
     cosine,
     cosine_topk,
+    cosine_topk_batched,
     ivf_search,
 )
 from duckdb_otlp_spark.operators.text import (  # noqa: F401
