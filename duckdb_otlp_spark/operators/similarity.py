@@ -165,6 +165,26 @@ def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
     return joined.select("__id", "__v", best["cid"].alias("centroid_id"))
 
 
+def save_ivf_index(assigned: DataFrame, centroids: DataFrame,
+                   path: str) -> None:
+    """Materialize an IVF index as the 100 TB layout: the assigned
+    corpus partitioned BY centroid_id (so a probe scan becomes a
+    partition-pruned read touching only nprobe/C of the files — the
+    dominant cost at scale is the scan, not the math) plus the tiny
+    centroid table."""
+    (assigned.write.partitionBy("centroid_id")
+     .mode("overwrite").parquet(f"{path}/assigned"))
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Reopen a saved IVF index; feed straight into :func:`ivf_search`.
+    The centroid_id filter inside the search lands as a PartitionFilter
+    on the assigned scan (pinned by tests/test_operators.py)."""
+    return (spark.read.parquet(f"{path}/assigned"),
+            spark.read.parquet(f"{path}/centroids"))
+
+
 def ivf_search(assigned: DataFrame, centroids: DataFrame, id_col: str,
                vec_col: str, query: list[float], k: int = 10,
                nprobe: int = 4) -> DataFrame:

@@ -241,3 +241,29 @@ def test_cosine_topk_batched_tie_break_and_id_type(spark):
     want = similarity.cosine_topk(df, "vid", "embedding", [1.0, 0.0], k=10)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
     assert [r["vid"] for r in got.collect()] == list(range(10))
+
+
+def test_ivf_index_save_load_partition_pruning(spark, emb, tmp_path):
+    """A saved IVF index must (a) return the identical search result
+    after reload and (b) plan the probe as a PARTITION-pruned scan —
+    at scale the win is reading nprobe/C of the files, not the math."""
+    from duckdb_otlp_spark.plans import audit
+
+    q = list(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    assigned, centroids = similarity.build_ivf_index(
+        emb, "vec_id", "embedding", n_centroids=8, iters=1)
+    want = similarity.ivf_search(assigned, centroids, "vec_id",
+                                 "embedding", q, k=5, nprobe=2).collect()
+
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(assigned, centroids, path)
+    a2, c2 = similarity.load_ivf_index(spark, path)
+    got_df = similarity.ivf_search(a2, c2, "vec_id", "embedding", q,
+                                   k=5, nprobe=2)
+    assert [tuple(r) for r in got_df.collect()] == [tuple(r) for r in want]
+
+    rep = audit(got_df)
+    scan = rep.scan_for("/assigned")
+    assert scan is not None
+    assert any("centroid_id" in f for f in scan.partition_filters), \
+        scan.partition_filters
