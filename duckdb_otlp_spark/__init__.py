@@ -39,6 +39,14 @@ from duckdb_otlp_spark.sources.otlp_json import (  # noqa: F401
     read_otlp_traces,
 )
 
+from duckdb_otlp_spark.operators import (  # noqa: F401
+    clean_corpus,
+    contamination_screen,
+    cosine_topk,
+    cosine_topk_batched,
+    minhash_dedup,
+    minhash_lsh_pairs,
+)
 from duckdb_otlp_spark.streaming import (  # noqa: F401
     otlp_flush,
     otlp_maintenance,
@@ -46,6 +54,8 @@ from duckdb_otlp_spark.streaming import (  # noqa: F401
     otlp_serve,
     otlp_server_list,
     otlp_stop,
+    sessionize_stateful,
+    windowed_counts,
 )
 from duckdb_otlp_spark.streaming.maintenance import (  # noqa: F401
     compact_table,
