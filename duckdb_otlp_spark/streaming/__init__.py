@@ -1,5 +1,6 @@
 from duckdb_otlp_spark.streaming.operators import (  # noqa: F401
     sessionize_stateful,
+    sessionize_windowed,
     windowed_counts,
 )
 from duckdb_otlp_spark.streaming.server import (  # noqa: F401

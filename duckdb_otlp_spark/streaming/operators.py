@@ -13,10 +13,13 @@ Design notes for 100 TB / unbounded streams:
   bounded by (watermark delay / window size) per group key, late rows
   beyond the watermark are dropped by Spark itself, and partial
   aggregation applies map-side exactly as in the batch plan.
+- ``sessionize_windowed`` is the idiomatic gap-session path: Spark's
+  built-in ``session_window`` (JVM-side, exact out-of-order merging,
+  Spark-managed state). Reach for it first.
 - ``sessionize_stateful`` uses ``applyInPandasWithState`` — the custom
-  -stateful-operator escape hatch for semantics a watermarked window
-  cannot express (gap-based sessions close on *inactivity*, not on a
-  fixed boundary). State per user is one fixed-size tuple; sessions
+  -stateful-operator escape hatch for per-session logic BEYOND what a
+  session_window aggregate can express (custom emission, featurization,
+  capped sessions). State per user is one fixed-size tuple; sessions
   emit when the event-time timeout fires, so memory is O(active users)
   regardless of stream length. Arrow batches cross the Python boundary
   (vectorized), never row-at-a-time.
@@ -40,29 +43,60 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["windowed_counts", "sessionize_stateful",
+           "sessionize_windowed",
            "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
 
 
 def windowed_counts(events: DataFrame, *, window: str = "5 minutes",
+                    slide: str | None = None,
                     watermark: str = "10 minutes",
                     ts_col: str = "ts") -> DataFrame:
-    """Tumbling-window per-event-type rollup (count + value sum).
+    """Tumbling (or, with ``slide``, hopping) window per-event-type
+    rollup (count + value sum).
 
     On a streaming input the watermark bounds state and drops rows
     later than ``watermark`` behind the max observed event time; on a
     batch input the identical expression tree runs without one, so the
     streaming result provably converges to the batch answer (pinned by
-    tests/test_streaming_operators.py).
+    tests/test_streaming_operators.py). A hopping window assigns each
+    row to window/slide overlapping windows.
     """
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    return (df.groupBy(F.window(ts_col, window).alias("win"), "event_type")
+    win = (F.window(ts_col, window, slide) if slide
+           else F.window(ts_col, window))
+    return (df.groupBy(win.alias("win"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "event_type", "n_events", "sum_value"))
+
+
+def sessionize_windowed(events: DataFrame, *, gap: str = "30 minutes",
+                        watermark: str = "10 minutes",
+                        ts_col: str = "ts") -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window`` —
+    the idiomatic path when the rollup is expressible as an
+    aggregation over the session (count/sum/min/max): fully JVM-side,
+    state managed by Spark, merges out-of-order rows exactly.
+
+    Use :func:`sessionize_stateful` only when per-session logic goes
+    beyond aggregates (custom emission, ML featurization, capped
+    sessions) — the built-in beats the Python-stateful path whenever
+    both can express the semantics. Works identically on batch input.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id",
+                    F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events", "sum_value"))
 
 
 SESSION_OUTPUT_SCHEMA = ("user_id bigint, session_start timestamp, "
@@ -86,9 +120,11 @@ def sessionize_stateful(events: DataFrame, *, gap_minutes: int = 30,
     timeout against the watermark. Emits one row per CLOSED session
     (same rollup as the batch `sessionize` query).
 
-    Why stateful-apply and not a window: a gap session has no fixed
-    boundary, so no watermarked groupBy-window expresses it; this is
-    exactly the custom-stateful-operator case. State is one
+    Why stateful-apply when :func:`sessionize_windowed` exists: the
+    built-in session_window covers aggregate rollups; this operator is
+    the template for per-session logic beyond aggregates — custom
+    emission rules, per-session featurization, capping, side outputs —
+    where user code must run per session. State is one
     (start, end, n, sum) tuple per active user.
 
     Ordering contract: each micro-batch is sorted once across all its

@@ -210,3 +210,52 @@ def test_sessionize_stateful_unordered_chunks(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_sessionize_windowed_matches_stateful_and_batch(spark, tmp_path):
+    """The built-in session_window path must produce the same closed
+    sessions as the stateful operator on in-order data, and its batch
+    run over the same rows must agree (session_window end = last event
+    + gap, so compare on (user, start, n, sum))."""
+    from duckdb_otlp_spark.streaming import sessionize_windowed
+
+    path = str(tmp_path / "landing")
+    rows1 = [(1, _mins(0), "click", 1.0), (1, _mins(1), "click", 2.0),
+             (1, _mins(2), "view", 3.0), (2, _mins(5), "view", 10.0)]
+    rows2 = [(9, _mins(300), "view", 0.0)]
+    _write_slice(spark, path, rows1, 0)
+
+    q, name = _run(sessionize_windowed(_stream(spark, path),
+                                       gap="30 minutes",
+                                       watermark="5 minutes"), "append")
+    try:
+        q.processAllAvailable()
+        _write_slice(spark, path, rows2, 1)
+        q.processAllAvailable()
+        _write_slice(spark, path, [(9, _mins(301), "view", 0.0)], 2)
+        q.processAllAvailable()
+        got = {(r.user_id, r.session_start, r.n_events, r.sum_value)
+               for r in spark.table(name).collect()}
+        assert (1, _mins(0), 3, 6.0) in got
+        assert (2, _mins(5), 1, 10.0) in got
+        batch = sessionize_windowed(
+            spark.read.schema(SCHEMA).parquet(f"{path}/slice=0"),
+            gap="30 minutes")
+        bat = {(r.user_id, r.session_start, r.n_events, r.sum_value)
+               for r in batch.collect()}
+        assert {(1, _mins(0), 3, 6.0), (2, _mins(5), 1, 10.0)} <= bat
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_hopping(spark, tmp_path):
+    """slide=window/2: every event lands in exactly two windows, so the
+    summed n_events doubles the row count."""
+    path = str(tmp_path / "landing")
+    rows = [(1, _mins(m), "click", 1.0) for m in (1, 4, 7, 12)]
+    _write_slice(spark, path, rows, 0)
+    batch = windowed_counts(
+        spark.read.schema(SCHEMA).parquet(f"{path}/slice=*"),
+        window="10 minutes", slide="5 minutes")
+    out = batch.collect()
+    assert sum(r.n_events for r in out) == 2 * len(rows)
