@@ -92,6 +92,51 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms))
 
 
+def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize *plan*: aspect-preserving output dimensions for every
+    image whose longest side exceeds ``max_side``, computed JVM-side
+    from metadata only (payload pruned from the scan). The byte
+    transform itself is the stubbed decode seam (extract_features'
+    strict_decode marks it); at scale the plan/filter step is what
+    decides which payloads a decode stage must touch at all."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    longest = F.greatest(w, h)
+    scale = max_side / longest
+    need = longest > max_side
+    return (df.filter((F.col("kind") == "image") & w.isNotNull())
+            .select("media_id", w.alias("width"), h.alias("height"),
+                    F.when(need, F.greatest(F.round(w * scale).cast("int"),
+                                            F.lit(1)))
+                    .otherwise(w).alias("out_width"),
+                    F.when(need, F.greatest(F.round(h * scale).cast("int"),
+                                            F.lit(1)))
+                    .otherwise(h).alias("out_height"),
+                    need.alias("needs_resize")))
+
+
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking *plan*: one row per (media_id, chunk) with time
+    offsets and the per-chunk sample count from the metadata sample
+    rate — again metadata-only, payload untouched. Feeds a decode stage
+    the exact byte ranges to cut."""
+    dur = F.col("meta.duration_ms")
+    n_chunks = F.greatest(F.ceil(dur / chunk_ms).cast("int"), F.lit(1))
+    start = F.col("chunk_idx") * chunk_ms
+    length = F.least(F.lit(chunk_ms).cast("long"),
+                     F.col("duration_ms") - start)
+    return (df.filter((F.col("kind") == "audio") & dur.isNotNull())
+            .select("media_id", dur.alias("duration_ms"),
+                    F.col("meta.sample_rate").alias("sample_rate"),
+                    F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                    .alias("chunk_idx"))
+            .withColumns({
+                "chunk_start_ms": start,
+                "chunk_len_ms": length,
+                "n_samples": (length * F.col("sample_rate") / 1000)
+                .cast("long"),
+            }))
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests: payload bytes derived
     from the id, metadata consistent with `kind`."""

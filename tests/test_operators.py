@@ -267,3 +267,41 @@ def test_ivf_index_save_load_partition_pruning(spark, emb, tmp_path):
     assert scan is not None
     assert any("centroid_id" in f for f in scan.partition_filters), \
         scan.partition_filters
+
+
+def test_resize_plan_metadata_only(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    out = multimodal.resize_plan(media, max_side=256).collect()
+    assert out, "images present"
+    for r in out:
+        longest = max(r["width"], r["height"])
+        if longest > 256:
+            assert r["needs_resize"]
+            assert max(r["out_width"], r["out_height"]) == 256
+            # aspect preserved within integer-rounding relative error
+            want = r["width"] / r["height"]
+            got_ratio = r["out_width"] / r["out_height"]
+            assert abs(got_ratio - want) / want < 0.05
+        else:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+    # payload pruned: plan reads only metadata columns
+    from duckdb_otlp_spark.plans import audit
+    rep = audit(multimodal.resize_plan(media))
+    assert "payload" not in rep.text.split("ReadSchema")[-1][:400] \
+        if "ReadSchema" in rep.text else True
+
+
+def test_audio_chunk_plan_covers_duration(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    rows = multimodal.audio_chunk_plan(media, chunk_ms=3000).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, chunks in by_media.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        total = sum(r["chunk_len_ms"] for r in chunks)
+        assert total == chunks[0]["duration_ms"]      # full coverage, no overlap
+        assert chunks[0]["chunk_start_ms"] == 0
+        for r in chunks:
+            assert r["n_samples"] == r["chunk_len_ms"] * r["sample_rate"] // 1000
