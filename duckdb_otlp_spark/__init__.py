@@ -55,6 +55,7 @@ from duckdb_otlp_spark.streaming import (  # noqa: F401
     otlp_server_list,
     otlp_stop,
     sessionize_stateful,
+    sessionize_windowed,
     windowed_counts,
 )
 from duckdb_otlp_spark.streaming.maintenance import (  # noqa: F401

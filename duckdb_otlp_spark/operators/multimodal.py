@@ -103,7 +103,8 @@ def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
     longest = F.greatest(w, h)
     scale = max_side / longest
     need = longest > max_side
-    return (df.filter((F.col("kind") == "image") & w.isNotNull())
+    return (df.filter((F.col("kind") == "image")
+                      & w.isNotNull() & h.isNotNull())
             .select("media_id", w.alias("width"), h.alias("height"),
                     F.when(need, F.greatest(F.round(w * scale).cast("int"),
                                             F.lit(1)))

@@ -27,18 +27,15 @@ from pyspark.sql import functions as F
 from duckdb_otlp_spark.operators import dedup, text
 
 
-def annotate_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def annotate_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds the filter signals as columns (quality score, dup-3-gram
     fraction, language guess) without dropping anything — the
     inspect-before-filter view. Map-only."""
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]))
+    grams = text.word_ngrams(t, 3, distinct=False)
     n = F.size(grams)
     dup_frac = F.when(
-        F.size(words) >= 3,
+        n >= 1,
         F.round((n - F.size(F.array_distinct(grams))) / n, 4)).otherwise(0.0)
     return df.withColumns({
         "__quality": text.quality_score(t),
@@ -59,11 +56,12 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
     """Curate a raw document corpus for training.
 
     Returns the surviving rows of ``df`` (original columns, annotation
-    columns dropped). With ``audit=True`` returns ``(survivors, stats)``
-    where stats is a dict of per-stage survivor counts — computed in a
-    single aggregate job, so auditing does not multiply scans.
+    columns dropped). With ``audit=True`` returns ``(survivors, stats)``:
+    the predicate-stage counts come from ONE extra aggregate job over
+    the annotated corpus (not a count() per stage), and the dedup stage
+    adds one count of the survivor set — two extra jobs total.
     """
-    ann = annotate_quality(df, id_col, text_col)
+    ann = annotate_quality(df, text_col)
     pass_quality = F.col("__quality") >= min_quality
     pass_rep = F.col("__dup_frac") <= max_dup_frac
     pass_lang = (F.col("__lang").isin(*languages)
@@ -104,21 +102,20 @@ def contamination_screen(df: DataFrame, eval_df: DataFrame,
 
     Scale shape: eval reduces to a DISTINCT gram set; train docs join it
     on the gram string (equi-join, AQE broadcasts a small eval set);
-    per-doc rollup partial-aggregates. Docs with no grams survive."""
+    per-doc rollup partial-aggregates. The train gram projection
+    persists because the hits and totals branches both read it — the
+    CPU-bound shingling must not run twice. Docs with no grams
+    survive."""
+    from pyspark.storagelevel import StorageLevel
+
     def grams(frame):
-        words = F.split(F.trim(F.col(text_col)), r"\s+")
-        g = F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(words) - gram_n),
-            lambda i: F.concat_ws(
-                " ", *[words[i + j] for j in range(gram_n)])))
         return frame.select(
             F.col(id_col),
-            F.when(F.size(words) >= gram_n, g)
-            .otherwise(F.array().cast("array<string>")).alias("__grams"))
+            text.word_ngrams(F.col(text_col), gram_n).alias("__grams"))
 
     eval_grams = (grams(eval_df)
                   .select(F.explode("__grams").alias("__g")).distinct())
-    train = grams(df)
+    train = grams(df).persist(StorageLevel.MEMORY_AND_DISK)
     hits = (train.select(id_col, F.explode("__grams").alias("__g"))
             .join(eval_grams, "__g")
             .groupBy(id_col).agg(F.count("*").alias("__hit")))

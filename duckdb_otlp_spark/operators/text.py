@@ -38,6 +38,21 @@ def tokenize_bpe_ish(text: Column) -> Column:
         lambda t: F.trim(t) != "")
 
 
+def word_ngrams(text: Column, n: int, distinct: bool = True) -> Column:
+    """Word n-grams of the whitespace-tokenized text; empty array below
+    n words. The single source of truth for the pipeline's gram
+    construction (repetition, contamination) — the oracle-gated query
+    twins in queries.py keep their own frozen copies by design."""
+    words = tokenize_ws(text)
+    g = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", *[words[i + j] for j in range(n)]))
+    if distinct:
+        g = F.array_distinct(g)
+    return F.when(F.size(words) >= n, g).otherwise(
+        F.array().cast("array<string>"))
+
+
 def token_count(text: Column, tokenizer: str = "ws") -> Column:
     toks = tokenize_ws(text) if tokenizer == "ws" else tokenize_bpe_ish(text)
     return F.size(toks)
@@ -48,7 +63,13 @@ def quality_features(text: Column) -> dict[str, Column]:
     stopword ratios, uppercase ratio — the usual pre-training filters."""
     toks = tokenize_ws(text)
     n_tok = F.size(toks)
+    # empty/whitespace-only docs: n_chars would be 0 and ANSI mode
+    # turns the ratio divisions into job-aborting DIVIDE_BY_ZERO —
+    # exactly the docs a quality filter exists to drop, so the
+    # denominators floor at 1 (ratios become 0 and the doc scores low)
     n_chars = F.length(text)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tok = F.greatest(n_tok, F.lit(1))
     en_stops = LANG_PROFILES["en"]
     stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*en_stops)))
     punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
@@ -56,20 +77,24 @@ def quality_features(text: Column) -> dict[str, Column]:
     return {
         "n_chars": n_chars,
         "n_tokens": n_tok,
-        "mean_token_len": F.round(n_chars / n_tok, 4),
-        "stopword_ratio": F.round(stop_hits / n_tok, 4),
-        "punct_ratio": F.round(punct / n_chars, 4),
-        "upper_ratio": F.round(upper / n_chars, 4),
+        "mean_token_len": F.round(n_chars / safe_tok, 4),
+        "stopword_ratio": F.round(stop_hits / safe_tok, 4),
+        "punct_ratio": F.round(punct / safe_chars, 4),
+        "upper_ratio": F.round(upper / safe_chars, 4),
     }
 
 
 def quality_score(text: Column) -> Column:
-    """Composite [0,1] quality score from the features (heuristic weights)."""
+    """Composite [0,1] quality score from the features (heuristic
+    weights). Empty/whitespace-only docs score 0 outright — their
+    "features" (one pseudo-token of whitespace) would otherwise earn
+    partial credit."""
     f = quality_features(text)
     length_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000), 1.0).otherwise(0.0)
     token_len_ok = F.when(f["mean_token_len"].between(2.0, 12.0), 1.0).otherwise(0.0)
     punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
-    return F.round((length_ok + token_len_ok + punct_ok) / 3.0, 4)
+    score = F.round((length_ok + token_len_ok + punct_ok) / 3.0, 4)
+    return F.when(F.length(F.trim(text)) > 0, score).otherwise(0.0)
 
 
 def lang_scores(text: Column) -> Column:

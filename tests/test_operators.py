@@ -284,11 +284,16 @@ def test_resize_plan_metadata_only(spark):
             assert abs(got_ratio - want) / want < 0.05
         else:
             assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
-    # payload pruned: plan reads only metadata columns
+    # payload pruned: write media to parquet so the plan has a real
+    # scan, then assert the resize plan's ReadSchema excludes payload
+    import tempfile
     from duckdb_otlp_spark.plans import audit
-    rep = audit(multimodal.resize_plan(media))
-    assert "payload" not in rep.text.split("ReadSchema")[-1][:400] \
-        if "ReadSchema" in rep.text else True
+    d = tempfile.mkdtemp(prefix="media_prune_")
+    media.write.mode("overwrite").parquet(d)
+    rep = audit(multimodal.resize_plan(spark.read.parquet(d)))
+    scan = rep.scan_for(d)
+    assert scan is not None
+    assert "payload" not in scan.read_columns, scan.read_columns
 
 
 def test_audio_chunk_plan_covers_duration(spark):

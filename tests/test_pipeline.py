@@ -36,7 +36,7 @@ def corpus(spark):
 
 def test_annotate_quality_signals(spark, corpus):
     ann = {r["doc_id"]: r for r in
-           annotate_quality(corpus, "doc_id", "text").collect()}
+           annotate_quality(corpus, "text").collect()}
     assert ann[100]["__dup_frac"] > 0.9          # repeated 3-gram doc
     assert ann[0]["__dup_frac"] <= 0.1
     assert ann[101]["__quality"] < 0.5           # single token
@@ -83,3 +83,15 @@ def test_contamination_screen(spark):
                                max_overlap=0.5)
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {2, 3}
+
+
+def test_clean_corpus_survives_empty_docs(spark):
+    """Empty/whitespace-only docs — ubiquitous in raw data — must be
+    FILTERED, not crash the job (ANSI mode turns a 0-char denominator
+    into a job-aborting DIVIDE_BY_ZERO without the guard)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"),
+         (4, "a perfectly ordinary document with enough words here")],
+        "doc_id long, text string")
+    out = clean_corpus(df, near_dedup=False)
+    assert {r["doc_id"] for r in out.collect()} == {4}

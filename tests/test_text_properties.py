@@ -1,8 +1,7 @@
 """Property-based invariants for the text-pipeline column expressions,
 checked against plain-Python reference implementations over arbitrary
-corpora (hypothesis generates the docs, one Spark job per example batch
-would be prohibitive — so examples are batched into a single DataFrame
-per property).
+corpora. Each hypothesis example's generated docs form ONE DataFrame /
+one Spark job (max_examples bounds the total job count).
 
 Invariants pinned:
 - repetition: n_grams == max(0, words-2); 0 <= dup_frac < 1; n_dup
