@@ -106,6 +106,48 @@ def _paced_producer(args) -> tuple[int, int]:
     return ok, len(bodies)
 
 
+class _IngestServer:
+    """Shared server lifecycle for the ingest benches: serve on an
+    ephemeral port, expose (host, port, server), guarantee otlp_stop.
+    One copy of the URI-parse/flush/stop scaffolding instead of one
+    per bench (a fix applied to one silently skews the other)."""
+
+    def __init__(self, spark, prefix: str):
+        import tempfile
+
+        from duckdb_otlp_spark.streaming import otlp_serve
+        from duckdb_otlp_spark.streaming.server import _get
+
+        self.spark = spark
+        work = tempfile.mkdtemp(prefix=prefix)
+        info = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=work,
+                          disable_auth=True, seal_max_age_ms=2000).collect()[0]
+        self.uri = info["uri"]
+        self.server = _get(self.uri)
+        host, port = self.uri.split("//")[1].rsplit(":", 1)
+        self.host, self.port = host, int(port)
+
+    def sealed_logs(self) -> int:
+        return self.spark.read.parquet(
+            str(self.server.export_root / "otlp_logs")).count()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        from duckdb_otlp_spark.streaming import otlp_stop
+        otlp_stop(self.spark, self.uri, drain=False)
+        return False
+
+
+def _warmed_pool(workers: int):
+    import multiprocessing as mp
+
+    pool = mp.get_context("spawn").Pool(workers)
+    pool.map(len, [b""] * workers)  # warm interpreters before timing
+    return pool
+
+
 def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
                          batch: int = 1000, workers: int = 6) -> dict:
     """Sustained-rate capacity gate, shaped like the reference's
@@ -113,38 +155,24 @@ def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
     batches to hit `rate` aggregate for `seconds`, seals overlap the
     posting, and the gate passes iff every batch was accepted on
     schedule AND everything sent is queryable afterwards."""
-    import multiprocessing as mp
-    import tempfile
-
-    from duckdb_otlp_spark.streaming import otlp_serve, otlp_stop
-    from duckdb_otlp_spark.streaming.server import _get
-
     n_requests = rate * seconds // batch
     per_worker = n_requests // workers
     interval_s = batch * workers / rate
     bodies = [_ingest_envelope(i, batch) for i in range(n_requests)]
-    work = tempfile.mkdtemp(prefix="sustained_bench_")
-    info = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=work,
-                      disable_auth=True, seal_max_age_ms=2000).collect()[0]
-    server = _get(info["uri"])
-    host, port = info["uri"].split("//")[1].rsplit(":", 1)
-    ctx = mp.get_context("spawn")
-    with ctx.Pool(workers) as pool:
-        pool.map(len, [b""] * workers)
-        jobs = [(host, int(port), bodies[w::workers][:per_worker], interval_s)
-                for w in range(workers)]
-        t0 = time.perf_counter()
-        results = pool.map(_paced_producer, jobs)
-        send_s = time.perf_counter() - t0
-    accepted = sum(r[0] for r in results)
-    sent = sum(r[1] for r in results)
-    try:
+    with _IngestServer(spark, "sustained_bench_") as srv:
+        with _warmed_pool(workers) as pool:
+            jobs = [(srv.host, srv.port,
+                     bodies[w::workers][:per_worker], interval_s)
+                    for w in range(workers)]
+            t0 = time.perf_counter()
+            results = pool.map(_paced_producer, jobs)
+            send_s = time.perf_counter() - t0
+        accepted = sum(r[0] for r in results)
+        sent = sum(r[1] for r in results)
         t_flush = time.perf_counter()
-        server.flush()
+        srv.server.flush()
         drain_s = time.perf_counter() - t_flush
-        sealed = spark.read.parquet(str(server.export_root / "otlp_logs")).count()
-    finally:
-        otlp_stop(spark, info["uri"], drain=False)
+        sealed = srv.sealed_logs()
     achieved = round(accepted * batch / send_s, 1)
     return {
         "target_logs_per_sec": rate,
@@ -167,33 +195,19 @@ def run_ingest_bench(spark, n_requests: int = 2000, batch: int = 1000,
 
     accept = 202-acceptance rate (the reference's headline number);
     e2e = acceptance start -> everything queryable in parquet."""
-    import multiprocessing as mp
-    import tempfile
-
-    from duckdb_otlp_spark.streaming import otlp_serve, otlp_stop
-    from duckdb_otlp_spark.streaming.server import _get
-
     bodies = [_ingest_envelope(i, batch) for i in range(n_requests)]
-    work = tempfile.mkdtemp(prefix="ingest_bench_")
-    info = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=work,
-                      disable_auth=True, seal_max_age_ms=2000).collect()[0]
-    server = _get(info["uri"])
-    host, port = info["uri"].split("//")[1].rsplit(":", 1)
-    ctx = mp.get_context("spawn")
-    with ctx.Pool(workers) as pool:
-        pool.map(len, [b""] * workers)  # warm interpreters before timing
-        jobs = [(host, int(port), bodies[w::workers]) for w in range(workers)]
-        t0 = time.perf_counter()
-        results = pool.map(_ingest_producer, jobs)
-        accept_s = time.perf_counter() - t0
-    accepted = sum(r[0] for r in results)
-    try:
-        server.flush()
+    with _IngestServer(spark, "ingest_bench_") as srv:
+        with _warmed_pool(workers) as pool:
+            jobs = [(srv.host, srv.port, bodies[w::workers])
+                    for w in range(workers)]
+            t0 = time.perf_counter()
+            results = pool.map(_ingest_producer, jobs)
+            accept_s = time.perf_counter() - t0
+        accepted = sum(r[0] for r in results)
+        srv.server.flush()
         e2e_s = time.perf_counter() - t0
         total = n_requests * batch
-        sealed = spark.read.parquet(str(server.export_root / "otlp_logs")).count()
-    finally:
-        otlp_stop(spark, info["uri"], drain=False)
+        sealed = srv.sealed_logs()
     return {
         "records": total,
         "accept_logs_per_sec": round(accepted * batch / accept_s, 1),
