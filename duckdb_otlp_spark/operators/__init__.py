@@ -8,6 +8,10 @@ from duckdb_otlp_spark.operators.dedup import (  # noqa: F401
     simhash_hamming,
     simhash_pairs,
 )
+from duckdb_otlp_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    range_join,
+)
 from duckdb_otlp_spark.operators.pipeline import (  # noqa: F401
     annotate_quality,
     clean_corpus,
