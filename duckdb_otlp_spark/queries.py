@@ -1689,6 +1689,34 @@ GROUP BY term ORDER BY tf DESC, term LIMIT 50
 """
 
 
+def q_token_budget(spark, sf_dir):
+    """Training-budget accounting: total/avg whitespace tokens and doc
+    counts per (lang, source) — the rollup that decides how much of
+    each slice a training mix can draw.
+
+    Scale shape: map-side token counting (size of split — the text
+    never shuffles), then ONE partial-aggregated groupBy on two
+    low-cardinality keys."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (docs.select("lang", "source", n_tok.alias("n"))
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n").alias("total_tokens"),
+                 F.round(F.avg("n"), 4).alias("avg_tokens"))
+            .orderBy("lang", "source"))
+
+
+SQL_TOKEN_BUDGET = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS total_tokens,
+       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4)
+           AS avg_tokens
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1780,6 +1808,7 @@ QUERIES.update({
     "array_ops": q_array_ops,
     "union_all": q_union_all,
     "distinct": q_distinct,
+    "token_budget": q_token_budget,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -1840,6 +1869,7 @@ ORACLE_SQL: dict[str, str] = {
     "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "token_budget": SQL_TOKEN_BUDGET,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)
