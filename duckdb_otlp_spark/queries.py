@@ -1515,25 +1515,23 @@ def q_asof_join(spark, sf_dir):
     backfill primitive Spark lacks as a built-in (DuckDB ships ASOF
     JOIN natively; that is the oracle twin).
 
-    Scale shape: expressed as ONE window pass instead of a join — both
-    sides are the same stream, so a single hash shuffle on user_id plus
-    a per-partition sort replaces the sort-merge ASOF join entirely
-    (no join build side, no range probe). At equal timestamps the
-    click sorts before the purchase, matching the oracle's
-    ``p.ts >= c.ts`` inclusive bound."""
-    ev = (_t(spark, sf_dir, "events")
-          .filter(F.col("event_type").isin("click", "purchase"))
-          .select("event_id", "user_id", "ts", "event_type"))
-    is_click = (F.col("event_type") == "click").cast("int")
-    w = (W.partitionBy("user_id")
-         .orderBy(F.col("ts").asc(), is_click.desc(), F.col("event_id").asc())
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
-    matched = ev.withColumn(
-        "click_ts", F.last(click_ts, ignorenulls=True).over(w))
-    return (matched.filter(F.col("event_type") == "purchase")
-            .select("event_id", "user_id", "ts", "click_ts",
-                    F.expr("timestampdiff(MICROSECOND, click_ts, ts)")
+    Scale shape: delegates to operators.joins.asof_join — ONE window
+    pass over the tagged union (a single hash shuffle on user_id, no
+    join operator, no range probe; see that module). At equal
+    timestamps the right side sorts first, matching the oracle's
+    ``p.ts >= c.ts`` inclusive bound. This registration puts the
+    general operator itself under the driver's DuckDB-oracle gate."""
+    from duckdb_otlp_spark.operators.joins import asof_join as _asof
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+    return (_asof(purchases, clicks, on="user_id")
+            .select("event_id", "user_id", "ts",
+                    F.col("ts_right").alias("click_ts"),
+                    F.expr("timestampdiff(MICROSECOND, ts_right, ts)")
                     .alias("gap_us"))
             .orderBy("event_id"))
 

@@ -205,8 +205,12 @@ def test_asof_join_is_window_not_join(spark):
     # one user_id hash exchange + presentation range exchange
     # (audit double-counts each in formatted mode)
     assert rep.exchanges <= 4, rep.exchanges
-    scan = rep.scan_for("events.parquet")
-    assert any("In(event_type" in f for f in scan.pushed_filters)
+    # two filtered scans (one per side of the tagged union), each with
+    # its event_type equality pushed to parquet
+    pushed = [f for s in rep.scans if "events.parquet" in s.location
+              for f in s.pushed_filters]
+    assert any("EqualTo(event_type,purchase)" in f for f in pushed), pushed
+    assert any("EqualTo(event_type,click)" in f for f in pushed), pushed
     assert not rep.has_python_eval
 
 
