@@ -24,17 +24,23 @@ __all__ = ["asof_join", "range_join"]
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               left_ts: str = "ts", right_ts: str = "ts",
-              suffix: str = "_right") -> DataFrame:
-    """For every left row, attach the latest right row with
-    ``right_ts <= left_ts`` and equal key(s); right columns arrive
-    suffixed, null when no match (left join semantics).
+              suffix: str = "_right",
+              direction: str = "backward") -> DataFrame:
+    """For every left row, attach the single right row with equal
+    key(s) that is the latest at-or-before it (``direction="backward"``,
+    the default: ``right_ts <= left_ts``) or the earliest at-or-after it
+    (``direction="forward"``: ``right_ts >= left_ts``); right columns
+    arrive suffixed, null when no match (left join semantics).
 
     Scale shape: both sides union into one stream tagged by side; a
-    single window over (key, ts) carries the last-seen right payload
-    forward. One hash shuffle total, no join operator, no range probe.
-    At equal timestamps the right row sorts first, so the match is
-    inclusive — identical to DuckDB ``ASOF LEFT JOIN ... ON l.ts >= r.ts``.
+    single window over (key, ts) carries the nearest right payload
+    across. One hash shuffle total, no join operator, no range probe.
+    At equal timestamps the right row sorts on the inclusive side —
+    identical to DuckDB ``ASOF LEFT JOIN ... ON l.ts >= r.ts`` (or
+    ``<=`` for forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     r_payload_cols = [c for c in right.columns
                       if c not in keys and c != right_ts]
@@ -53,8 +59,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         F.struct(*[F.col(c) for c in left.columns]).alias("__lp"))
     r = r.withColumn("__lp", F.lit(None).cast(l.schema["__lp"].dataType))
 
+    ts_order = (F.col("__ts").asc() if direction == "backward"
+                else F.col("__ts").desc())
     w = (W.partitionBy(*keys)
-         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+         .orderBy(ts_order, F.col("__side").asc())
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     matched = (l.unionByName(r)
                .withColumn("__m", F.last("__rp", ignorenulls=True).over(w))

@@ -114,3 +114,21 @@ def test_range_join_bucket_coarser_than_interval(spark, events_windows):
     a = sorted(map(repr, (r.asDict() for r in fine.collect())))
     b = sorted(map(repr, (r.asDict() for r in coarse.collect())))
     assert a == b
+
+
+def test_asof_join_forward_matches_duckdb(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    got = sorted(
+        tuple(r) for r in
+        asof_join(trades, quotes, on="sym", direction="forward").collect())
+    con = duckdb.connect()
+    con.register("t", trades.toPandas())
+    con.register("q", quotes.toPandas())
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT t.sym, t.ts, t.price, q.ts AS ts_right, q.quote AS quote_right
+        FROM t ASOF LEFT JOIN q ON t.sym = q.sym AND t.ts <= q.ts
+    """).fetchall())
+    assert got == want
+    # key 2's trade at 3m matches the 7m quote only in forward mode
+    by_key = {(r[0], r[1]): r for r in got}
+    assert by_key[(2, _m(3))][3] == _m(7)
