@@ -132,3 +132,43 @@ def test_asof_join_forward_matches_duckdb(spark, trades_quotes):
     # key 2's trade at 3m matches the 7m quote only in forward mode
     by_key = {(r[0], r[1]): r for r in got}
     assert by_key[(2, _m(3))][3] == _m(7)
+
+
+def test_asof_join_null_keys_and_timestamps(spark):
+    """SQL comparison semantics: null-key or null-ts right rows never
+    match anyone; null-key or null-ts left rows pass through unmatched.
+    (DuckDB's native ASOF would pair the null-ts left row with the
+    null-ts right row — a sort-implementation artifact this operator
+    deliberately does not copy; the operator docstring pins this.)"""
+    trades = spark.createDataFrame(
+        [(1, _m(5), 100.0), (None, _m(6), 1.0), (1, None, 2.0)],
+        "sym long, ts timestamp, price double")
+    quotes = spark.createDataFrame(
+        [(1, _m(4), 99.5), (None, _m(3), 0.5), (1, None, 0.7)],
+        "sym long, ts timestamp, quote double")
+    got = sorted(map(repr, (r.asDict() for r in
+                            asof_join(trades, quotes, on="sym").collect())))
+    want = sorted(map(repr, [
+        {"sym": 1, "ts": _m(5), "price": 100.0,
+         "ts_right": _m(4), "quote_right": 99.5},
+        {"sym": None, "ts": _m(6), "price": 1.0,
+         "ts_right": None, "quote_right": None},
+        {"sym": 1, "ts": None, "price": 2.0,
+         "ts_right": None, "quote_right": None},
+    ]))
+    assert got == want
+
+
+def test_range_join_malformed_intervals_and_compound_bucket(spark):
+    """end < start or null bounds match nothing (not a crash), and a
+    compound interval bucket string works."""
+    events = spark.createDataFrame(
+        [(1, _m(10), 1.0)], "uid long, ts timestamp, v double")
+    windows = spark.createDataFrame(
+        [(1, _m(20), _m(5), "inverted"), (1, None, _m(30), "nullstart"),
+         (1, _m(0), _m(30), "good")],
+        "uid long, w_start timestamp, w_end timestamp, tag string")
+    out = range_join(events, windows, on="uid", point_ts="ts",
+                     interval_start="w_start", interval_end="w_end",
+                     bucket="1 hour 30 minutes").collect()
+    assert [r["tag"] for r in out] == ["good"]
