@@ -501,6 +501,42 @@ def _sql_literal(v, duck_type):
     return f"CAST({v} AS {duck_type})"
 
 
+def _arrays_as_json(rows, schema):
+    """Clone ``(rows, schema)`` with every ArrayType column serialized to
+    compact JSON text (``[1,2,3]``).
+
+    The driver's oracle canonicalizer (pandas column-sort + value hash)
+    cannot hash list cells, so the two histogram gate entries must emit
+    scalar columns.  The JSON text is derived FROM the parsed arrays on
+    both sides — array decoding is still fully exercised.  Python's
+    ``json.dumps`` matches Spark's Jackson-backed ``F.to_json`` for the
+    fixture's element values (integers and short doubles like 5.0)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+    arr = {f.name for f in schema.fields if isinstance(f.dataType, ArrayType)}
+    new_schema = StructType([
+        StructField(f.name,
+                    StringType() if f.name in arr else f.dataType,
+                    f.nullable)
+        for f in schema.fields])
+    new_rows = [
+        {k: (json.dumps(v, separators=(",", ":"))
+             if k in arr and v is not None else v)
+         for k, v in r.items()}
+        for r in rows]
+    return new_rows, new_schema
+
+
+def _project_arrays_to_json(df: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_arrays_as_json`: project every ArrayType
+    column through ``to_json`` keeping its name, other columns as-is."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
+    return df.select(*[
+        F.to_json(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, ArrayType) else F.col(f.name)
+        for f in df.schema.fields])
+
+
 def _values_sql(rows, schema, order_col):
     cols = [f.name for f in schema.fields]
     types = {f.name: _DUCK_TYPES[repr(f.dataType)] for f in schema.fields}
@@ -522,9 +558,12 @@ READER_GATE_SQL: dict[str, str] = {
     "read_metrics_sum_json": _values_sql(
         expected_sum(), _schemas.METRICS_SUM_SCHEMA, "name"),
     "read_metrics_histogram_json": _values_sql(
-        expected_histogram(), _schemas.METRICS_HISTOGRAM_SCHEMA, "time_unix_nano"),
+        *_arrays_as_json(expected_histogram(),
+                         _schemas.METRICS_HISTOGRAM_SCHEMA),
+        "time_unix_nano"),
     "read_metrics_exp_histogram_json": _values_sql(
-        expected_exp_histogram(), _schemas.METRICS_EXP_HISTOGRAM_SCHEMA,
+        *_arrays_as_json(expected_exp_histogram(),
+                         _schemas.METRICS_EXP_HISTOGRAM_SCHEMA),
         "time_unix_nano"),
 }
 # the pb path must match the SAME expected rows as the JSON path
@@ -621,13 +660,15 @@ def q_read_metrics_sum_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_read_metrics_histogram_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_otlp_spark.sources.otlp_json import read_otlp_metrics_histogram
     df = read_otlp_metrics_histogram(spark, str(_fixture_dir() / "metrics.jsonl"))
-    return df.orderBy("time_unix_nano")
+    # bucket_counts / explicit_bounds → JSON text (see _arrays_as_json)
+    return _project_arrays_to_json(df).orderBy("time_unix_nano")
 
 
 def q_read_metrics_exp_histogram_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_otlp_spark.sources.otlp_json import read_otlp_metrics_exp_histogram
     df = read_otlp_metrics_exp_histogram(spark, str(_fixture_dir() / "metrics.jsonl"))
-    return df.orderBy("time_unix_nano")
+    # positive/negative bucket arrays → JSON text (see _arrays_as_json)
+    return _project_arrays_to_json(df).orderBy("time_unix_nano")
 
 
 def q_read_otap_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
