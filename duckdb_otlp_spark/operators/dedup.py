@@ -243,7 +243,9 @@ def _dot(a: Column, b: Column) -> Column:
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95,
-                             planes: int = 16, seed: int = 42) -> DataFrame:
+                             planes: int = 16, seed: int = 42,
+                             max_bucket_size: int | None = None,
+                             persist: bool = True) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Candidates from random-hyperplane LSH (sign sketch over `planes`
@@ -257,7 +259,28 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     embedding dimensionality — no driver-side probe of the data at
     plan-build time (a ``first()`` here cost a Spark job per call), and
     no d*planes unrolled expression tree.
+
+    Only (bucket, id) pairs ride the candidate self-join; vectors and
+    norms join back from the narrow ``base`` projection for the exact
+    verification (the MinHash semi-join pattern) — at 100 TB the bucket
+    shuffle moves keys, not d-dimensional payloads.
+
+    ``max_bucket_size`` is the same 100 TB skew guard as
+    :func:`minhash_lsh_pairs`'s: d identical (or near-identical)
+    embeddings agree on EVERY plane sign, land in one bucket, and the
+    self-join emits d(d-1)/2 candidate rows — quadratic blowup.
+    Over-capacity buckets switch to STAR candidates (every member pairs
+    with the bucket's min-id representative only — O(d) rows); every
+    duplicate still surfaces in at least one verified pair, with
+    within-bucket pair-completeness recoverable transitively via
+    duplicate clustering. None (default) keeps exact all-pairs
+    semantics. At corpus scale also raise ``planes`` (>= 16) so the
+    expected bucket occupancy n/2^planes stays small — few planes means
+    big buckets and the within-bucket join is O(n^2 / 2^planes)
+    regardless of skew.
     """
+    from pyspark.storagelevel import StorageLevel
+
     v = F.col(vec_col).cast("array<double>")
 
     # deterministic hyperplane component h[p][i] from xxhash64(seed,p,i),
@@ -272,8 +295,12 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     sketch = F.concat(*[sign_bit(p) for p in range(planes)])
     norm = F.sqrt(_dot(v, v))
+    # base feeds bucket generation AND both sides of the verification
+    # join; persisted so the sketch/norm pass over the corpus runs once
     base = df.select(F.col(id_col).alias("__id"), v.alias("__v"),
                      norm.alias("__n"), sketch.alias("__sk"))
+    if persist:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # bucket on the sketch and every 1-bit-flipped sketch (probing radius 1)
     def flips(sk: Column) -> Column:
@@ -285,15 +312,38 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             for p in range(planes)
         ])
 
-    probed = base.select("__id", "__v", "__n",
+    probed = base.select("__id",
                          F.explode(flips(F.col("__sk"))).alias("bucket"))
-    left, right = probed.alias("l"), probed.alias("r")
-    cand = (left.join(right, "bucket")
-            .filter(F.col("l.__id") < F.col("r.__id"))
-            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
-                    F.col("l.__v").alias("va"), F.col("r.__v").alias("vb"),
-                    F.col("l.__n").alias("na"), F.col("r.__n").alias("nb"))
-            .distinct())
+    if max_bucket_size is not None:
+        sizes = (probed.groupBy("bucket")
+                 .agg(F.count("*").alias("__bn"), F.min("__id").alias("__rep")))
+        entries = probed.join(sizes, "bucket")
+        ok = entries.filter(F.col("__bn") <= max_bucket_size)
+        cand_small = (ok.alias("l").join(ok.alias("r"), "bucket")
+                      .filter(F.col("l.__id") < F.col("r.__id"))
+                      .select(F.col("l.__id").alias("id_a"),
+                              F.col("r.__id").alias("id_b")))
+        cand_star = (entries.filter((F.col("__bn") > max_bucket_size)
+                                    & (F.col("__id") != F.col("__rep")))
+                     .select(F.col("__rep").alias("id_a"),
+                             F.col("__id").alias("id_b")))
+        cand = cand_small.union(cand_star).distinct()
+    else:
+        left, right = probed.alias("l"), probed.alias("r")
+        cand = (left.join(right, "bucket")
+                .filter(F.col("l.__id") < F.col("r.__id"))
+                .select(F.col("l.__id").alias("id_a"),
+                        F.col("r.__id").alias("id_b"))
+                .distinct())
+
+    side = base.select("__id", "__v", "__n")
+    verified = (cand
+                .join(side.select(F.col("__id").alias("id_a"),
+                                  F.col("__v").alias("va"),
+                                  F.col("__n").alias("na")), "id_a")
+                .join(side.select(F.col("__id").alias("id_b"),
+                                  F.col("__v").alias("vb"),
+                                  F.col("__n").alias("nb")), "id_b"))
     cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (cand.select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
+    return (verified.select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
