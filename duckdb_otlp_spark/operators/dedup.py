@@ -270,14 +270,24 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     embeddings agree on EVERY plane sign, land in one bucket, and the
     self-join emits d(d-1)/2 candidate rows — quadratic blowup.
     Over-capacity buckets switch to STAR candidates (every member pairs
-    with the bucket's min-id representative only — O(d) rows); every
-    duplicate still surfaces in at least one verified pair, with
-    within-bucket pair-completeness recoverable transitively via
-    duplicate clustering. None (default) keeps exact all-pairs
-    semantics. At corpus scale also raise ``planes`` (>= 16) so the
-    expected bucket occupancy n/2^planes stays small — few planes means
-    big buckets and the within-bucket join is O(n^2 / 2^planes)
-    regardless of skew.
+    with the bucket's min-id representative only — O(d) rows). The
+    guarantee is the same as :func:`minhash_lsh_pairs`'s: exact and
+    representative-near duplicates still surface in a verified pair,
+    and within-mega-bucket pair-completeness is sacrificed — a pair
+    whose BOTH members fail the cosine threshold against the
+    representative is lost (not transitively recoverable), which is the
+    accepted trade for bounding the blowup. None (default) keeps exact
+    all-pairs semantics. At corpus scale also raise ``planes`` (>= 16)
+    so the expected bucket occupancy n/2^planes stays small — few
+    planes means big buckets and the within-bucket join is
+    O(n^2 / 2^planes) regardless of skew.
+
+    ``persist=True`` caches the narrow sketch/norm projection
+    (MEMORY_AND_DISK) and leaves it cached for the consumer's lifetime
+    — the same cache-pressure caveat as :func:`minhash_lsh_pairs`:
+    repeated calls with varying params (threshold/planes/seed sweeps)
+    stack one cache entry per distinct plan, so sweeps should pass
+    ``persist=False`` or unpersist between calls.
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -793,8 +793,16 @@ def q_dedup_embedding(spark, sf_dir):
     pairs shuffle by bucket instead of crossing. The DuckDB oracle
     applies the identical bucketing, so the green check certifies this
     scale-safe plan (tests/test_plans.py pins the no-NLJ property).
-    The recall-oriented multi-probe variant lives in
-    operators/dedup.embedding_near_dup_pairs."""
+
+    Scale note: the 6-bit (64-bucket) sketch here is an
+    oracle-expressibility artifact — within-bucket work is O(n^2/64),
+    fine at sf0.1 but NOT the corpus-scale shape. At 100 TB use
+    operators/dedup.embedding_near_dup_pairs (the recall-oriented
+    multi-probe variant) with planes >= 16 so expected occupancy
+    n/2^planes stays small, and max_bucket_size set so skewed
+    (identical-embedding) buckets fall back to O(d) star candidates —
+    that guard is pinned by tests/test_operators.py::
+    test_embedding_mega_bucket_cap."""
     emb = (_t(spark, sf_dir, "embeddings")
            .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
     bucket = F.concat_ws("", F.transform(
@@ -1163,7 +1171,14 @@ def q_embedding_bucket_ann(spark, sf_dir):
     """LSH-bucketed ANN pairs: sign-pattern of the first 6 dimensions is
     the bucket (a fixed-hyperplane LSH), cosine is computed only within
     buckets — the N^2 cross join becomes a per-bucket join, which is the
-    100 TB path (bucket keys shuffle-partition the table)."""
+    100 TB path (bucket keys shuffle-partition the table).
+
+    Scale note: 6 planes / 64 buckets keeps the DuckDB oracle
+    expressible; within-bucket cost is O(n^2/64) and unguarded against
+    identical-embedding skew. The corpus-scale entry point is
+    operators/dedup.embedding_near_dup_pairs with planes >= 16 and
+    max_bucket_size (star-fallback skew guard, pinned by
+    tests/test_operators.py::test_embedding_mega_bucket_cap)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     bucket = F.concat_ws("", F.transform(

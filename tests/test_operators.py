@@ -218,6 +218,43 @@ def test_minhash_lsh_mega_bucket_cap(spark):
     assert all(1000 + i in ids for i in range(20))
 
 
+def test_embedding_mega_bucket_cap(spark):
+    """embedding_near_dup_pairs' max_bucket_size skew guard, mirroring
+    test_minhash_lsh_mega_bucket_cap: 200 identical embeddings agree on
+    every plane sign, land in one mega-bucket per probe, and the star
+    fallback bounds candidates to O(d) — exactly one verified pair per
+    non-representative member, all cosines 1.0. Distinct-tail vectors
+    (including one planted tail near-dup pair) produce the SAME pairs
+    as the uncapped run."""
+    dup_vec = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    rows = [(i, dup_vec) for i in range(200)]
+    # deterministic mixed-sign tail — far from the all-positive dup_vec
+    # and from each other; 1018/1019 are a planted near-dup pair
+    tail = [[float(((i * 7 + j * 13) % 17) - 8) or 1.0 for j in range(8)]
+            for i in range(19)]
+    rows += [(1000 + i, v) for i, v in enumerate(tail)]
+    rows.append((1019, [x * 1.5 for x in tail[18]]))  # near-dup of 1018
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = dedup.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95,
+        max_bucket_size=50).collect()
+    dup_pairs = sorted((r["id_a"], r["id_b"]) for r in capped
+                       if r["id_b"] < 1000)
+    # star shape: exactly one pair per non-representative member
+    assert dup_pairs == [(0, b) for b in range(1, 200)]
+    assert all(r["cosine"] == 1.0 for r in capped if r["id_b"] < 1000)
+    # distinct tail unaffected: capped tail pairs == uncapped tail pairs
+    uncapped_tail = dedup.embedding_near_dup_pairs(
+        df.filter(F.col("vec_id") >= 1000), "vec_id", "embedding",
+        threshold=0.95).collect()
+    capped_tail = sorted((r["id_a"], r["id_b"]) for r in capped
+                         if r["id_a"] >= 1000)
+    assert capped_tail == sorted((r["id_a"], r["id_b"])
+                                 for r in uncapped_tail)
+    assert (1018, 1019) in capped_tail  # the planted pair survives the cap
+
+
 def test_cosine_topk_batched_matches_expression_variant(spark, emb):
     """The Arrow-batched numpy scan must agree with the JVM expression
     variant: same ids, same 6-dp cosines, same order."""
