@@ -1213,6 +1213,26 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 10
 """
 
 
+# q_ann_ivf_topk's query vector (vec_id=0's embedding), cached per sf_dir.
+# Fetched with a driver-local pyarrow read — parquet row-group predicate
+# pushdown, one row, NO Spark job — so building the IVF gate entry's plan
+# costs zero jobs beyond ivf_search's inherent nprobe centroid fetch
+# (pinned by tests/test_plans.py::test_ivf_plan_build_job_budget).  The
+# earlier DataFrame .first() here ran a full Spark job per plan build.
+_IVF_QUERY_VEC: dict[str, list] = {}
+
+
+def _ivf_query_vec(sf_dir: str) -> list:
+    v = _IVF_QUERY_VEC.get(sf_dir)
+    if v is None:
+        import pyarrow.dataset as _ds
+        tbl = _ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["embedding"], filter=_ds.field("vec_id") == 0)
+        v = [float(x) for x in tbl.column("embedding")[0].as_py()]
+        _IVF_QUERY_VEC[sf_dir] = v
+    return v
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-probed approximate top-k (operators/similarity.build_ivf_index
     + ivf_search): vectors partition by nearest-of-16 deterministic
@@ -1230,8 +1250,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     from duckdb_otlp_spark.operators.similarity import build_ivf_index, ivf_search
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
-         .select(F.col("embedding").cast("array<double>")).first()[0]]
+    q = _ivf_query_vec(sf_dir)
     corpus = emb.filter(F.col("vec_id") != 0)
     assigned, centroids = build_ivf_index(corpus, "vec_id", "embedding",
                                           n_centroids=16, iters=0)

@@ -193,6 +193,41 @@ def test_embedding_near_dup_builds_plan_without_spark_job(spark):
     assert scheduler.nextJobId() == before, "plan build triggered a Spark job"
 
 
+def test_ivf_plan_build_job_budget(spark):
+    """The IVF path's plan-build job budget: the query-vector fetch and
+    build_ivf_index must run ZERO Spark jobs (the old DataFrame
+    .first() cost one full scan job per q_ann_ivf_topk plan build —
+    now a driver-local pyarrow point read), and constructing the full
+    registered query's plan spends only ivf_search's inherent nprobe
+    centroid fetch (partition pruning needs literal centroid ids)."""
+    from duckdb_otlp_spark import queries
+    from duckdb_otlp_spark.operators.similarity import build_ivf_index
+
+    queries._IVF_QUERY_VEC.pop(SF, None)     # defeat the per-sf_dir cache
+    scheduler = spark.sparkContext._jsc.sc().dagScheduler()
+    # spark.read.parquet itself runs one schema-inference job per call —
+    # reader infrastructure, charged outside the operator budget
+    corpus = (spark.read.parquet(f"{SF}/embeddings.parquet")
+              .filter("vec_id <> 0"))
+    before = scheduler.nextJobId()
+    q = queries._ivf_query_vec(SF)
+    assert len(q) > 0
+    assigned, centroids = build_ivf_index(corpus, "vec_id", "embedding",
+                                          n_centroids=16, iters=0)
+    _ = assigned._jdf.queryExecution().optimizedPlan()
+    _ = centroids._jdf.queryExecution().optimizedPlan()
+    assert scheduler.nextJobId() == before, \
+        "query-vector fetch / index build triggered a Spark job"
+    # full registered entry: one fresh-read schema job + the inherent
+    # nprobe centroid collect; the old .first() made this 4+
+    mid = scheduler.nextJobId()
+    df = QUERIES["ann_ivf_topk"](spark, SF)
+    _ = df._jdf.queryExecution().optimizedPlan()
+    entry_jobs = scheduler.nextJobId() - mid
+    assert 1 <= entry_jobs <= 3, \
+        f"expected schema-read + nprobe fetch only, saw {entry_jobs} jobs"
+
+
 def test_asof_join_is_window_not_join(spark):
     """The as-of join is expressed as one window pass over the unioned
     stream: exactly one hash exchange on user_id (plus the presentation
