@@ -1768,7 +1768,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regexp": q_regexp,
     "json_extract": q_json_extract,
     "time_bucket": q_time_bucket,
-    "unnest_struct": q_unnest_struct,
     "multimodal_features": q_multimodal_features,
     "dedup_embedding": q_dedup_embedding,
     "agg_stats": q_agg_stats,
@@ -1825,6 +1824,12 @@ QUERIES.update(READER_GATE_QUERIES)
 # expression families) and by the pytest oracle differential over every
 # registered entry.
 QUERIES.update({
+    # unnest_struct moved past the window in round 6 to make room for
+    # read_otap_traces (second OTAP signal under the driver hard gate);
+    # its struct-explode family stays covered in-window by
+    # multimodal_features and the reader structs, and by the pytest
+    # oracle differential like every past-window entry.
+    "unnest_struct": q_unnest_struct,
     "like_search": q_like_search,
     "count_distinct": q_count_distinct,
     "scalar_subquery": q_scalar_subquery,

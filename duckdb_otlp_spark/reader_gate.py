@@ -325,9 +325,9 @@ def _links_json(links):
         for li in links) + "]"
 
 
-def expected_traces():
+def expected_traces(envelopes=None):
     rows = []
-    for env in TRACES_ENVELOPES:
+    for env in (TRACES_ENVELOPES if envelopes is None else envelopes):
         for rs in env["resourceSpans"]:
             for ss in rs["scopeSpans"]:
                 sc = _scope_cols(rs.get("resource"), ss.get("scope"))
@@ -590,9 +590,18 @@ def _otap_expected_logs_rows():
     return expected_logs([env])
 
 
+def _otap_expected_traces_rows():
+    from duckdb_otlp_spark.sources.otlp_proto import decode_traces
+    env = decode_traces(
+        (_OTAP_FIXTURE_DIR / "traces-initial.otlp").read_bytes())
+    return expected_traces([env])
+
+
 if _OTAP_FIXTURE_DIR.exists():
     READER_GATE_SQL["read_otap_logs"] = _values_sql(
         _otap_expected_logs_rows(), _schemas.LOGS_SCHEMA, "time_unix_nano")
+    READER_GATE_SQL["read_otap_traces"] = _values_sql(
+        _otap_expected_traces_rows(), _schemas.TRACES_SCHEMA, "name")
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +687,19 @@ def q_read_otap_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("time_unix_nano")
 
 
+def q_read_otap_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTAP traces decode under the driver's value-hash gate: the real
+    read_otap_traces over the reference's traces-initial.bar Arrow-IPC
+    fixture vs the protobuf twin hand-flattened on the oracle side —
+    the reference's EXCEPT-parity contract
+    (/root/reference/test/sql/read_otap.test:44-79) upgraded to a
+    value-hash check, second OTAP signal in the window after logs."""
+    from duckdb_otlp_spark.sources.otap import OTAP_READERS
+    df = OTAP_READERS["traces"](
+        spark, str(_OTAP_FIXTURE_DIR / "traces-initial.bar"))
+    return df.orderBy("name")
+
+
 READER_GATE_QUERIES = {
     "read_logs_json": q_read_logs_json,
     "read_logs_pb": q_read_logs_pb,
@@ -690,3 +712,4 @@ READER_GATE_QUERIES = {
 
 if _OTAP_FIXTURE_DIR.exists():
     READER_GATE_QUERIES["read_otap_logs"] = q_read_otap_logs
+    READER_GATE_QUERIES["read_otap_traces"] = q_read_otap_traces
