@@ -1428,45 +1428,73 @@ def q_dedup_cluster(spark, sf_dir):
     step after candidate verification. cluster_id = min doc_id in the
     component; is_canonical marks the survivor.
 
-    Scale shape: min-label propagation to a fixpoint. Each round is one
-    shuffle-join of the label table against the (persisted) symmetric
-    edge list + a groupBy min — O(E) per round, and near-dup components
-    are near-cliques (every copy pairs with every other), so the label
-    radius covers them in 2-3 rounds; the loop stops when a round
-    changes nothing (convergence test is a limit-1 anti-check, not a
-    full count). Labels persist per round so lineage never re-runs the
-    MinHash pipeline. This is the standard Spark pattern for
+    Scale shape: min-label propagation with PATH DOUBLING to a
+    fixpoint. Each round is one shuffle-join of the label table against
+    the (persisted) symmetric edge list + a groupBy min — O(E) — plus a
+    label-of-label self-join (label <- min(label, label(label))), O(V),
+    which collapses chain-shaped components in O(log d) rounds instead
+    of O(d); near-dup components are near-cliques, covered in 1-2
+    rounds either way. The loop stops when a round changes nothing
+    (convergence test is a limit-1 anti-check, not a full count).
+    Labels persist per round so lineage never re-runs the MinHash
+    pipeline, and the symmetric edge list is built with one explode
+    pass (a self-union here would evaluate the MinHash pipeline once
+    per union branch). This is the standard Spark pattern for
     small-diameter CC (large-star/small-star reduces to it when
     components are cliques)."""
     from pyspark.storagelevel import StorageLevel
 
     disk = StorageLevel.MEMORY_AND_DISK
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
-                                   F.col("doc_a").alias("doc_b"))).persist(disk)
+    sym = (pairs.select(F.explode(F.array(
+                F.struct(F.col("doc_a"), F.col("doc_b")),
+                F.struct(F.col("doc_b").alias("doc_a"),
+                         F.col("doc_a").alias("doc_b")))).alias("e"))
+           .select("e.doc_a", "e.doc_b").persist(disk))
     labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).persist(disk))
-    for _ in range(20):
+    persisted = labels
+    for rnd in range(20):
         nbr = (sym.join(labels.select(F.col("doc_id").alias("doc_b"), "label"),
                         "doc_b")
                .groupBy("doc_a").agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
-                      .select(labels["doc_id"],
-                              F.least(labels["label"],
-                                      F.coalesce(F.col("nbr_label"),
-                                                 labels["label"])).alias("label"))
-                      .persist(disk))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.label") != F.col("o.label"))
+        cur = labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
+        new_col = F.least(labels["label"],
+                          F.coalesce(F.col("nbr_label"), labels["label"]))
+        if rnd > 0:
+            # path doubling: my label's current label. Label values are
+            # node ids and `labels` is total over nodes, so the lookup
+            # is total; a no-op in round 0 where label==doc_id, so the
+            # hop join is skipped there.
+            hop = labels.select(F.col("doc_id").alias("__lid"),
+                                F.col("label").alias("hop_label"))
+            cur = cur.join(hop, labels["label"] == hop["__lid"], "left")
+            new_col = F.least(new_col,
+                              F.coalesce(F.col("hop_label"), labels["label"]))
+        # carry the old label so the convergence check is a filter over
+        # THIS round's materialization — no extra old-vs-new join job
+        new_p = (cur.select(labels["doc_id"],
+                            labels["label"].alias("__old"),
+                            new_col.alias("label"))
+                 .persist(disk))
+        changed = (new_p.filter(F.col("label") != F.col("__old"))
                    .limit(1).count())
-        labels.unpersist()
-        labels = new_labels
+        persisted.unpersist()
+        persisted = new_p
+        labels = new_p.select("doc_id", "label")
         if changed == 0:
             break
-    out = (labels.select("doc_id", F.col("label").alias("cluster_id"),
-                         (F.col("doc_id") == F.col("label")).alias("is_canonical"))
-           .orderBy("cluster_id", "doc_id"))
+    out = labels.select("doc_id", F.col("label").alias("cluster_id"),
+                        (F.col("doc_id") == F.col("label"))
+                        .alias("is_canonical"))
+    # presentation sort: the materialized edge list bounds the result
+    # size, so a tiny result takes a single-partition sort (same total
+    # order, no range-exchange sampling round); big results keep the
+    # scale-safe distributed sort
+    if sym.count() < 200_000:
+        out = out.coalesce(1).sortWithinPartitions("cluster_id", "doc_id")
+    else:
+        out = out.orderBy("cluster_id", "doc_id")
     sym.unpersist()
     return out
 
