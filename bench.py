@@ -101,9 +101,12 @@ def _ingest_producer(args) -> tuple[int, float]:
 
 
 def _paced_producer(args) -> tuple[int, int]:
-    host, port, bodies, interval_s = args
-    ok = _post_loop(host, port, bodies, interval_s)
-    return ok, len(bodies)
+    host, port, bodies, interval_s, n_sends = args
+    # cycle a bounded distinct-body pool: a 180 s run would otherwise
+    # pre-build and pickle ~1 GB of gzip bodies into every worker
+    seq = [bodies[i % len(bodies)] for i in range(n_sends)]
+    ok = _post_loop(host, port, seq, interval_s)
+    return ok, n_sends
 
 
 class _IngestServer:
@@ -149,20 +152,40 @@ def _warmed_pool(workers: int):
 
 
 def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
-                         batch: int = 1000, workers: int = 6) -> dict:
+                         batch: int = 1000, workers: int = 6,
+                         warmup: int = 0) -> dict:
     """Sustained-rate capacity gate, shaped like the reference's
-    175k records/s / 180 s benchmark (BASELINE.md): producers pace
-    batches to hit `rate` aggregate for `seconds`, seals overlap the
-    posting, and the gate passes iff every batch was accepted on
-    schedule AND everything sent is queryable afterwards."""
+    175k records/s / 180 s benchmark with 60 s warm-up
+    (/root/reference/benchmark/otlp-log-ingest/README.md): producers
+    pace batches to hit `rate` aggregate for `seconds`, seals overlap
+    the posting, and the gate passes iff every batch was accepted on
+    schedule AND everything sent is queryable afterwards.
+
+    The driver's per-round bench keeps seconds=20 (wall-time budget);
+    `bench.py --sustained-seconds 180 --sustained-warmup 60` runs the
+    full reference duration — 20 s proves the rate, 180 s proves
+    cadence stability (seal backlog, GC, compaction interference).
+    Warm-up traffic is sent at the same paced rate, excluded from the
+    measurement, but its rows still count in the seal-completeness
+    check."""
     n_requests = rate * seconds // batch
     per_worker = n_requests // workers
     interval_s = batch * workers / rate
-    bodies = [_ingest_envelope(i, batch) for i in range(n_requests)]
+    distinct = min(n_requests, 4000)
+    bodies = [_ingest_envelope(i, batch) for i in range(distinct)]
     with _IngestServer(spark, "sustained_bench_") as srv:
         with _warmed_pool(workers) as pool:
-            jobs = [(srv.host, srv.port,
-                     bodies[w::workers][:per_worker], interval_s)
+            warm_sent = warm_ok = 0
+            if warmup > 0:
+                w_per_worker = rate * warmup // batch // workers
+                warm = pool.map(_paced_producer,
+                                [(srv.host, srv.port, bodies[w::workers],
+                                  interval_s, w_per_worker)
+                                 for w in range(workers)])
+                warm_ok = sum(r[0] for r in warm)
+                warm_sent = sum(r[1] for r in warm)
+            jobs = [(srv.host, srv.port, bodies[w::workers],
+                     interval_s, per_worker)
                     for w in range(workers)]
             t0 = time.perf_counter()
             results = pool.map(_paced_producer, jobs)
@@ -174,16 +197,21 @@ def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
         drain_s = time.perf_counter() - t_flush
         sealed = srv.sealed_logs()
     achieved = round(accepted * batch / send_s, 1)
-    return {
+    out = {
         "target_logs_per_sec": rate,
         "seconds": round(send_s, 1),
         "achieved_logs_per_sec": achieved,
         "errors": sent - accepted,
         "drain_backlog_s": round(drain_s, 2),
         "sealed_rows": sealed,
-        "pass": bool(sent - accepted == 0 and sealed == sent * batch
+        "pass": bool(sent - accepted == 0
+                     and sealed == (sent + warm_sent) * batch
                      and achieved >= rate * 0.97),
     }
+    if warmup > 0:
+        out["warmup_seconds"] = warmup
+        out["warmup_errors"] = warm_sent - warm_ok
+    return out
 
 
 def run_ingest_bench(spark, n_requests: int = 2000, batch: int = 1000,
@@ -360,6 +388,17 @@ def main() -> None:
     ap.add_argument("--queries", default="", help="comma-separated subset")
     ap.add_argument("--no-ingest", action="store_true",
                     help="skip the live-ingest throughput measurement")
+    ap.add_argument("--sustained-seconds", type=int,
+                    default=int(os.environ.get(
+                        "SPARK_GRAFT_SUSTAINED_SECONDS", "20")),
+                    help="measured duration of the 175k/s capacity gate "
+                         "(reference runs 180; default 20 fits the "
+                         "per-round driver budget)")
+    ap.add_argument("--sustained-warmup", type=int,
+                    default=int(os.environ.get(
+                        "SPARK_GRAFT_SUSTAINED_WARMUP", "0")),
+                    help="unmeasured paced warm-up seconds before the "
+                         "gate (reference uses 60)")
     args = ap.parse_args()
 
     spark = get_spark("duckdb-otlp-spark-bench", cpus=args.cpus)
@@ -394,7 +433,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — never lose the query numbers
             out["ingest"] = {"error": str(e)[:200]}
         try:
-            out["sustained"] = run_sustained_ingest(spark)
+            out["sustained"] = run_sustained_ingest(
+                spark, seconds=args.sustained_seconds,
+                warmup=args.sustained_warmup)
         except Exception as e:  # noqa: BLE001
             out["sustained"] = {"error": str(e)[:200]}
         try:
