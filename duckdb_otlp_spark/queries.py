@@ -1044,7 +1044,7 @@ FROM h ORDER BY doc_id LIMIT 200
 """
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
+def _minhash_pairs_unsorted(spark, sf_dir):
     """MinHash-LSH near-duplicate pairs: 3 bands x 2 rows -> band-bucket
     equi-join candidates -> exact-Jaccard verification >= 0.7.
 
@@ -1098,7 +1098,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     jac = F.round(F.size(F.array_intersect("sh_a", "sh_b"))
                   / F.size(F.array_union("sh_a", "sh_b")), 4)
     return (verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.7)
+            .filter(F.col("jaccard") >= 0.7))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Presentation wrapper: the gate entry orders for the hash compare.
+    Consumers that don't need the order (dedup_cluster) call
+    _minhash_pairs_unsorted directly — the global sort would otherwise
+    ride into their lineage, costing a range exchange plus the range
+    partitioner's extra sampling evaluation of the verification join."""
+    return (_minhash_pairs_unsorted(spark, sf_dir)
             .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b"))
 
 
@@ -1445,7 +1454,7 @@ def q_dedup_cluster(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     disk = StorageLevel.MEMORY_AND_DISK
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _minhash_pairs_unsorted(spark, sf_dir).select("doc_a", "doc_b")
     sym = (pairs.select(F.explode(F.array(
                 F.struct(F.col("doc_a"), F.col("doc_b")),
                 F.struct(F.col("doc_b").alias("doc_a"),
