@@ -74,6 +74,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 3,
                       jaccard_threshold: float = 0.5,
                       max_bucket_size: int | None = None,
+                      star_probes: int = 1,
                       persist: bool = True) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -85,11 +86,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     band, and the candidate self-join emits d(d-1)/2 rows — quadratic
     blowup that kills the job long before verification. Buckets larger
     than the cap switch to STAR candidates: every member pairs with the
-    bucket's min-id representative only — O(d) rows, and every
-    duplicate still surfaces in at least one verified pair (what dedup
-    needs), at the cost of pair-completeness *within* the mega-bucket
-    (transitively recoverable via duplicate clustering). None (default)
-    keeps exact all-pairs semantics.
+    bucket's ``star_probes`` smallest-id representatives only —
+    O(star_probes * d) rows — so an exact/representative-near duplicate
+    still surfaces in a verified pair (what dedup needs), at the cost
+    of pair-completeness *within* the mega-bucket (recoverable
+    transitively via duplicate clustering only for pairs that verify
+    against some representative). Raising ``star_probes`` probes more
+    representatives per over-cap bucket, recovering pairs whose members
+    are all far from the single min-id member, at linear extra cost.
+    None (default) keeps exact all-pairs semantics.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -135,10 +140,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("l.__id") < F.col("r.__id"))
             .select(F.col("l.__id").alias("id_a"),
                     F.col("r.__id").alias("id_b")))
-        candidates_star = (
-            entries.filter((F.col("__n") > max_bucket_size)
-                           & (F.col("__id") != F.col("__rep")))
-            .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b")))
+        if star_probes > 1:
+            from pyspark.sql import Window as W
+
+            big = entries.filter(F.col("__n") > max_bucket_size)
+            rk = F.row_number().over(
+                W.partitionBy("band", "bucket").orderBy("__id"))
+            reps = (big.withColumn("__rk", rk)
+                    .filter(F.col("__rk") <= star_probes)
+                    .select("band", "bucket", F.col("__id").alias("id_a")))
+            # (rep, member) for every rep < member — with k reps this
+            # also covers all rep-rep pairs, so k=1 reduces to the
+            # min-based star below
+            candidates_star = (reps.join(big, ["band", "bucket"])
+                               .filter(F.col("id_a") < F.col("__id"))
+                               .select("id_a", F.col("__id").alias("id_b")))
+        else:
+            candidates_star = (
+                entries.filter((F.col("__n") > max_bucket_size)
+                               & (F.col("__id") != F.col("__rep")))
+                .select(F.col("__rep").alias("id_a"),
+                        F.col("__id").alias("id_b")))
         candidates = candidates_small.union(candidates_star).distinct()
     else:
         left = band_entries.alias("l")
@@ -245,6 +267,7 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95,
                              planes: int = 16, seed: int = 42,
                              max_bucket_size: int | None = None,
+                             star_probes: int = 1,
                              persist: bool = True) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -270,17 +293,19 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     embeddings agree on EVERY plane sign, land in one bucket, and the
     self-join emits d(d-1)/2 candidate rows — quadratic blowup.
     Over-capacity buckets switch to STAR candidates (every member pairs
-    with the bucket's min-id representative only — O(d) rows). The
-    guarantee is the same as :func:`minhash_lsh_pairs`'s: exact and
-    representative-near duplicates still surface in a verified pair,
-    and within-mega-bucket pair-completeness is sacrificed — a pair
-    whose BOTH members fail the cosine threshold against the
-    representative is lost (not transitively recoverable), which is the
-    accepted trade for bounding the blowup. None (default) keeps exact
-    all-pairs semantics. At corpus scale also raise ``planes`` (>= 16)
-    so the expected bucket occupancy n/2^planes stays small — few
-    planes means big buckets and the within-bucket join is
-    O(n^2 / 2^planes) regardless of skew.
+    with the bucket's ``star_probes`` smallest-id representatives only
+    — O(star_probes * d) rows). The guarantee is the same as
+    :func:`minhash_lsh_pairs`'s: exact and representative-near
+    duplicates still surface in a verified pair, and
+    within-mega-bucket pair-completeness is sacrificed — a pair whose
+    members ALL fail the cosine threshold against every probed
+    representative is lost (not transitively recoverable), which is
+    the accepted trade for bounding the blowup; raising ``star_probes``
+    recovers pairs far from the min-id member at linear extra cost.
+    None (default) keeps exact all-pairs semantics. At corpus scale
+    also raise ``planes`` (>= 16) so the expected bucket occupancy
+    n/2^planes stays small — few planes means big buckets and the
+    within-bucket join is O(n^2 / 2^planes) regardless of skew.
 
     ``persist=True`` caches the narrow sketch/norm projection
     (MEMORY_AND_DISK) and leaves it cached for the consumer's lifetime
@@ -333,10 +358,22 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                       .filter(F.col("l.__id") < F.col("r.__id"))
                       .select(F.col("l.__id").alias("id_a"),
                               F.col("r.__id").alias("id_b")))
-        cand_star = (entries.filter((F.col("__bn") > max_bucket_size)
-                                    & (F.col("__id") != F.col("__rep")))
-                     .select(F.col("__rep").alias("id_a"),
-                             F.col("__id").alias("id_b")))
+        if star_probes > 1:
+            from pyspark.sql import Window as W
+
+            big = entries.filter(F.col("__bn") > max_bucket_size)
+            rk = F.row_number().over(W.partitionBy("bucket").orderBy("__id"))
+            reps = (big.withColumn("__rk", rk)
+                    .filter(F.col("__rk") <= star_probes)
+                    .select("bucket", F.col("__id").alias("id_a")))
+            cand_star = (reps.join(big, "bucket")
+                         .filter(F.col("id_a") < F.col("__id"))
+                         .select("id_a", F.col("__id").alias("id_b")))
+        else:
+            cand_star = (entries.filter((F.col("__bn") > max_bucket_size)
+                                        & (F.col("__id") != F.col("__rep")))
+                         .select(F.col("__rep").alias("id_a"),
+                                 F.col("__id").alias("id_b")))
         cand = cand_small.union(cand_star).distinct()
     else:
         left, right = probed.alias("l"), probed.alias("r")

@@ -218,6 +218,38 @@ def test_minhash_lsh_mega_bucket_cap(spark):
     assert all(1000 + i in ids for i in range(20))
 
 
+def test_minhash_mega_bucket_multi_probe_star(spark):
+    """star_probes=3: over-cap buckets pair every member with the THREE
+    smallest-id representatives (covering rep-rep pairs), tripling
+    within-mega-bucket recall at O(3d) candidate cost."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text",
+                                    num_hashes=64, bands=16,
+                                    jaccard_threshold=0.9,
+                                    max_bucket_size=20,
+                                    star_probes=3).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    want = sorted((a, b) for a in range(3) for b in range(60) if a < b)
+    assert got == want
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_embedding_mega_bucket_multi_probe_star(spark):
+    """Embedding twin of the multi-probe star: k=2 representatives."""
+    dup_vec = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(i, dup_vec) for i in range(40)],
+                               "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95,
+        max_bucket_size=10, star_probes=2).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    want = sorted((a, b) for a in range(2) for b in range(40) if a < b)
+    assert got == want
+    assert all(r["cosine"] == 1.0 for r in pairs)
+
+
 def test_embedding_mega_bucket_cap(spark):
     """embedding_near_dup_pairs' max_bucket_size skew guard, mirroring
     test_minhash_lsh_mega_bucket_cap: 200 identical embeddings agree on
