@@ -43,8 +43,48 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["windowed_counts", "sessionize_stateful",
-           "sessionize_windowed",
+           "sessionize_windowed", "dedup_stream",
            "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
+
+
+def dedup_stream(events: DataFrame, *, key_cols: Iterable[str] = ("digest",),
+                 ts_col: str = "ts", watermark: str = "10 minutes",
+                 text_col: str | None = None,
+                 bounded: bool = True) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival of each
+    key, drop the rest — the 'drop repeats at ingest' step of a
+    training-data pipeline, so duplicates never reach the sealed
+    corpus in the first place.
+
+    ``text_col`` derives the key the same way the batch dedup family
+    does (queries.py::q_dedup_exact): md5 of the lower/trimmed text.
+    Otherwise ``key_cols`` names the identity directly.
+
+    Scale shape: with ``bounded=True`` (default) the state store keeps
+    a key only until the watermark passes it
+    (``dropDuplicatesWithinWatermark``), so state is O(distinct keys
+    per watermark horizon) — the only shape that survives an unbounded
+    stream. Duplicates arriving farther apart than the horizon are NOT
+    collapsed; that residue is exactly what the batch dedup over the
+    sealed table removes (the standard lambda split). ``bounded=False``
+    is exact-forever dedup with state O(all distinct keys) — fine for
+    bounded backfills, a memory leak on a real stream. On a batch
+    input the same call degenerates to a plain dropDuplicates, so the
+    streaming result provably converges to the batch answer
+    (tests/test_streaming_operators.py pins it).
+    """
+    keys = list(key_cols)
+    df = events
+    if text_col is not None:
+        df = df.withColumn("digest",
+                           F.md5(F.lower(F.trim(F.col(text_col)))))
+        keys = ["digest"] + [k for k in keys if k != "digest"]
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    if bounded:
+        return (df.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return df.dropDuplicates(keys)
 
 
 def windowed_counts(events: DataFrame, *, window: str = "5 minutes",

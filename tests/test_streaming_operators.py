@@ -259,3 +259,59 @@ def test_windowed_counts_hopping(spark, tmp_path):
         window="10 minutes", slide="5 minutes")
     out = batch.collect()
     assert sum(r.n_events for r in out) == 2 * len(rows)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Exact streaming dedup by text digest: a duplicate arriving in a
+    LATER micro-batch (within the watermark horizon) is dropped by the
+    state store; distinct texts all survive; and the batch call over
+    the same rows converges to the same digest set."""
+    from duckdb_otlp_spark.streaming import dedup_stream
+
+    path = str(tmp_path / "landing")
+    rows1 = [(1, _mins(0.0), "the quick brown fox", 1.0),
+             (2, _mins(1.0), "lorem ipsum dolor", 1.0)]
+    rows2 = [(3, _mins(2.0), "The Quick Brown Fox  ", 1.0),  # dup of 1
+             (4, _mins(3.0), "entirely new text", 1.0)]
+    _write_slice(spark, path, rows1, 0)
+
+    q, name = _run(dedup_stream(_stream(spark, path), text_col="event_type",
+                                watermark="10 minutes"), "append")
+    try:
+        q.processAllAvailable()
+        _write_slice(spark, path, rows2, 1)
+        q.processAllAvailable()
+        got = spark.table(name).collect()
+        assert sorted(r.user_id for r in got) == [1, 2, 4]
+        # batch convergence: same digest set from the same rows
+        batch = dedup_stream(
+            spark.read.schema(SCHEMA).parquet(f"{path}/slice=*"),
+            text_col="event_type")
+        assert {r.digest for r in got} \
+            == {r.digest for r in batch.collect()}
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_horizon_expiry(spark, tmp_path):
+    """A duplicate arriving AFTER the watermark horizon has passed its
+    key is NOT collapsed — the documented bounded-state residue that
+    the batch dedup over sealed tables removes."""
+    from duckdb_otlp_spark.streaming import dedup_stream
+
+    path = str(tmp_path / "landing")
+    _write_slice(spark, path, [(1, _mins(0.0), "same text", 1.0)], 0)
+
+    q, name = _run(dedup_stream(_stream(spark, path), text_col="event_type",
+                                watermark="5 minutes"), "append")
+    try:
+        q.processAllAvailable()
+        # advances the watermark far past the first key's horizon
+        _write_slice(spark, path, [(2, _mins(100.0), "other", 1.0)], 1)
+        q.processAllAvailable()
+        _write_slice(spark, path, [(3, _mins(101.0), "same text", 1.0)], 2)
+        q.processAllAvailable()
+        got = sorted(r.user_id for r in spark.table(name).collect())
+        assert got == [1, 2, 3]      # the late twin survives by design
+    finally:
+        q.stop()
