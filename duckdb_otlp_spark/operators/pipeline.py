@@ -52,6 +52,7 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
                  near_dedup: bool = True,
                  jaccard_threshold: float = 0.7,
                  max_bucket_size: int | None = 10_000,
+                 star_probes: int = 1,
                  audit: bool = False):
     """Curate a raw document corpus for training.
 
@@ -85,7 +86,8 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
         survivors = dedup.minhash_dedup(
             survivors, id_col, text_col,
             jaccard_threshold=jaccard_threshold,
-            max_bucket_size=max_bucket_size)
+            max_bucket_size=max_bucket_size,
+            star_probes=star_probes)
     if audit:
         if near_dedup:
             stats["after_dedup"] = survivors.count()
