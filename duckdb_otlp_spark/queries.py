@@ -1431,26 +1431,66 @@ ORDER BY doc_id
 """
 
 
+# Edge-count threshold for q_dedup_cluster's driver-local fast path —
+# the CC analogue of Spark's own broadcast-join threshold. 200k edges
+# is a few MB on the driver; tests monkeypatch it to 0 to force (and so
+# keep covered) the distributed loop.
+_LOCAL_CC_MAX_EDGES = 200_000
+
+
+def _local_cc_labels(edges):
+    """Union-find (union-by-min + path compression) over a collected
+    edge list; returns {node: min_id_of_component}."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(ra, ra)
+        parent.setdefault(rb, rb)
+    return {n: find(n) for n in parent}
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the verified MinHash-LSH near-duplicate
     pairs — the 'group duplicates, keep one canonical doc per cluster'
     step after candidate verification. cluster_id = min doc_id in the
     component; is_canonical marks the survivor.
 
-    Scale shape: min-label propagation with PATH DOUBLING to a
-    fixpoint. Each round is one shuffle-join of the label table against
-    the (persisted) symmetric edge list + a groupBy min — O(E) — plus a
-    label-of-label self-join (label <- min(label, label(label))), O(V),
-    which collapses chain-shaped components in O(log d) rounds instead
-    of O(d); near-dup components are near-cliques, covered in 1-2
-    rounds either way. The loop stops when a round changes nothing
-    (convergence test is a limit-1 anti-check, not a full count).
-    Labels persist per round so lineage never re-runs the MinHash
-    pipeline, and the symmetric edge list is built with one explode
-    pass (a self-union here would evaluate the MinHash pipeline once
-    per union branch). This is the standard Spark pattern for
-    small-diameter CC (large-star/small-star reduces to it when
-    components are cliques)."""
+    Scale shape, chosen ADAPTIVELY from the materialized edge count
+    (the CC analogue of AQE's broadcast threshold):
+
+    - Small graphs (<= _LOCAL_CC_MAX_EDGES, a few MB): collect the
+      edge list and run driver-local union-find — exact, O(E α(E)),
+      two Spark jobs total. Near-dup edge lists are tiny relative to
+      the corpus (they hold only verified duplicate pairs), so this is
+      the common case even on big corpora.
+    - Big graphs: min-label propagation with PATH DOUBLING to a
+      fixpoint. Each round is one shuffle-join of the label table
+      against the (persisted) symmetric edge list + a groupBy min —
+      O(E) — plus a label-of-label self-join (label <- min(label,
+      label(label))), O(V), which collapses chain-shaped components in
+      O(log d) rounds instead of O(d); near-dup components are
+      near-cliques, covered in 1-2 rounds either way. The loop stops
+      when a round changes nothing (the convergence check is a filter
+      over the round's own materialization). Labels persist per round
+      so lineage never re-runs the MinHash pipeline, and the symmetric
+      edge list is built with one explode pass (a self-union here
+      would evaluate the MinHash pipeline once per union branch). This
+      is the standard Spark pattern for small-diameter CC
+      (large-star/small-star reduces to it when components are
+      cliques). Both paths produce identical labels (pinned by
+      tests/test_plans.py)."""
     from pyspark.storagelevel import StorageLevel
 
     disk = StorageLevel.MEMORY_AND_DISK
@@ -1460,6 +1500,23 @@ def q_dedup_cluster(spark, sf_dir):
                 F.struct(F.col("doc_b").alias("doc_a"),
                          F.col("doc_a").alias("doc_b")))).alias("e"))
            .select("e.doc_a", "e.doc_b").persist(disk))
+    n_edges = sym.count()               # materializes the persisted edges
+
+    if n_edges <= _LOCAL_CC_MAX_EDGES:
+        import pandas as pd
+
+        lab = _local_cc_labels([(r["doc_a"], r["doc_b"])
+                                for r in sym.collect()])
+        pdf = pd.DataFrame(
+            [(int(n), int(l), n == l) for n, l in sorted(lab.items())],
+            columns=["doc_id", "cluster_id", "is_canonical"])
+        pdf = pdf.sort_values(["cluster_id", "doc_id"], ignore_index=True)
+        # Arrow-batched local relation (a plain-list createDataFrame
+        # parallelizes through Python workers — ~10x slower here)
+        out = spark.createDataFrame(pdf)
+        sym.unpersist()
+        return out.coalesce(1).sortWithinPartitions("cluster_id", "doc_id")
+
     labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).persist(disk))
     persisted = labels
@@ -1493,17 +1550,10 @@ def q_dedup_cluster(spark, sf_dir):
         labels = new_p.select("doc_id", "label")
         if changed == 0:
             break
-    out = labels.select("doc_id", F.col("label").alias("cluster_id"),
-                        (F.col("doc_id") == F.col("label"))
-                        .alias("is_canonical"))
-    # presentation sort: the materialized edge list bounds the result
-    # size, so a tiny result takes a single-partition sort (same total
-    # order, no range-exchange sampling round); big results keep the
-    # scale-safe distributed sort
-    if sym.count() < 200_000:
-        out = out.coalesce(1).sortWithinPartitions("cluster_id", "doc_id")
-    else:
-        out = out.orderBy("cluster_id", "doc_id")
+    out = (labels.select("doc_id", F.col("label").alias("cluster_id"),
+                         (F.col("doc_id") == F.col("label"))
+                         .alias("is_canonical"))
+           .orderBy("cluster_id", "doc_id"))
     sym.unpersist()
     return out
 

@@ -180,6 +180,19 @@ def test_dedup_cluster_converges_and_is_exact(spark):
         assert sum(m["is_canonical"] for m in members) == 1
 
 
+def test_dedup_cluster_distributed_path_matches_local(spark, monkeypatch):
+    """The adaptive split (driver-local union-find under the edge
+    threshold, label propagation above it) must be invisible in the
+    result: forcing the distributed loop yields IDENTICAL rows, so the
+    big-graph path stays covered rather than becoming dead code."""
+    from duckdb_otlp_spark import queries
+
+    local = [tuple(r) for r in queries.QUERIES["dedup_cluster"](spark, SF).collect()]
+    monkeypatch.setattr(queries, "_LOCAL_CC_MAX_EDGES", 0)
+    dist = [tuple(r) for r in queries.QUERIES["dedup_cluster"](spark, SF).collect()]
+    assert local == dist and len(local) > 0
+
+
 def test_embedding_near_dup_builds_plan_without_spark_job(spark):
     """Building the near-dup plan must not run a Spark job (the old
     first()-based dims probe cost one driver-side job per call)."""
