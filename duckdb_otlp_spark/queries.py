@@ -1836,6 +1836,40 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick document vectorization (feature hashing): each
+    token maps to bucket md5(token) % 64 and the per-doc bucket counts
+    are the sparse TF vector — the classic linear-model/embedding-free
+    featurizer for corpus-scale text. Output is the sparse COO form
+    (doc_id, bucket, weight), the join-friendly shape downstream
+    trainers consume.
+
+    Scale shape: explode -> map-side bucket hash -> ONE partial-
+    aggregated groupBy on (doc_id, bucket); the text never shuffles
+    (only (doc_id, bucket) pairs do) and the hash is md5-derived so the
+    DuckDB oracle recomputes the identical vectors."""
+    docs = _docs_parallel(spark, sf_dir)
+    tok = (docs.filter(F.col("doc_id") < 300)
+           .select("doc_id",
+                   F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                   .alias("tok"))
+           .filter(F.col("tok") != ""))
+    return (tok.withColumn("bucket", _md5int(F.col("tok")) % 64)
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("weight"))
+            .orderBy("doc_id", "bucket"))
+
+
+SQL_FEATURE_HASH = f"""
+SELECT doc_id, {_SQL_MD5INT % 'tok'} % 64 AS bucket,
+       CAST(count(*) AS BIGINT) AS weight
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 300)
+WHERE tok <> ''
+GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1933,6 +1967,7 @@ QUERIES.update({
     "union_all": q_union_all,
     "distinct": q_distinct,
     "token_budget": q_token_budget,
+    "feature_hash": q_feature_hash,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -1994,6 +2029,7 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_ratio": SQL_REPETITION_RATIO,
     "vocab_topk": SQL_VOCAB_TOPK,
     "token_budget": SQL_TOKEN_BUDGET,
+    "feature_hash": SQL_FEATURE_HASH,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)
