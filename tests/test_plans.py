@@ -77,7 +77,8 @@ def test_no_python_eval_in_relational_queries(spark):
     for name in ("tpch_q1", "tpch_q3", "join_multi", "agg_stats",
                  "window_topk_per_group", "json_extract", "string_funcs",
                  "dedup_exact", "simhash", "minhash_signature",
-                 "ann_cosine_topk", "embedding_bucket_ann"):
+                 "ann_cosine_topk", "embedding_bucket_ann",
+                 "feature_hash"):
         rep = _rep(spark, name)
         assert not rep.has_python_eval, name
 
