@@ -1,4 +1,5 @@
 from duckdb_otlp_spark.streaming.operators import (  # noqa: F401
+    contamination_screen_stream,
     dedup_stream,
     sessionize_stateful,
     sessionize_windowed,

@@ -44,7 +44,58 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["windowed_counts", "sessionize_stateful",
            "sessionize_windowed", "dedup_stream",
+           "contamination_screen_stream",
            "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
+
+
+def contamination_screen_stream(docs: DataFrame, eval_grams, *,
+                                text_col: str = "text", gram_n: int = 5,
+                                max_overlap: float = 0.5) -> DataFrame:
+    """Streaming benchmark-leakage screen: drop documents whose distinct
+    word n-gram overlap with the (static) eval corpus exceeds
+    ``max_overlap`` — the at-ingest twin of
+    operators/pipeline.contamination_screen, so contaminated documents
+    never reach the sealed corpus.
+
+    ``eval_grams`` is the eval side reduced to its distinct gram set: a
+    Python set/frozenset, or a one-string-column DataFrame collected
+    once here. Eval suites are small by construction (benchmarks, not
+    corpora), so the set broadcasts; the per-document computation is
+    then STATELESS — an Arrow-batched mapInPandas with zero state
+    store, identical on streaming and batch inputs (parity pinned by
+    tests/test_streaming_operators.py). The gram construction matches
+    operators/text.word_ngrams (whitespace tokens, distinct grams,
+    docs below gram_n words survive).
+
+    This is the documented Pandas-UDF escape hatch, not the batch hot
+    path: the batch screen stays a JVM-side gram equi-join
+    (pipeline.contamination_screen); streaming trades that shuffle for
+    a broadcast set because a stream-static join + per-doc aggregation
+    would need a watermarked stateful rollup for an inherently
+    per-row-complete computation (each document arrives whole)."""
+    if not isinstance(eval_grams, (set, frozenset)):
+        eval_grams = {r[0] for r in eval_grams.collect()}
+    bc = docs.sparkSession.sparkContext.broadcast(frozenset(eval_grams))
+
+    def screen(batches: Iterable[pd.DataFrame]):
+        ev = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = []
+            for txt in pdf[text_col]:
+                words = (txt or "").strip().split()
+                if len(words) < gram_n:
+                    keep.append(True)       # no grams -> survives
+                    continue
+                grams = {" ".join(words[i:i + gram_n])
+                         for i in range(len(words) - gram_n + 1)}
+                keep.append(len(grams & ev) / len(grams) <= max_overlap)
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    return docs.mapInPandas(screen, docs.schema)
 
 
 def dedup_stream(events: DataFrame, *, key_cols: Iterable[str] = ("digest",),

@@ -315,3 +315,62 @@ def test_dedup_stream_horizon_expiry(spark, tmp_path):
         assert got == [1, 2, 3]      # the late twin survives by design
     finally:
         q.stop()
+
+
+def test_contamination_screen_stream_matches_batch(spark, tmp_path):
+    """The streaming contamination screen must keep exactly the docs the
+    batch JVM-join screen keeps (same grams, same distinct/overlap
+    semantics), on both a batch input and a live stream."""
+    from duckdb_otlp_spark.operators.pipeline import contamination_screen
+    from duckdb_otlp_spark.streaming import contamination_screen_stream
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    docs = [
+        (1, _mins(0), "the quick brown fox jumps over the lazy dog today"),
+        (2, _mins(1), "completely unrelated words forming their own five gram run"),
+        (3, _mins(2), "short doc"),                       # below gram_n
+        (4, _mins(3), "the quick brown fox jumps but then diverges wildly away here"),
+    ]
+    batch_docs = spark.createDataFrame(docs, doc_schema)
+    want = sorted(r.doc_id for r in contamination_screen(
+        batch_docs, eval_df, max_overlap=0.5).collect())
+
+    # batch input through the streaming op
+    got_batch = sorted(r.doc_id for r in contamination_screen_stream(
+        batch_docs, eval_df.select(
+            F.explode(F.array_distinct(F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.split(F.trim("text"), r"\s+")) - 5),
+                    lambda i: F.concat_ws(
+                        " ", *[F.split(F.trim("text"), r"\s+")[i + j]
+                               for j in range(5)])),
+                lambda g: g != ""))).alias("g")),
+        max_overlap=0.5).collect())
+    assert got_batch == want
+
+    # live stream through the same op
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs[:2], doc_schema).coalesce(1) \
+        .write.parquet(f"{path}/slice=0", mode="overwrite")
+    stream = (spark.readStream.schema(doc_schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{path}/slice=*"))
+    q, name = _run(contamination_screen_stream(
+        stream, {" ".join(
+            "the quick brown fox jumps over the lazy dog today".split()[i:i+5])
+            for i in range(6)}, max_overlap=0.5), "append")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(docs[2:], doc_schema).coalesce(1) \
+            .write.parquet(f"{path}/slice=1", mode="overwrite")
+        q.processAllAvailable()
+        got_stream = sorted(r.doc_id for r in spark.table(name).collect())
+        assert got_stream == want
+    finally:
+        q.stop()
