@@ -1836,6 +1836,79 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment: md5(doc_id) % 1000
+    buckets into 98/1/1 — reproducible across engines, partitionings,
+    and reruns (no RNG state), the property a training pipeline needs
+    so a doc never migrates between splits. Returns the per-split
+    rollup plus a boundary sample of assignments.
+
+    Scale shape: map-only hash + one low-cardinality groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _md5int(F.col("doc_id").cast("string")) % 1000
+    split = (F.when(bucket < 980, "train")
+             .when(bucket < 990, "val").otherwise("test"))
+    return (docs.select(split.alias("split"),
+                        F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n").alias("n_tokens"))
+            .orderBy("split"))
+
+
+SQL_SPLIT_ASSIGN = f"""
+SELECT CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+FROM (SELECT {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 1000 AS b, text
+      FROM documents)
+GROUP BY split ORDER BY split
+"""
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Sequence packing: greedily fill fixed 2048-token training
+    sequences with whole documents, in deterministic doc_id order
+    WITHIN md5-hash shards — the pack-documents-into-context-windows
+    step before pretraining. Output: each doc's (shard, seq_id) plus
+    its token count; seq_id = which window the doc's cumulative start
+    falls into (contiguous-fill packing).
+
+    Scale shape: packing is embarrassingly parallel across shards BY
+    DESIGN (a global-order cumsum would be a single-task window — the
+    anti-pattern this shape exists to avoid): the window partitions by
+    the 32-way hash shard, so each shard's running sum is an
+    independent task and adding shards scales out. The shard hash is
+    md5-derived so the DuckDB oracle recomputes identical packing."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    shard = _md5int(F.col("doc_id").cast("string")) % 32
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return (t.select("doc_id", "shard", "n_tokens",
+                     F.floor((cum - F.col("n_tokens")) / 2048)
+                     .cast("long").alias("seq_id"))
+            .orderBy("shard", "doc_id"))
+
+
+SQL_SEQUENCE_PACK = f"""
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 2048) AS BIGINT) AS seq_id
+FROM (SELECT doc_id, {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 32 AS shard,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents WHERE doc_id < 2000)
+ORDER BY shard, doc_id
+"""
+
+
 def q_feature_hash(spark, sf_dir):
     """Hashing-trick document vectorization (feature hashing): each
     token maps to bucket md5(token) % 64 and the per-doc bucket counts
@@ -1968,6 +2041,8 @@ QUERIES.update({
     "distinct": q_distinct,
     "token_budget": q_token_budget,
     "feature_hash": q_feature_hash,
+    "split_assign": q_split_assign,
+    "sequence_pack": q_sequence_pack,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -2030,6 +2105,8 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "token_budget": SQL_TOKEN_BUDGET,
     "feature_hash": SQL_FEATURE_HASH,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "sequence_pack": SQL_SEQUENCE_PACK,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)
