@@ -374,3 +374,36 @@ def test_contamination_screen_stream_matches_batch(spark, tmp_path):
         assert got_stream == want
     finally:
         q.stop()
+
+
+def test_dedup_stream_unbounded_and_key_mode(spark, tmp_path):
+    """bounded=False (exact-forever state) collapses a duplicate that
+    arrives AFTER the watermark horizon — the pair bounded=True keeps —
+    and key_cols mode dedups on explicit columns without a digest."""
+    from duckdb_otlp_spark.streaming import dedup_stream
+
+    path = str(tmp_path / "landing")
+    _write_slice(spark, path, [(1, _mins(0.0), "same text", 1.0)], 0)
+
+    q, name = _run(dedup_stream(_stream(spark, path), text_col="event_type",
+                                watermark="5 minutes", bounded=False),
+                   "append")
+    try:
+        q.processAllAvailable()
+        _write_slice(spark, path, [(2, _mins(100.0), "other", 1.0)], 1)
+        q.processAllAvailable()
+        _write_slice(spark, path, [(3, _mins(101.0), "same text", 1.0)], 2)
+        q.processAllAvailable()
+        got = sorted(r.user_id for r in spark.table(name).collect())
+        assert got == [1, 2]        # horizon twin collapsed (vs bounded)
+    finally:
+        q.stop()
+
+    # key_cols mode on a batch input: explicit identity, no digest column
+    df = spark.createDataFrame(
+        [(1, _mins(0), "a", 1.0), (1, _mins(1), "a", 2.0),
+         (2, _mins(2), "b", 3.0)], SCHEMA)
+    out = dedup_stream(df, key_cols=("user_id", "event_type"))
+    assert "digest" not in out.columns
+    assert sorted((r.user_id, r.event_type) for r in out.collect()) \
+        == [(1, "a"), (2, "b")]
