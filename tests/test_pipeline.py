@@ -57,6 +57,19 @@ def test_clean_corpus_stages_and_audit(spark, corpus):
     assert stats["after_dedup"] == len(ids)
 
 
+def test_clean_corpus_forwards_skew_guard_params(spark):
+    """max_bucket_size + star_probes reach the dedup stage: a mega-bucket
+    identical-doc corpus still fully dedups under the capped star path."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, min_quality=0.0, max_dup_frac=1.0,
+                       jaccard_threshold=0.9, max_bucket_size=20,
+                       star_probes=2)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0}
+
+
 def test_clean_corpus_language_filter(spark, corpus):
     out = clean_corpus(corpus, languages=("de",), near_dedup=False)
     assert out.count() == 0
