@@ -541,21 +541,25 @@ ORDER BY event_id
 
 def q_correlated_subquery(spark, sf_dir):
     """Correlated subquery, decorrelated by Catalyst
-    (reference: read_otlp_concurrent.test:96-105)."""
+    (reference: read_otlp_concurrent.test:96-105).
+
+    The `* 50` scale keeps the predicate non-vacuous on the test data
+    (no customer's raw balance beats their avg order total, so the bare
+    comparison certifies decorrelation on an empty set — r6 verdict)."""
     for n in ("orders", "customer"):
         _t(spark, sf_dir, n).createOrReplaceTempView(f"{n}_v")
     return spark.sql("""
         SELECT c_custkey, c_name FROM customer_v c
-        WHERE c_acctbal > (SELECT avg(o_totalprice) FROM orders_v o
-                           WHERE o.o_custkey = c.c_custkey)
+        WHERE c_acctbal * 50 > (SELECT avg(o_totalprice) FROM orders_v o
+                                WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey
     """)
 
 
 SQL_CORRELATED_SUBQUERY = """
 SELECT c_custkey, c_name FROM customer c
-WHERE c_acctbal > (SELECT avg(o_totalprice) FROM orders o
-                   WHERE o.o_custkey = c.c_custkey)
+WHERE c_acctbal * 50 > (SELECT avg(o_totalprice) FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
 ORDER BY c_custkey
 """
 
@@ -1461,6 +1465,26 @@ def _local_cc_labels(edges):
     return {n: find(n) for n in parent}
 
 
+def _local_cc_df(spark, edge_list):
+    """Materialize union-find labels over a collected (bounded) edge
+    list as a single-partition DataFrame.  Explicit schema: an empty
+    pandas frame has object dtypes and would otherwise raise
+    CANNOT_INFER_EMPTY_SCHEMA when a corpus has zero verified
+    near-duplicate pairs (r6 ADVICE)."""
+    import pandas as pd
+
+    lab = _local_cc_labels(edge_list)
+    pdf = pd.DataFrame(
+        [(int(n), int(l), n == l) for n, l in sorted(lab.items())],
+        columns=["doc_id", "cluster_id", "is_canonical"])
+    pdf = pdf.sort_values(["cluster_id", "doc_id"], ignore_index=True)
+    # Arrow-batched local relation (a plain-list createDataFrame
+    # parallelizes through Python workers — ~10x slower here)
+    out = spark.createDataFrame(
+        pdf, "doc_id bigint, cluster_id bigint, is_canonical boolean")
+    return out.coalesce(1).sortWithinPartitions("cluster_id", "doc_id")
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the verified MinHash-LSH near-duplicate
     pairs — the 'group duplicates, keep one canonical doc per cluster'
@@ -1503,19 +1527,10 @@ def q_dedup_cluster(spark, sf_dir):
     n_edges = sym.count()               # materializes the persisted edges
 
     if n_edges <= _LOCAL_CC_MAX_EDGES:
-        import pandas as pd
-
-        lab = _local_cc_labels([(r["doc_a"], r["doc_b"])
-                                for r in sym.collect()])
-        pdf = pd.DataFrame(
-            [(int(n), int(l), n == l) for n, l in sorted(lab.items())],
-            columns=["doc_id", "cluster_id", "is_canonical"])
-        pdf = pdf.sort_values(["cluster_id", "doc_id"], ignore_index=True)
-        # Arrow-batched local relation (a plain-list createDataFrame
-        # parallelizes through Python workers — ~10x slower here)
-        out = spark.createDataFrame(pdf)
+        out = _local_cc_df(spark, [(r["doc_a"], r["doc_b"])
+                                   for r in sym.collect()])
         sym.unpersist()
-        return out.coalesce(1).sortWithinPartitions("cluster_id", "doc_id")
+        return out
 
     labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).persist(disk))
@@ -1967,7 +1982,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stats": q_agg_stats,
     "percentile": q_percentile,
     "topn_groups": q_topn_groups,
-    "join_inner": q_join_inner,
     "join_multi": q_join_multi,
     "correlated_subquery": q_correlated_subquery,
     "except_all": q_except,
@@ -1985,7 +1999,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "embedding_bucket_ann": q_embedding_bucket_ann,
-    "token_count": q_token_count,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2024,6 +2037,16 @@ QUERIES.update({
     # multimodal_features and the reader structs, and by the pytest
     # oracle differential like every past-window entry.
     "unnest_struct": q_unnest_struct,
+    # join_inner / token_count moved past the window in round 7 to make
+    # room for read_otap_metrics_gauge / read_otap_metrics_sum (third and
+    # fourth OTAP signals under the driver hard gate).  Inner equi-join
+    # coverage stays in-window via join_multi, tpch_q3, and asof_join;
+    # map-only text-expression coverage stays in-window via text_quality,
+    # doc_fingerprint, repetition_ratio, and lang_id.  The family overlap
+    # is pinned by tests/test_plans.py (window-coverage gate) and every
+    # past-window entry keeps its pytest DuckDB oracle differential.
+    "join_inner": q_join_inner,
+    "token_count": q_token_count,
     "like_search": q_like_search,
     "count_distinct": q_count_distinct,
     "scalar_subquery": q_scalar_subquery,

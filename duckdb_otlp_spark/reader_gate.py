@@ -381,8 +381,8 @@ def _exemplars_json(exemplars):
     return "[" + ",".join(out) + "]"
 
 
-def _metric_rows(shape):
-    for env in METRICS_ENVELOPES:
+def _metric_rows(shape, envelopes=None):
+    for env in (METRICS_ENVELOPES if envelopes is None else envelopes):
         for rm in env["resourceMetrics"]:
             for sm in rm["scopeMetrics"]:
                 sc = _scope_cols(rm.get("resource"), sm.get("scope"))
@@ -406,9 +406,9 @@ def _metric_common(sc, m, dp):
     }
 
 
-def expected_gauge():
+def expected_gauge(envelopes=None):
     rows = []
-    for sc, m, dp in _metric_rows("gauge"):
+    for sc, m, dp in _metric_rows("gauge", envelopes):
         c = _metric_common(sc, m, dp)
         c["int_value"] = int(dp["asInt"]) if "asInt" in dp else None
         c["double_value"] = float(dp["asDouble"]) if "asDouble" in dp else None
@@ -416,9 +416,9 @@ def expected_gauge():
     return sorted(rows, key=lambda r: r["time_unix_nano"])
 
 
-def expected_sum():
+def expected_sum(envelopes=None):
     rows = []
-    for sc, m, dp in _metric_rows("sum"):
+    for sc, m, dp in _metric_rows("sum", envelopes):
         c = _metric_common(sc, m, dp)
         c["int_value"] = int(dp["asInt"]) if "asInt" in dp else None
         c["double_value"] = float(dp["asDouble"]) if "asDouble" in dp else None
@@ -597,11 +597,23 @@ def _otap_expected_traces_rows():
     return expected_traces([env])
 
 
+def _otap_expected_metric_env():
+    from duckdb_otlp_spark.sources.otlp_proto import decode_metrics
+    return decode_metrics(
+        (_OTAP_FIXTURE_DIR / "metrics-initial.otlp").read_bytes())
+
+
 if _OTAP_FIXTURE_DIR.exists():
     READER_GATE_SQL["read_otap_logs"] = _values_sql(
         _otap_expected_logs_rows(), _schemas.LOGS_SCHEMA, "time_unix_nano")
     READER_GATE_SQL["read_otap_traces"] = _values_sql(
         _otap_expected_traces_rows(), _schemas.TRACES_SCHEMA, "name")
+    _otap_menv = _otap_expected_metric_env()
+    READER_GATE_SQL["read_otap_metrics_gauge"] = _values_sql(
+        expected_gauge([_otap_menv]), _schemas.METRICS_GAUGE_SCHEMA,
+        "time_unix_nano")
+    READER_GATE_SQL["read_otap_metrics_sum"] = _values_sql(
+        expected_sum([_otap_menv]), _schemas.METRICS_SUM_SCHEMA, "name")
 
 
 # ---------------------------------------------------------------------------
@@ -700,6 +712,28 @@ def q_read_otap_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("name")
 
 
+def q_read_otap_metrics_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTAP gauge decode under the driver's value-hash gate — third OTAP
+    signal in the window.  Spark side: the real read_otap_metrics_gauge
+    over the reference's metrics-initial.bar Arrow-IPC fixture; oracle
+    side: the protobuf twin decoded by the pure-Python wire decoder and
+    flattened by the same row-wise flattener the OTLP gate entries use
+    (reference contract: /root/reference/test/sql/read_otap.test:44-103)."""
+    from duckdb_otlp_spark.sources.otap import OTAP_READERS
+    df = OTAP_READERS["metrics_gauge"](
+        spark, str(_OTAP_FIXTURE_DIR / "metrics-initial.bar"))
+    return df.orderBy("time_unix_nano")
+
+
+def q_read_otap_metrics_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTAP sum decode under the driver's value-hash gate — fourth OTAP
+    signal in the window (same VALUES-twin mechanism as gauge)."""
+    from duckdb_otlp_spark.sources.otap import OTAP_READERS
+    df = OTAP_READERS["metrics_sum"](
+        spark, str(_OTAP_FIXTURE_DIR / "metrics-initial.bar"))
+    return df.orderBy("name")
+
+
 READER_GATE_QUERIES = {
     "read_logs_json": q_read_logs_json,
     "read_logs_pb": q_read_logs_pb,
@@ -713,3 +747,5 @@ READER_GATE_QUERIES = {
 if _OTAP_FIXTURE_DIR.exists():
     READER_GATE_QUERIES["read_otap_logs"] = q_read_otap_logs
     READER_GATE_QUERIES["read_otap_traces"] = q_read_otap_traces
+    READER_GATE_QUERIES["read_otap_metrics_gauge"] = q_read_otap_metrics_gauge
+    READER_GATE_QUERIES["read_otap_metrics_sum"] = q_read_otap_metrics_sum

@@ -50,7 +50,8 @@ __all__ = ["windowed_counts", "sessionize_stateful",
 
 def contamination_screen_stream(docs: DataFrame, eval_grams, *,
                                 text_col: str = "text", gram_n: int = 5,
-                                max_overlap: float = 0.5) -> DataFrame:
+                                max_overlap: float = 0.5,
+                                use_pandas: bool = False) -> DataFrame:
     """Streaming benchmark-leakage screen: drop documents whose distinct
     word n-gram overlap with the (static) eval corpus exceeds
     ``max_overlap`` — the at-ingest twin of
@@ -60,42 +61,66 @@ def contamination_screen_stream(docs: DataFrame, eval_grams, *,
     ``eval_grams`` is the eval side reduced to its distinct gram set: a
     Python set/frozenset, or a one-string-column DataFrame collected
     once here. Eval suites are small by construction (benchmarks, not
-    corpora), so the set broadcasts; the per-document computation is
-    then STATELESS — an Arrow-batched mapInPandas with zero state
-    store, identical on streaming and batch inputs (parity pinned by
-    tests/test_streaming_operators.py). The gram construction matches
-    operators/text.word_ngrams (whitespace tokens, distinct grams,
-    docs below gram_n words survive).
+    corpora), so the set ships as an array literal in the plan; the
+    per-document computation is STATELESS and fully JVM-side — gram
+    construction via ``transform(sequence(...))`` over the whitespace
+    tokens and the overlap via ``array_intersect`` against the literal,
+    inside whole-stage codegen with no state store and no Python worker
+    at ingest rates (plan pinned by tests/test_streaming_operators.py).
+    The gram semantics match operators/text.word_ngrams (whitespace
+    tokens, distinct grams, docs below gram_n words survive), identical
+    on streaming and batch inputs.
 
-    This is the documented Pandas-UDF escape hatch, not the batch hot
-    path: the batch screen stays a JVM-side gram equi-join
-    (pipeline.contamination_screen); streaming trades that shuffle for
-    a broadcast set because a stream-static join + per-doc aggregation
-    would need a watermarked stateful rollup for an inherently
-    per-row-complete computation (each document arrives whole)."""
+    ``use_pandas=True`` keeps the Arrow-batched mapInPandas fallback —
+    the escape hatch for gram functions a Catalyst expression can't
+    express (custom tokenizers, normalization) — pinned equal to the
+    JVM path on the same rows.
+
+    Neither path is the batch hot path: the batch screen stays a
+    JVM-side gram equi-join (pipeline.contamination_screen); streaming
+    trades that shuffle for a broadcast-style literal because a
+    stream-static join + per-doc aggregation would need a watermarked
+    stateful rollup for an inherently per-row-complete computation
+    (each document arrives whole)."""
     if not isinstance(eval_grams, (set, frozenset)):
         eval_grams = {r[0] for r in eval_grams.collect()}
-    bc = docs.sparkSession.sparkContext.broadcast(frozenset(eval_grams))
 
-    def screen(batches: Iterable[pd.DataFrame]):
-        ev = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = []
-            for txt in pdf[text_col]:
-                words = (txt or "").strip().split()
-                if len(words) < gram_n:
-                    keep.append(True)       # no grams -> survives
+    if use_pandas:
+        bc = docs.sparkSession.sparkContext.broadcast(frozenset(eval_grams))
+
+        def screen(batches: Iterable[pd.DataFrame]):
+            ev = bc.value
+            for pdf in batches:
+                if not len(pdf):
                     continue
-                grams = {" ".join(words[i:i + gram_n])
-                         for i in range(len(words) - gram_n + 1)}
-                keep.append(len(grams & ev) / len(grams) <= max_overlap)
-            out = pdf[keep]
-            if len(out):
-                yield out
+                keep = []
+                for txt in pdf[text_col]:
+                    words = (txt or "").strip().split()
+                    if len(words) < gram_n:
+                        keep.append(True)       # no grams -> survives
+                        continue
+                    grams = {" ".join(words[i:i + gram_n])
+                             for i in range(len(words) - gram_n + 1)}
+                    keep.append(len(grams & ev) / len(grams) <= max_overlap)
+                out = pdf[keep]
+                if len(out):
+                    yield out
 
-    return docs.mapInPandas(screen, docs.schema)
+        return docs.mapInPandas(screen, docs.schema)
+
+    tokens = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                      lambda x: x != F.lit(""))
+    # clamped upper bound: the CASE below never reads grams for short
+    # docs, but sequence(0, negative) would build a descending range
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - gram_n, F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, gram_n), " ")))
+    ev_lit = (F.lit(sorted(eval_grams)) if eval_grams
+              else F.array().cast("array<string>"))
+    overlap = F.size(F.array_intersect(grams, ev_lit)) / F.size(grams)
+    keep = F.when(F.size(tokens) < gram_n, F.lit(True)) \
+            .otherwise(overlap <= max_overlap)
+    return docs.filter(keep)
 
 
 def dedup_stream(events: DataFrame, *, key_cols: Iterable[str] = ("digest",),

@@ -292,3 +292,66 @@ def test_vocab_topk_partial_aggregates(spark):
     scan = rep.scan_for("documents.parquet")
     assert set(scan.read_columns) == {"doc_id", "text"}
     assert not rep.has_python_eval
+
+
+def test_dedup_cluster_empty_pair_list(spark):
+    """Zero verified near-duplicate pairs must yield an empty labeled
+    result, not CANNOT_INFER_EMPTY_SCHEMA from an object-dtype empty
+    pandas frame (r6 ADVICE regression)."""
+    from duckdb_otlp_spark.queries import _local_cc_df
+
+    out = _local_cc_df(spark, [])
+    assert out.columns == ["doc_id", "cluster_id", "is_canonical"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == \
+        ["bigint", "bigint", "boolean"]
+    assert out.count() == 0
+    # and non-empty input still labels correctly through the same path
+    out2 = {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in _local_cc_df(spark, [(5, 9), (9, 7)]).collect()}
+    assert out2 == {(5, 5, True), (7, 5, False), (9, 5, False)}
+
+
+def _node_types(rep):
+    import re as _re
+    return set(_re.findall(r"\(\d+\) ([A-Za-z]+)", rep.text))
+
+
+def test_window_swap_family_coverage(spark):
+    """Window-coverage gate for the r6/r7 registry swaps (unnest_struct,
+    join_inner, token_count evicted past the driver's 50-entry hard-gate
+    window to admit the four OTAP signals): each evicted entry's
+    physical-operator / expression family must keep an in-window
+    representative, so the swap trades certification *redundancy*, never
+    certification *coverage* (r6 ADVICE)."""
+    from duckdb_otlp_spark.queries import QUERIES as Q
+
+    window = set(list(Q)[:50])
+    for evicted in ("unnest_struct", "join_inner", "token_count"):
+        assert evicted in Q and evicted not in window
+    for rep_name in ("join_multi", "tpch_q3", "asof_join", "text_quality",
+                     "multimodal_features", "read_otap_metrics_gauge",
+                     "read_otap_metrics_sum"):
+        assert rep_name in window, rep_name
+
+    # join family: whichever equi-join strategy join_inner plans must
+    # appear in an in-window join plan
+    ji = _rep(spark, "join_inner")
+    jm, q3 = _rep(spark, "join_multi"), _rep(spark, "tpch_q3")
+    assert ji.broadcast_joins + ji.sort_merge_joins + ji.shuffled_hash_joins >= 1
+    for kind in ("broadcast_joins", "sort_merge_joins", "shuffled_hash_joins"):
+        if getattr(ji, kind):
+            assert getattr(jm, kind) + getattr(q3, kind) >= 1, kind
+
+    # text family: token_count's split(trim(text)) tokenizer expression
+    # is evaluated verbatim inside the in-window text_quality plan
+    tc, tq = _rep(spark, "token_count"), _rep(spark, "text_quality")
+    assert "split(trim(" in tc.text
+    assert "split(trim(" in tq.text
+
+    # struct family: every physical node type in unnest_struct's plan is
+    # exercised by an in-window sibling plan
+    un = _rep(spark, "unnest_struct")
+    covered = _node_types(_rep(spark, "multimodal_features")) \
+        | _node_types(_rep(spark, "tail_topk")) | _node_types(tq)
+    missing = _node_types(un) - covered
+    assert not missing, missing

@@ -54,11 +54,22 @@ def test_all_queries_have_oracles():
     assert set(ORACLES) <= set(QUERIES)
 
 
+# The driver snapshots the first 50 registry entries for its hard gate.
+# Every one of those must certify on a NON-empty result set — a 0-row
+# match passes rows/schema/hash vacuously without value-checking the
+# semantics (the r6 correlated_subquery finding).
+IN_WINDOW = set(list(QUERIES)[:50])
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     spark_rows = [tuple(r) for r in df.collect()]
     spark_cols = df.columns
+
+    if name in IN_WINDOW:
+        assert len(spark_rows) > 0, \
+            f"{name}: in-window entry certifies on 0 rows (vacuous)"
 
     if name not in ORACLES:
         assert len(spark_rows) >= 0  # rows-only check for non-SQL ops

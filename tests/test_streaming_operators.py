@@ -376,6 +376,38 @@ def test_contamination_screen_stream_matches_batch(spark, tmp_path):
         q.stop()
 
 
+def test_contamination_screen_stream_is_jvm_side(spark):
+    """The default screen path must plan as pure Catalyst expressions —
+    no Python worker (BatchEvalPython/ArrowEvalPython/MapInPandas) at
+    ingest rates — and the mapInPandas fallback must keep exactly the
+    same rows (r6 verdict item: JVM-ify the per-doc check)."""
+    from duckdb_otlp_spark.plans import audit
+    from duckdb_otlp_spark.streaming import contamination_screen_stream
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    grams = {" ".join(eval_text.split()[i:i + 5]) for i in range(6)}
+    docs = spark.createDataFrame(
+        [(1, eval_text),
+         (2, "completely unrelated words forming their own five gram run"),
+         (3, "short doc"),
+         (4, "the quick brown fox jumps but then diverges wildly away here"),
+         (5, None),
+         (6, "   "),
+         (7, "the quick brown fox jumps over the lazy dog today again ok")],
+        "doc_id long, text string")
+
+    jvm = contamination_screen_stream(docs, grams, max_overlap=0.5)
+    assert not audit(jvm).has_python_eval
+    got_jvm = sorted(r.doc_id for r in jvm.collect())
+    got_pd = sorted(r.doc_id for r in contamination_screen_stream(
+        docs, grams, max_overlap=0.5, use_pandas=True).collect())
+    assert got_jvm == got_pd
+    assert 1 not in got_jvm and 2 in got_jvm and 3 in got_jvm
+    # empty eval set: everything survives on both paths
+    assert sorted(r.doc_id for r in contamination_screen_stream(
+        docs, set(), max_overlap=0.5).collect()) == [1, 2, 3, 4, 5, 6, 7]
+
+
 def test_dedup_stream_unbounded_and_key_mode(spark, tmp_path):
     """bounded=False (exact-forever state) collapses a duplicate that
     arrives AFTER the watermark horizon — the pair bounded=True keeps —
