@@ -31,11 +31,19 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
+    """Distinct word n-gram shingles; EMPTY for docs under n words.
+
+    The empty case matters: clamping to one partial gram instead (the
+    pre-r7 behavior) gave every sub-n-word document a 1-element shingle
+    set — "" for empty docs — so unrelated short docs matched each
+    other at jaccard 1.0 (caught by tests/test_dedup_properties.py).
+    Empty sets keep short docs out of the pair stream entirely, matching
+    the SQL oracle's `range(1, len(words) - 1)` comprehension."""
     w = tokens(text)
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)])))
+    return F.when(F.size(w) < n, F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]))))
 
 
 # ---------------------------------------------------------------------------
@@ -322,9 +330,13 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     # generated inside the row expression from the element index
     def sign_bit(p: int) -> Column:
         idx = F.sequence(F.lit(0), F.size(v) - F.lit(1))
+        # pmod, not %: xxhash64 is signed, and a signed % biases the
+        # component toward negative — with enough bias every sketch
+        # collapses to the all-zeros bucket and the within-bucket join
+        # degenerates toward O(n^2) (caught by test_dedup_properties)
         terms = F.transform(idx, lambda i: F.get(v, i) * (
-            (F.xxhash64(F.lit(seed), F.lit(p), i) % 10007).cast("double")
-            / 10007.0 - 0.5))
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(10007))
+            .cast("double") / 10007.0 - 0.5))
         proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 

@@ -1906,21 +1906,113 @@ def q_sequence_pack(spark, sf_dir):
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     t = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
     cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
     return (t.select("doc_id", "shard", "n_tokens",
-                     F.floor((cum - F.col("n_tokens")) / 2048)
-                     .cast("long").alias("seq_id"))
+                     F.floor(start / 2048).cast("long").alias("seq_id"),
+                     (start % 2048).cast("long").alias("offset_in_seq"))
             .orderBy("shard", "doc_id"))
 
 
 SQL_SEQUENCE_PACK = f"""
 SELECT doc_id, shard, n_tokens,
-       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                       ROWS UNBOUNDED PRECEDING)
-                   - n_tokens) / 2048) AS BIGINT) AS seq_id
-FROM (SELECT doc_id, {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 32 AS shard,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
-      FROM documents WHERE doc_id < 2000)
+       CAST(floor(start / 2048) AS BIGINT) AS seq_id,
+       CAST(start % 2048 AS BIGINT) AS offset_in_seq
+FROM (SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM (SELECT doc_id,
+                   {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 32 AS shard,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents WHERE doc_id < 2000))
 ORDER BY shard, doc_id
+"""
+
+
+_PACK_SEQ_LEN = 2048
+
+
+def q_sequence_pack_nostraddle(spark, sf_dir):
+    """No-straddle (next-fit) sequence packing: whole documents fill
+    fixed 2048-token training sequences and a document that does not
+    fit in the current window's remainder opens a NEW window instead of
+    straddling the boundary — so no document silently spans two context
+    windows (the contiguous-fill entry above is the straddling twin).
+    A document longer than the window gets a window of its own, marked
+    full, for the trainer to truncate.  Emits (shard, seq_id,
+    offset_in_seq) per doc.
+
+    Scale shape: next-fit is a per-shard sequential scan BY NATURE (the
+    fill state resets on overflow — not a plain window cumsum), so it
+    runs as applyInPandas over the md5 shard: ONE shuffle on the shard
+    key, O(1) state per shard, and only (doc_id, shard, n_tokens) cross
+    the Python boundary — the text column is tokenized JVM-side and
+    never shipped.  Adding shards scales out; the 32 here matches the
+    contiguous twin.  Oracle: DuckDB recursive CTE replays the same
+    recurrence."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    shard = _md5int(F.col("doc_id").cast("string")) % 32
+    t = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        seq = fill = 0
+        seqs, offs = [], []
+        for i, n in enumerate(pdf["n_tokens"]):
+            n = int(n)
+            if i == 0:
+                seqs.append(0)
+                offs.append(0)
+            elif fill + n <= _PACK_SEQ_LEN:
+                seqs.append(seq)
+                offs.append(fill)
+                fill += n
+                continue
+            else:
+                seq += 1
+                seqs.append(seq)
+                offs.append(0)
+            fill = _PACK_SEQ_LEN if n >= _PACK_SEQ_LEN else n
+        pdf["seq_id"] = seqs
+        pdf["offset_in_seq"] = offs
+        return pdf
+
+    out = t.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, n_tokens int, "
+              "seq_id long, offset_in_seq long")
+    return (out.select("doc_id", "shard", "n_tokens", "seq_id",
+                       "offset_in_seq")
+            .orderBy("shard", "doc_id"))
+
+
+SQL_SEQUENCE_PACK_NOSTRADDLE = f"""
+WITH RECURSIVE base AS (
+    SELECT doc_id, shard, n_tokens,
+           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+    FROM (SELECT doc_id,
+                 {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 32 AS shard,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                     AS n_tokens
+          FROM documents WHERE doc_id < 2000)),
+pack AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS offset_in_seq,
+           CASE WHEN n_tokens >= {_PACK_SEQ_LEN} THEN {_PACK_SEQ_LEN}
+                ELSE n_tokens END AS fill
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+           CASE WHEN p.fill + b.n_tokens <= {_PACK_SEQ_LEN}
+                THEN p.seq_id ELSE p.seq_id + 1 END,
+           CASE WHEN p.fill + b.n_tokens <= {_PACK_SEQ_LEN}
+                THEN p.fill ELSE 0 END,
+           CASE WHEN p.fill + b.n_tokens <= {_PACK_SEQ_LEN}
+                THEN p.fill + b.n_tokens
+                WHEN b.n_tokens >= {_PACK_SEQ_LEN} THEN {_PACK_SEQ_LEN}
+                ELSE b.n_tokens END
+    FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
+SELECT doc_id, shard, n_tokens, seq_id, offset_in_seq
+FROM pack ORDER BY shard, doc_id
 """
 
 
@@ -2066,6 +2158,7 @@ QUERIES.update({
     "feature_hash": q_feature_hash,
     "split_assign": q_split_assign,
     "sequence_pack": q_sequence_pack,
+    "sequence_pack_nostraddle": q_sequence_pack_nostraddle,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -2130,6 +2223,7 @@ ORACLE_SQL: dict[str, str] = {
     "feature_hash": SQL_FEATURE_HASH,
     "split_assign": SQL_SPLIT_ASSIGN,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "sequence_pack_nostraddle": SQL_SEQUENCE_PACK_NOSTRADDLE,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

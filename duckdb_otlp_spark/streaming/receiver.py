@@ -685,6 +685,13 @@ def _worker_main(cfg: _WorkerConfig, shared: _Shared, ctl) -> None:
                 for w in writers.values():
                     w.rotate()
                 ctl.send("ok")
+            elif isinstance(cmd, tuple) and cmd and cmd[0] == "rotate":
+                # sequence-tagged rotate: the ack echoes the seq so the
+                # parent can tell THIS rotate's completion from a stale
+                # ack left in the pipe by an earlier timed-out one
+                for w in writers.values():
+                    w.rotate()
+                ctl.send(("ok", cmd[1]))
             elif cmd == "stop":
                 break
             else:
@@ -742,6 +749,7 @@ class OtlpHttpReceiver:
         self._shared = _Shared(self._ctx)
         self._procs: list = []
         self._pipes: list = []
+        self._rotate_seq = 0        # see rotate_all: tags rotate acks
 
     # -- admission (reference: otlp_server.cpp:425-453) --
     def try_reserve(self, n: int, signal: str = "logs") -> bool:
@@ -833,18 +841,34 @@ class OtlpHttpReceiver:
 
     def rotate_all(self) -> None:
         """Flush every worker's open segments to visibility (called
-        before a synchronous seal, the otlp_flush path)."""
+        before a synchronous seal, the otlp_flush path).
+
+        Acks are sequence-tagged: a worker that missed one rotate's
+        10 s ack window leaves a stale ack in its pipe, and an untagged
+        protocol would let the NEXT rotate consume it and seal before
+        the new rotate actually ran — the flush-visibility lag the
+        bench's reflush retry used to paper over.  Here each wait
+        discards acks until it sees this call's own seq, so when
+        rotate_all returns every responsive worker has completed THIS
+        rotation."""
+        seq = self._rotate_seq = getattr(self, "_rotate_seq", 0) + 1
         for conn in self._pipes:
             try:
-                conn.send("rotate")
+                conn.send(("rotate", seq))
             except (BrokenPipeError, OSError):
                 continue
         for conn in self._pipes:
+            deadline = time.monotonic() + 10
             try:
                 # recv() only after poll() confirms data: a wedged (or
                 # killed) worker must time out here, not hang the flush
-                if conn.poll(10):
-                    conn.recv()
+                while True:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or not conn.poll(remaining):
+                        break
+                    if conn.recv() == ("ok", seq):
+                        break
+                    # stale ack from an earlier timed-out rotate: drop
             except (EOFError, OSError):
                 continue
 

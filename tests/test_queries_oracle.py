@@ -87,3 +87,26 @@ def test_query_matches_oracle(spark, sf_dir, name):
     s, d = _rows_to_set(spark_rows), _rows_to_set(duck_rows)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b][:5]
     assert s == d, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_sequence_pack_nostraddle_invariants(spark, sf_dir):
+    """Trainer-semantics pins beyond the oracle twin: no document spans
+    a context-window boundary, an oversized document owns its window
+    alone, and no window overfills with fitting documents."""
+    from collections import defaultdict
+
+    rows = QUERIES["sequence_pack_nostraddle"](spark, sf_dir).collect()
+    assert rows
+    fill = defaultdict(int)
+    members = defaultdict(list)
+    for r in rows:
+        if r.n_tokens <= 2048:
+            assert r.offset_in_seq + r.n_tokens <= 2048, r  # no straddle
+            fill[(r.shard, r.seq_id)] += r.n_tokens
+        else:
+            assert r.offset_in_seq == 0, r                  # own window
+        members[(r.shard, r.seq_id)].append(r.n_tokens)
+    assert all(v <= 2048 for v in fill.values())
+    for key, sizes in members.items():
+        if any(n > 2048 for n in sizes):
+            assert len(sizes) == 1, (key, sizes)            # alone

@@ -250,3 +250,35 @@ def test_worker_kill9_bounded_loss_and_live_listener(tmp_path):
     t0 = time.monotonic()
     rcv.stop()
     assert time.monotonic() - t0 < 30
+
+
+def test_rotate_all_discards_stale_acks():
+    """An ack left in the pipe by an earlier timed-out rotate must not
+    satisfy the next rotate's wait: rotate_all drains until it sees its
+    own sequence-tagged ack, so when it returns the worker has
+    completed THIS rotation (the flush-visibility-lag fix)."""
+    from duckdb_otlp_spark.streaming.receiver import OtlpHttpReceiver
+
+    class StalePipe:
+        def __init__(self):
+            self.sent = []
+            self.queue = ["ok"]     # stale untagged ack from an old rotate
+
+        def send(self, msg):
+            self.sent.append(msg)
+            self.queue.append(("ok", msg[1]))   # worker acks the new seq
+
+        def poll(self, timeout):
+            return bool(self.queue)
+
+        def recv(self):
+            return self.queue.pop(0)
+
+    rcv = object.__new__(OtlpHttpReceiver)
+    pipe = StalePipe()
+    rcv._pipes = [pipe]
+    rcv.rotate_all()
+    assert pipe.sent == [("rotate", 1)]
+    assert pipe.queue == []         # drained past the stale ack to its own
+    rcv.rotate_all()                # seq advances per call
+    assert pipe.sent[-1] == ("rotate", 2)
