@@ -151,7 +151,17 @@ def compact_table(spark: SparkSession, export_root: str | Path, table: str,
     for part in _leaf_partitions(root):
         res.partitions_examined += 1
         files = _data_files(part)
-        small = [f for f in files if f.stat().st_size < target_file_bytes]
+        # graduation threshold target/2, NOT target: an output lands
+        # anywhere in (target/2, target] and must never be re-selected,
+        # or every cycle re-merges the partition's entire accumulated
+        # data — O(table) per cycle instead of O(new). On the live
+        # server that unbounded rewrite runs concurrently with seals,
+        # starves them of executor threads, and backs admission up to
+        # its 512 MiB cap (503 storms ~3 minutes into a 175k logs/s
+        # run). Files under target/2 still merge, so steady state per
+        # cycle is the new seals plus at most one sub-half residual.
+        small = [f for f in files
+                 if f.stat().st_size < target_file_bytes // 2]
         if len(small) < 2:
             continue
         total = sum(f.stat().st_size for f in small)

@@ -127,3 +127,36 @@ def test_compact_table_mixed_schema_falls_back_to_spark(spark, tmp_path):
     out = spark.read.parquet(str(leaf))
     assert out.count() == 2
     assert "service_name" in out.columns
+
+
+def test_compact_graduated_files_never_remerge(spark, tmp_path):
+    """An output in (target/2, target] must graduate — re-selecting it
+    re-merges the partition's whole accumulated data every cycle
+    (O(table) instead of O(new)), which on the live server starves
+    seals and backs admission up to 503s minutes into a sustained run
+    (r7 root cause). Sub-half-target files still merge."""
+    root = tmp_path / "export"
+    part = root / "otlp_logs" / "year=2024" / "month=01" / "day=01"
+    for i in range(4):
+        df = spark.range(200 if i == 0 else 5).select(
+            (F.col("id") + i * 1000).alias("row_id"),
+            F.lit("svc").alias("service_name"),
+            (F.col("id") * 1000 + i).alias("time_unix_nano"),
+            F.md5(F.col("id").cast("string")).alias("trace_id"))
+        df.coalesce(1).write.mode("append").parquet(str(part))
+    files = sorted(part.glob("*.parquet"), key=lambda f: -f.stat().st_size)
+    big, smalls = files[0], files[1:]
+    # pick target so big is in (target/2, target] and smalls are under
+    target = big.stat().st_size * 2 - 1
+    assert all(f.stat().st_size < target // 2 for f in smalls)
+    total = spark.read.parquet(str(root / "otlp_logs")).count()
+
+    res = compact_table(spark, root, "otlp_logs", target_file_bytes=target)
+    assert res.partitions_compacted == 1
+    assert big.exists()                       # graduated file untouched
+    remaining = set(part.glob("*.parquet"))
+    assert big in remaining and len(remaining) == 2  # big + merged smalls
+    assert spark.read.parquet(str(root / "otlp_logs")).count() == total
+
+    res2 = compact_table(spark, root, "otlp_logs", target_file_bytes=target)
+    assert res2.partitions_compacted == 0     # steady state: O(new)=0
