@@ -167,7 +167,7 @@ class _IngestServer:
         from duckdb_otlp_spark.streaming.server import _get
 
         self.spark = spark
-        work = tempfile.mkdtemp(prefix=prefix)
+        work = self.work_dir = tempfile.mkdtemp(prefix=prefix)
         info = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=work,
                           disable_auth=True, seal_max_age_ms=2000).collect()[0]
         self.uri = info["uri"]
@@ -183,8 +183,15 @@ class _IngestServer:
         return self
 
     def __exit__(self, *exc):
+        import shutil
+
         from duckdb_otlp_spark.streaming import otlp_stop
         otlp_stop(self.spark, self.uri, drain=False)
+        # a sustained run spools+seals multi-GB under the work dir; the
+        # benches read their sealed counts before exiting, so leaving
+        # the tree behind only accumulates toward disk exhaustion
+        # (observed: 46 leaked dirs / ~15 GB across bench invocations)
+        shutil.rmtree(self.work_dir, ignore_errors=True)
         return False
 
 
