@@ -428,9 +428,9 @@ def expected_sum(envelopes=None):
     return sorted(rows, key=lambda r: r["name"])
 
 
-def expected_histogram():
+def expected_histogram(envelopes=None):
     rows = []
-    for sc, m, dp in _metric_rows("histogram"):
+    for sc, m, dp in _metric_rows("histogram", envelopes):
         c = _metric_common(sc, m, dp)
         c["count"] = int(dp["count"]) if "count" in dp else None
         c["sum"] = float(dp["sum"]) if "sum" in dp else None
@@ -445,9 +445,9 @@ def expected_histogram():
     return sorted(rows, key=lambda r: r["time_unix_nano"])
 
 
-def expected_exp_histogram():
+def expected_exp_histogram(envelopes=None):
     rows = []
-    for sc, m, dp in _metric_rows("exponentialHistogram"):
+    for sc, m, dp in _metric_rows("exponentialHistogram", envelopes):
         c = _metric_common(sc, m, dp)
         pos, neg = dp.get("positive") or {}, dp.get("negative") or {}
         c["count"] = int(dp["count"]) if "count" in dp else None
@@ -614,6 +614,14 @@ if _OTAP_FIXTURE_DIR.exists():
         "time_unix_nano")
     READER_GATE_SQL["read_otap_metrics_sum"] = _values_sql(
         expected_sum([_otap_menv]), _schemas.METRICS_SUM_SCHEMA, "name")
+    READER_GATE_SQL["read_otap_metrics_histogram"] = _values_sql(
+        *_arrays_as_json(expected_histogram([_otap_menv]),
+                         _schemas.METRICS_HISTOGRAM_SCHEMA),
+        "time_unix_nano")
+    READER_GATE_SQL["read_otap_metrics_exp_histogram"] = _values_sql(
+        *_arrays_as_json(expected_exp_histogram([_otap_menv]),
+                         _schemas.METRICS_EXP_HISTOGRAM_SCHEMA),
+        "time_unix_nano")
 
 
 # ---------------------------------------------------------------------------
@@ -734,6 +742,29 @@ def q_read_otap_metrics_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("name")
 
 
+def q_read_otap_metrics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTAP histogram decode under the driver's value-hash gate — fifth
+    OTAP signal in the window (same VALUES-twin mechanism as gauge/sum;
+    bucket_counts / explicit_bounds arrays → JSON text on both sides via
+    the r4 _arrays_as_json mechanism, since the driver canonicalizer
+    cannot hash list cells)."""
+    from duckdb_otlp_spark.sources.otap import OTAP_READERS
+    df = OTAP_READERS["metrics_histogram"](
+        spark, str(_OTAP_FIXTURE_DIR / "metrics-initial.bar"))
+    return _project_arrays_to_json(df).orderBy("time_unix_nano")
+
+
+def q_read_otap_metrics_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTAP exponential-histogram decode under the driver's value-hash
+    gate — sixth and final OTAP signal in the window; all six
+    read_otap_* readers are now driver hard-gate certified (reference
+    contract: /root/reference/test/sql/read_otap.test:44-103)."""
+    from duckdb_otlp_spark.sources.otap import OTAP_READERS
+    df = OTAP_READERS["metrics_exp_histogram"](
+        spark, str(_OTAP_FIXTURE_DIR / "metrics-initial.bar"))
+    return _project_arrays_to_json(df).orderBy("time_unix_nano")
+
+
 READER_GATE_QUERIES = {
     "read_logs_json": q_read_logs_json,
     "read_logs_pb": q_read_logs_pb,
@@ -749,3 +780,7 @@ if _OTAP_FIXTURE_DIR.exists():
     READER_GATE_QUERIES["read_otap_traces"] = q_read_otap_traces
     READER_GATE_QUERIES["read_otap_metrics_gauge"] = q_read_otap_metrics_gauge
     READER_GATE_QUERIES["read_otap_metrics_sum"] = q_read_otap_metrics_sum
+    READER_GATE_QUERIES["read_otap_metrics_histogram"] = \
+        q_read_otap_metrics_histogram
+    READER_GATE_QUERIES["read_otap_metrics_exp_histogram"] = \
+        q_read_otap_metrics_exp_histogram

@@ -326,11 +326,14 @@ def test_window_swap_family_coverage(spark):
     from duckdb_otlp_spark.queries import QUERIES as Q
 
     window = set(list(Q)[:50])
-    for evicted in ("unnest_struct", "join_inner", "token_count"):
+    for evicted in ("unnest_struct", "join_inner", "token_count",
+                    "topn_groups", "window_running_sum"):
         assert evicted in Q and evicted not in window
     for rep_name in ("join_multi", "tpch_q3", "asof_join", "text_quality",
                      "multimodal_features", "read_otap_metrics_gauge",
-                     "read_otap_metrics_sum"):
+                     "read_otap_metrics_sum", "read_otap_metrics_histogram",
+                     "read_otap_metrics_exp_histogram",
+                     "window_topk_per_group", "sessionize"):
         assert rep_name in window, rep_name
 
     # join family: whichever equi-join strategy join_inner plans must
@@ -355,3 +358,19 @@ def test_window_swap_family_coverage(spark):
         | _node_types(_rep(spark, "tail_topk")) | _node_types(tq)
     missing = _node_types(un) - covered
     assert not missing, missing
+
+    # window family (r7 eviction): every physical node type in the two
+    # evicted window plans is exercised by an in-window sibling —
+    # topn_groups' rank-then-filter shape by window_topk_per_group,
+    # window_running_sum's running-aggregate window by sessionize
+    wt = _node_types(_rep(spark, "window_topk_per_group"))
+    sz = _node_types(_rep(spark, "sessionize"))
+    win_covered = wt | sz | _node_types(_rep(spark, "tail_topk"))
+    for evicted in ("topn_groups", "window_running_sum"):
+        missing = _node_types(_rep(spark, evicted)) - win_covered
+        assert not missing, (evicted, missing)
+    # and the running-sum window frame itself (unbounded preceding →
+    # current row) appears verbatim in the in-window sessionize plan
+    rs = _rep(spark, "window_running_sum")
+    assert "unboundedpreceding$()" in rs.text.lower()
+    assert "unboundedpreceding$()" in _rep(spark, "sessionize").text.lower()
