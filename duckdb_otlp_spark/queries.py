@@ -2050,6 +2050,188 @@ GROUP BY doc_id, bucket ORDER BY doc_id, bucket
 """
 
 
+_SOURCE_CAP = 15
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap: keep at most 15 docs per source,
+    preferring longer documents (n_chars DESC, doc_id tiebreak) — the
+    web-curation step that stops a single crawled domain from
+    dominating the training mix.  Output: the kept docs with their
+    within-source rank.
+
+    Scale shape: ONE source-hash exchange shared by the row_number
+    window and nothing else — text never enters the shuffle (only
+    doc_id/source/n_chars are selected before the exchange).  Source
+    skew (one domain with millions of docs) is bounded by the cap
+    itself at output time; at ingest the rank window for a hot source
+    is a single task, so a truly degenerate source would call for the
+    same two-phase per-shard pre-cap used by sequence packing — at the
+    testdata's source cardinality the single window is the right plan."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (docs.select("doc_id", "source", "n_chars")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _SOURCE_CAP)
+            .orderBy("source", "rk"))
+
+
+SQL_SOURCE_CAP = f"""
+SELECT doc_id, source, n_chars, rk FROM (
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS BIGINT)
+               AS rk
+    FROM documents)
+WHERE rk <= {_SOURCE_CAP}
+ORDER BY source, rk
+"""
+
+
+_SHUFFLE_SEED = "shuf42:"
+_SHUFFLE_BUCKETS_LOG2 = 5          # 32 radix buckets
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle: every doc gets its position
+    under the seeded pseudo-random permutation ORDER BY
+    md5(seed || doc_id) — the fixed training-order shuffle a data
+    pipeline materializes once so every epoch / resume / re-run reads
+    the same order.
+
+    Scale shape — global enumeration WITHOUT a global-order window
+    (row_number over a global ORDER BY is a single task — the
+    anti-pattern): the 60-bit md5 sort key is uniform, so its top 5
+    bits are 32 equal-width ORDERED range buckets (radix partitioning
+    — no range-sampling pass, fully deterministic).  Position = (sum of
+    lower buckets' counts) + row_number within the bucket: the
+    per-bucket window is parallel, and the bucket offsets come from a
+    cumulative sum over the 32-row bucket-count aggregate — that tiny
+    global-order window runs on 32 rows, not the corpus, and the
+    whole thing is ONE plan (no driver collect, no build-time job —
+    the ann_ivf_topk lesson).  Adding buckets scales out; the oracle
+    recomputes the identical permutation as one ROW_NUMBER."""
+    docs = _t(spark, sf_dir, "documents")
+    key = _md5int(F.concat(F.lit(_SHUFFLE_SEED),
+                           F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("key")).withColumn(
+        "bucket", F.shiftright("key", 60 - _SHUFFLE_BUCKETS_LOG2))
+    w_off = (W.orderBy("bucket")
+             .rowsBetween(W.unboundedPreceding, -1))
+    offsets = (keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+               .select("bucket",
+                       F.coalesce(F.sum("n").over(w_off), F.lit(0))
+                       .alias("offset")))
+    w = W.partitionBy("bucket").orderBy("key", "doc_id")
+    return (keyed.join(F.broadcast(offsets), "bucket")
+            .select("doc_id",
+                    (F.col("offset") + F.row_number().over(w) - 1)
+                    .alias("pos"))
+            .orderBy("pos"))
+
+
+_SQL_SHUFFLE_KEY = _SQL_MD5INT % (
+    f"'{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)")
+SQL_CORPUS_SHUFFLE = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+FROM (SELECT doc_id, {_SQL_SHUFFLE_KEY} AS k FROM documents)
+ORDER BY pos
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (cross-corpus) near-dedup: screen a NEW batch of
+    documents against an already-indexed corpus — the steady-state
+    shape of a production dedup pipeline, where each crawl increment
+    is checked against the accumulated index instead of re-running
+    all-pairs dedup over everything.  Corpus = docs with
+    md5(doc_id)%10 < 8; batch = the rest.  A batch doc is a duplicate
+    when an LSH band matches an indexed doc AND exact Jaccard >= 0.7
+    confirms.  Output: every batch doc with its verdict.
+
+    Scale shape: the index is the corpus's banded MinHash signatures
+    ONLY — (band_idx, key, doc_id), no text, persisted once and
+    re-used for every increment (at scale: a bucketed table on
+    (band_idx, key), so each increment's probe is a co-located join).
+    Candidates are keys-only; exact-Jaccard verification shingles
+    join by doc_id AFTER candidate pruning, so corpus text is touched
+    only for the handful of candidate partners.  The batch side is
+    orders of magnitude smaller than the corpus — AQE broadcasts it."""
+    from pyspark.storagelevel import StorageLevel
+
+    disk = StorageLevel.MEMORY_AND_DISK
+    docs = _docs_parallel(spark, sf_dir)
+    in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
+    docs_sh = (docs.select("doc_id", in_corpus.alias("in_corpus"),
+                           _shingles(F.col("text")).alias("sh"))
+               .persist(disk))
+    sig = (docs_sh.select("doc_id", "in_corpus",
+                          _base_hashes(F.col("sh")).alias("hs"))
+           .select("doc_id", "in_corpus", *_minhash_cols(F.col("hs"))))
+    bands = (sig.select(
+        "doc_id", "in_corpus",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.concat_ws("_", f"m{2 * b}", f"m{2 * b + 1}").alias("key"))
+            for b in range(3)])).alias("band"))
+        .select("doc_id", "in_corpus", "band.band_idx", "band.key")
+        .persist(disk))
+    cand = (bands.filter(~F.col("in_corpus"))
+            .select(F.col("doc_id").alias("batch_doc"), "band_idx", "key")
+            .join(bands.filter("in_corpus")
+                  .select(F.col("doc_id").alias("corpus_doc"),
+                          "band_idx", "key"),
+                  ["band_idx", "key"])
+            .select("batch_doc", "corpus_doc").distinct())
+    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
+           / F.size(F.array_union("sh_a", "sh_b")))
+    dup_ids = (cand
+               .join(docs_sh.select(F.col("doc_id").alias("batch_doc"),
+                                    F.col("sh").alias("sh_a")), "batch_doc")
+               .join(docs_sh.select(F.col("doc_id").alias("corpus_doc"),
+                                    F.col("sh").alias("sh_b")), "corpus_doc")
+               .filter(jac >= 0.7)
+               .select(F.col("batch_doc").alias("doc_id")).distinct())
+    return (docs_sh.filter(~F.col("in_corpus")).select("doc_id")
+            .join(dup_ids.withColumn("dup", F.lit(True)), "doc_id", "left")
+            .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_dup"))
+            .orderBy("doc_id"))
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+tagged AS (
+    SELECT doc_id, sh,
+           {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 10 < 8 AS in_corpus
+    FROM sh),
+h AS (SELECT doc_id, in_corpus, sh, {_SQL_BASE_HASHES} AS hs FROM tagged),
+m AS (SELECT doc_id, in_corpus, sh, {_SQL_MINHASH_LIST} FROM h),
+bands AS (
+    SELECT doc_id, in_corpus, i AS band_idx,
+           CASE i WHEN 0 THEN m0 || '_' || m1
+                  WHEN 1 THEN m2 || '_' || m3
+                  ELSE m4 || '_' || m5 END AS key
+    FROM m, range(3) t(i)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.key = b.key
+     AND NOT a.in_corpus AND b.in_corpus),
+dups AS (
+    SELECT DISTINCT batch_doc AS doc_id
+    FROM cand
+    JOIN m sa ON sa.doc_id = batch_doc
+    JOIN m sb ON sb.doc_id = corpus_doc
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.7)
+SELECT t.doc_id, EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = t.doc_id)
+           AS is_dup
+FROM tagged t WHERE NOT in_corpus
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2168,6 +2350,9 @@ QUERIES.update({
     "split_assign": q_split_assign,
     "sequence_pack": q_sequence_pack,
     "sequence_pack_nostraddle": q_sequence_pack_nostraddle,
+    "source_cap": q_source_cap,
+    "corpus_shuffle": q_corpus_shuffle,
+    "dedup_incremental": q_dedup_incremental,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -2233,6 +2418,9 @@ ORACLE_SQL: dict[str, str] = {
     "split_assign": SQL_SPLIT_ASSIGN,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "sequence_pack_nostraddle": SQL_SEQUENCE_PACK_NOSTRADDLE,
+    "source_cap": SQL_SOURCE_CAP,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

@@ -374,3 +374,42 @@ def test_window_swap_family_coverage(spark):
     rs = _rep(spark, "window_running_sum")
     assert "unboundedpreceding$()" in rs.text.lower()
     assert "unboundedpreceding$()" in _rep(spark, "sessionize").text.lower()
+
+
+def test_source_cap_text_never_scanned(spark):
+    """source_cap (per-domain cap): the rank window reads only
+    (doc_id, source, n_chars) — the text payload must not enter the
+    scan, let alone the source-hash exchange."""
+    rep = _rep(spark, "source_cap")
+    scan = rep.scan_for("documents.parquet")
+    assert scan.read_columns == ["doc_id", "source", "n_chars"]
+    assert rep.exchanges <= 4, rep.exchanges
+    assert not rep.has_python_eval
+
+
+def test_corpus_shuffle_no_global_order_window(spark):
+    """corpus_shuffle's global enumeration must come from the radix
+    bucket scheme, not a global-order window: exactly ONE
+    SinglePartition exchange is allowed (the 32-row bucket-offset
+    cumsum), the per-doc rank window partitions by bucket, and the
+    offsets join back as a broadcast.  Only doc_id is ever scanned."""
+    rep = _rep(spark, "corpus_shuffle")
+    assert rep.text.count("SinglePartition") == 1, \
+        rep.text.count("SinglePartition")
+    assert rep.broadcast_joins >= 1
+    assert rep.nested_loop_joins == 0
+    for s in rep.scans:
+        assert s.read_columns == ["doc_id"], s.read_columns
+    # the big-side window partitions by bucket
+    assert "windowspecdefinition(bucket" in rep.text.lower().replace("#", "")\
+        .replace(" ", "") or "bucket" in rep.text  # plan-text sanity
+
+
+def test_dedup_incremental_no_nlj(spark):
+    """Incremental dedup's candidate generation is a banded equi-join
+    (batch bands probe the corpus band index) and verification joins by
+    doc_id — never a nested-loop / cartesian all-pairs compare, and no
+    Python in the plan."""
+    rep = _rep(spark, "dedup_incremental")
+    assert rep.nested_loop_joins == 0
+    assert not rep.has_python_eval
