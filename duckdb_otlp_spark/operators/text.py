@@ -153,3 +153,54 @@ def profile_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(t).alias("lang_guess"),
         rolling_fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Category -> (pattern, replacement token).  Patterns deliberately use
+# only the regex subset Java (Spark) and RE2 (DuckDB) evaluate
+# identically — no backrefs, no lookaround — so the DuckDB oracle twin
+# can re-run them verbatim and every redaction is cross-engine checkable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "phone": (r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}",
+              "<PHONE>"),
+    "ipv4": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (map-only JVM expressions)."""
+    return {cat: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+            for cat, (pat, _) in PII_PATTERNS.items()}
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact every PII category in order (SSN before phone so the
+    more specific dashed-digit shape wins; email before ipv4 so
+    user@host.1.2.3.4-style hosts redact as one email).
+
+    Map-only chained regexp_replace — no shuffle, no Python; scales
+    linearly with the corpus like every text operator in this module."""
+    out = text
+    for cat in ("email", "ssn", "ipv4", "phone"):
+        pat, rep = PII_PATTERNS[cat]
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def scrub_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub ``text_col`` in place and append per-category counts plus a
+    total (``pii_total``) for downstream filtering/auditing."""
+    counts = pii_counts(F.col(text_col))
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.withColumns(
+        {**{f"pii_{cat}": c for cat, c in counts.items()},
+         "pii_total": total,
+         text_col: pii_scrub(F.col(text_col))})

@@ -2232,6 +2232,63 @@ ORDER BY doc_id
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing audit: plant deterministic PII (email + IPv4 for
+    every doc, SSN for doc_id%3==0, phone for doc_id%4==0) into the
+    corpus text, then run operators.text.pii_scrub / pii_counts and
+    report the per-category counts plus the scrubbed length.  The
+    synthetic corpus carries no real PII, so the plant makes the
+    redaction VALUE-checkable instead of vacuously zero; the patterns
+    use the Java/RE2-common regex subset so the DuckDB oracle re-runs
+    them verbatim (operators/text.py:PII_PATTERNS).
+
+    Scale shape: map-only chained regexp_replace + regexp_extract_all
+    counts — no shuffle, no Python; composes with the curation
+    pipeline's fused predicate pass."""
+    from duckdb_otlp_spark.operators.text import pii_counts, pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" 10.0."), (did % 256).cast("string"), F.lit(".7"),
+        F.when(did % 3 == 0, F.lit(" 123-45-6789")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit(" +1 555-123-4567")).otherwise(F.lit("")))
+    counts = pii_counts(planted)
+    return (docs.select(
+        "doc_id",
+        *[counts[c].cast("long").alias(f"pii_{c}")
+          for c in ("email", "phone", "ipv4", "ssn")],
+        F.length(pii_scrub(planted)).cast("long").alias("scrubbed_len"))
+        .orderBy("doc_id"))
+
+
+def _sql_pii(planted: str) -> str:
+    from duckdb_otlp_spark.operators.text import PII_PATTERNS
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({planted}, '{esc(PII_PATTERNS[c][0])}')) "
+        f"AS BIGINT) AS pii_{c}"
+        for c in ("email", "phone", "ipv4", "ssn"))
+    scrub = planted
+    for c in ("email", "ssn", "ipv4", "phone"):
+        pat, rep = PII_PATTERNS[c]
+        scrub = f"regexp_replace({scrub}, '{esc(pat)}', '{rep}', 'g')"
+    return (f"SELECT doc_id, {counts}, CAST(len({scrub}) AS BIGINT) "
+            f"AS scrubbed_len FROM documents ORDER BY doc_id")
+
+
+SQL_PII_SCRUB = _sql_pii(
+    "(text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' 123-45-6789' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' +1 555-123-4567' ELSE '' END)")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2353,6 +2410,7 @@ QUERIES.update({
     "source_cap": q_source_cap,
     "corpus_shuffle": q_corpus_shuffle,
     "dedup_incremental": q_dedup_incremental,
+    "pii_scrub": q_pii_scrub,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -2421,6 +2479,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_cap": SQL_SOURCE_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "pii_scrub": SQL_PII_SCRUB,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

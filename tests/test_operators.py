@@ -379,3 +379,63 @@ def test_audio_chunk_plan_covers_duration(spark):
         assert chunks[0]["chunk_start_ms"] == 0
         for r in chunks:
             assert r["n_samples"] == r["chunk_len_ms"] * r["sample_rate"] // 1000
+
+
+def test_pii_scrub_planted_fixtures(spark):
+    """pii_scrub/pii_counts over planted PII: every category redacts to
+    its token, counts match, and clean text passes through unchanged."""
+    rows = [
+        (1, "reach me at alice.smith+x@sub.example.co.uk today"),
+        (2, "server 192.168.001.42 rebooted, backup at 10.0.0.7"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "call +1 555-123-4567 or 44 020-7946-0958"),
+        (5, "no pii here, just words and numbers like 12345"),
+        (6, "alice@example.com met bob@example.org at 10.1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.scrub_documents(df).collect()}
+
+    assert out[1]["pii_email"] == 1
+    assert out[1]["text"] == "reach me at <EMAIL> today"
+    assert out[2]["pii_ipv4"] == 2
+    assert out[2]["text"] == "server <IP> rebooted, backup at <IP>"
+    assert out[3]["pii_ssn"] == 1
+    assert "<SSN>" in out[3]["text"] and "123-45" not in out[3]["text"]
+    assert out[4]["pii_phone"] == 2
+    assert "<PHONE>" in out[4]["text"]
+    assert "555" not in out[4]["text"]
+    assert out[5]["pii_total"] == 0
+    assert out[5]["text"] == rows[4][1]
+    assert out[6]["pii_email"] == 2 and out[6]["pii_ipv4"] == 1
+    assert out[6]["text"] == "<EMAIL> met <EMAIL> at <IP>"
+
+
+def test_pii_scrub_matches_duckdb_regex(spark):
+    """Cross-engine pin: the Java-evaluated patterns and DuckDB's RE2
+    produce identical redactions on an adversarial mixed corpus — the
+    compatibility contract PII_PATTERNS promises."""
+    import duckdb
+
+    from duckdb_otlp_spark.operators.text import PII_PATTERNS
+
+    rows = [(i, t) for i, t in enumerate([
+        "a@b.io x@y.museum no@dots",
+        "1.2.3.4.5 256.1.1.1 10.0.0.255",
+        "123-45-6789 123-456-789 12-34-5678",
+        "+358 040-123-4567 phone: 1 555-000-1111",
+        "edge@case.co 0.0.0.0 999-99-9999 +1 000-000-0000",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in text.scrub_documents(df).collect()}
+
+    con = duckdb.connect()
+    for i, t in rows:
+        expr = "?"
+        params = [t]
+        for cat in ("email", "ssn", "ipv4", "phone"):
+            pat, rep = PII_PATTERNS[cat]
+            expr = f"regexp_replace({expr}, ?, ?, 'g')"
+            params += [pat, rep]
+        want = con.execute(f"SELECT {expr}", params).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
