@@ -173,21 +173,38 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+# Redaction priority: SSN before phone so the more specific dashed-digit
+# shape wins; email before ipv4 so user@host-style text redacts as one
+# email.  pii_counts counts in this SAME order on progressively-scrubbed
+# text, so each count equals the number of redactions pii_scrub actually
+# performs for that category — overlapping patterns can never double-count.
+PII_SCRUB_ORDER: tuple[str, ...] = ("email", "ssn", "ipv4", "phone")
+
+
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-category PII match counts (map-only JVM expressions)."""
-    return {cat: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
-            for cat, (pat, _) in PII_PATTERNS.items()}
+    """Per-category PII redaction counts (map-only JVM expressions).
+
+    Each category is counted on the text AFTER all higher-priority
+    categories (PII_SCRUB_ORDER) have been replaced, so the counts are
+    exactly the redactions ``pii_scrub`` performs — a span consumed by a
+    higher-priority category is never also counted by a lower one."""
+    counts: dict[str, Column] = {}
+    cur = text
+    for cat in PII_SCRUB_ORDER:
+        pat, rep = PII_PATTERNS[cat]
+        counts[cat] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, rep)
+    return counts
 
 
 def pii_scrub(text: Column) -> Column:
-    """Redact every PII category in order (SSN before phone so the
-    more specific dashed-digit shape wins; email before ipv4 so
-    user@host.1.2.3.4-style hosts redact as one email).
+    """Redact every PII category in PII_SCRUB_ORDER (see the ordering
+    rationale on the constant).
 
     Map-only chained regexp_replace — no shuffle, no Python; scales
     linearly with the corpus like every text operator in this module."""
     out = text
-    for cat in ("email", "ssn", "ipv4", "phone"):
+    for cat in PII_SCRUB_ORDER:
         pat, rep = PII_PATTERNS[cat]
         out = F.regexp_replace(out, pat, rep)
     return out

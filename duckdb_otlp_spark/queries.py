@@ -2265,19 +2265,25 @@ def q_pii_scrub(spark, sf_dir):
 
 
 def _sql_pii(planted: str) -> str:
-    from duckdb_otlp_spark.operators.text import PII_PATTERNS
+    from duckdb_otlp_spark.operators.text import (PII_PATTERNS,
+                                                  PII_SCRUB_ORDER)
 
     def esc(p: str) -> str:
         return p.replace("'", "''")
 
-    counts = ", ".join(
-        f"CAST(len(regexp_extract_all({planted}, '{esc(PII_PATTERNS[c][0])}')) "
-        f"AS BIGINT) AS pii_{c}"
-        for c in ("email", "phone", "ipv4", "ssn"))
+    # Mirror pii_counts exactly: each category counted on the text AFTER
+    # higher-priority categories were replaced (progressive scrub), so
+    # counts equal actual redactions even for overlapping patterns.
+    count_exprs: dict[str, str] = {}
     scrub = planted
-    for c in ("email", "ssn", "ipv4", "phone"):
+    for c in PII_SCRUB_ORDER:
         pat, rep = PII_PATTERNS[c]
+        count_exprs[c] = (
+            f"CAST(len(regexp_extract_all({scrub}, '{esc(pat)}')) "
+            f"AS BIGINT) AS pii_{c}")
         scrub = f"regexp_replace({scrub}, '{esc(pat)}', '{rep}', 'g')"
+    counts = ", ".join(count_exprs[c]
+                       for c in ("email", "phone", "ipv4", "ssn"))
     return (f"SELECT doc_id, {counts}, CAST(len({scrub}) AS BIGINT) "
             f"AS scrubbed_len FROM documents ORDER BY doc_id")
 

@@ -135,10 +135,14 @@ def _merge_small_pyarrow(part: Path, small: list[Path],
 def compact_table(spark: SparkSession, export_root: str | Path, table: str,
                   target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
                   compression: str = "zstd") -> CompactionResult:
-    """Tier-1 bounded merge: per leaf partition, coalesce under-target
-    files into ~target-size outputs. At-target files are skipped, so a
-    steady-state partition costs nothing to re-examine (O(new) per cycle,
-    reference: otlp-compaction-probe/README.md:44-48).
+    """Tier-1 bounded merge: per leaf partition, coalesce files under
+    target/2 into ~target-size outputs. Files above target/2 are
+    permanently GRADUATED — never re-selected — so a steady-state
+    partition costs nothing to re-examine (O(new) per cycle, reference:
+    otlp-compaction-probe/README.md:44-48). The graduation threshold
+    means steady-state files settle in (target/2, target]; the table may
+    carry up to ~2x the ideal file count in exchange for never rewriting
+    a file twice (see the selection comment below for the rationale).
 
     Merge batches whose TOTAL is under PYARROW_MERGE_MAX_BYTES skip
     Spark entirely (see the constant's comment) — that's the common

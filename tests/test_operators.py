@@ -401,6 +401,9 @@ def test_pii_scrub_planted_fixtures(spark):
     assert out[2]["text"] == "server <IP> rebooted, backup at <IP>"
     assert out[3]["pii_ssn"] == 1
     assert "<SSN>" in out[3]["text"] and "123-45" not in out[3]["text"]
+    # counts are computed on progressively-scrubbed text, so a pure-SSN
+    # row can never double-count as a phone (audit == actual redactions)
+    assert out[3]["pii_phone"] == 0 and out[3]["pii_total"] == 1
     assert out[4]["pii_phone"] == 2
     assert "<PHONE>" in out[4]["text"]
     assert "555" not in out[4]["text"]
@@ -408,6 +411,26 @@ def test_pii_scrub_planted_fixtures(spark):
     assert out[5]["text"] == rows[4][1]
     assert out[6]["pii_email"] == 2 and out[6]["pii_ipv4"] == 1
     assert out[6]["text"] == "<EMAIL> met <EMAIL> at <IP>"
+
+
+def test_pii_counts_equal_actual_redactions(spark):
+    """pii_counts is defined as redactions-performed, not raw-text
+    matches: the per-category counts must equal the number of
+    replacement tokens pii_scrub actually emits, row by row — even on
+    adversarial text where category patterns could overlap."""
+    rows = [(i, t) for i, t in enumerate([
+        "ssn 123-45-6789 plain",
+        "call 1 555-123-4567 then ssn 987-65-4321",
+        "a@b.co 1.2.3.4 111-22-3333 +44 020-7946-0958",
+        "dense 1 234-567-8901 2 345-678-9012 x@y.io 9.9.9.9",
+        "nothing personal here",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in text.scrub_documents(df).collect():
+        for cat, tok in [("email", "<EMAIL>"), ("phone", "<PHONE>"),
+                         ("ipv4", "<IP>"), ("ssn", "<SSN>")]:
+            assert r[f"pii_{cat}"] == r["text"].count(tok), \
+                (r["doc_id"], cat, r["text"])
 
 
 def test_pii_scrub_matches_duckdb_regex(spark):

@@ -400,9 +400,14 @@ def test_corpus_shuffle_no_global_order_window(spark):
     assert rep.nested_loop_joins == 0
     for s in rep.scans:
         assert s.read_columns == ["doc_id"], s.read_columns
-    # the big-side window partitions by bucket
-    assert "windowspecdefinition(bucket" in rep.text.lower().replace("#", "")\
-        .replace(" ", "") or "bucket" in rep.text  # plan-text sanity
+    # the big-side per-doc rank window PARTITIONS by bucket (a partition
+    # column renders as `bucket#NL,` followed by the order column; an
+    # order-by-only spec would render `bucket#NL ASC ...` — asserting the
+    # partition form strictly, so removing the partitionBy fails this gate)
+    import re
+    assert re.search(r"windowspecdefinition\(bucket#\d+L?, \w+#", rep.text), \
+        [m.group(0) for m in
+         re.finditer(r"windowspecdefinition\([^)]*", rep.text)]
 
 
 def test_dedup_incremental_no_nlj(spark):
