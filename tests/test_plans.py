@@ -78,9 +78,24 @@ def test_no_python_eval_in_relational_queries(spark):
                  "window_topk_per_group", "json_extract", "string_funcs",
                  "dedup_exact", "simhash", "minhash_signature",
                  "ann_cosine_topk", "embedding_bucket_ann",
-                 "feature_hash"):
+                 "feature_hash", "pii_scrub"):
         rep = _rep(spark, name)
         assert not rep.has_python_eval, name
+
+
+def test_pii_scrub_is_map_only(spark):
+    """pii_scrub is chained regexp_replace + count expressions: zero
+    joins, and the only exchange allowed is the final presentation
+    sort — the scrub itself must not shuffle the corpus."""
+    rep = _rep(spark, "pii_scrub")
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins == 0
+    # audit counts each physical exchange ~2x in formatted explain
+    # (tree line + detail header): <=2 pins exactly ONE real exchange,
+    # the rangepartitioning for the final orderBy
+    assert rep.exchanges <= 2, rep.exchanges
+    assert "rangepartitioning(doc_id" in rep.text
+    assert not rep.has_python_eval
 
 
 def test_dedup_pipelines_have_no_allpairs_join(spark):
