@@ -406,3 +406,37 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (verified.select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# persisted band index (incremental dedup steady state)
+# ---------------------------------------------------------------------------
+
+def save_band_index(bands: DataFrame, path: str, table: str,
+                    num_buckets: int = 32) -> None:
+    """Materialize an LSH band index as the 100 TB layout: an EXTERNAL
+    parquet table bucketed AND sorted on the probe keys (band_idx, key).
+
+    ``bands`` must carry (band_idx, key, <id column>) — keys only, never
+    text, so the index is orders of magnitude narrower than the corpus.
+    Bucketing is the point: an increment's candidate probe is a
+    sort-merge join in which the index side is read bucket-aligned and
+    pre-sorted — NO shuffle and NO sort of the (huge) index, ever;
+    only the (small) batch side exchanges. Re-dedup-the-world becomes
+    probe-an-index (see queries.q_dedup_incremental's scale note; the
+    companion of save_ivf_index in operators/similarity.py).
+    """
+    (bands.write.format("parquet")
+     .bucketBy(num_buckets, "band_idx", "key")
+     .sortBy("band_idx", "key")
+     .option("path", path)
+     .mode("overwrite")
+     .saveAsTable(table))
+
+
+def load_band_index(spark, table: str) -> DataFrame:
+    """Reopen a saved band index by table name. Must go through the
+    catalog (spark.table), not spark.read.parquet: only the catalog
+    carries the bucket spec that lets the probe join skip the index-side
+    exchange (pinned by tests/test_band_index.py)."""
+    return spark.table(table)

@@ -2140,24 +2140,10 @@ ORDER BY pos
 """
 
 
-def q_dedup_incremental(spark, sf_dir):
-    """Incremental (cross-corpus) near-dedup: screen a NEW batch of
-    documents against an already-indexed corpus — the steady-state
-    shape of a production dedup pipeline, where each crawl increment
-    is checked against the accumulated index instead of re-running
-    all-pairs dedup over everything.  Corpus = docs with
-    md5(doc_id)%10 < 8; batch = the rest.  A batch doc is a duplicate
-    when an LSH band matches an indexed doc AND exact Jaccard >= 0.7
-    confirms.  Output: every batch doc with its verdict.
-
-    Scale shape: the index is the corpus's banded MinHash signatures
-    ONLY — (band_idx, key, doc_id), no text, persisted once and
-    re-used for every increment (at scale: a bucketed table on
-    (band_idx, key), so each increment's probe is a co-located join).
-    Candidates are keys-only; exact-Jaccard verification shingles
-    join by doc_id AFTER candidate pruning, so corpus text is touched
-    only for the handful of candidate partners.  The batch side is
-    orders of magnitude smaller than the corpus — AQE broadcasts it."""
+def _incr_docs_bands(spark, sf_dir):
+    """Shared pieces of the incremental-dedup family: the shingled
+    corpus+batch (persisted — feeds both banding and Jaccard verify)
+    and the exploded band keys (doc_id, in_corpus, band_idx, key)."""
     from pyspark.storagelevel import StorageLevel
 
     disk = StorageLevel.MEMORY_AND_DISK
@@ -2177,13 +2163,24 @@ def q_dedup_incremental(spark, sf_dir):
             for b in range(3)])).alias("band"))
         .select("doc_id", "in_corpus", "band.band_idx", "band.key")
         .persist(disk))
-    cand = (bands.filter(~F.col("in_corpus"))
-            .select(F.col("doc_id").alias("batch_doc"), "band_idx", "key")
-            .join(bands.filter("in_corpus")
-                  .select(F.col("doc_id").alias("corpus_doc"),
-                          "band_idx", "key"),
-                  ["band_idx", "key"])
-            .select("batch_doc", "corpus_doc").distinct())
+    return docs_sh, bands
+
+
+def build_incremental_band_index(spark, sf_dir):
+    """The corpus side of the incremental-dedup band index as
+    (band_idx, key, doc_id) — keys only, no text. Feed to
+    operators.dedup.save_band_index to make the persistence executable
+    (bucketed+sorted external table; the probe then reads the index
+    with NO exchange — see dedup_incremental_from_index)."""
+    _, bands = _incr_docs_bands(spark, sf_dir)
+    return (bands.filter("in_corpus")
+            .select("band_idx", "key", F.col("doc_id").alias("corpus_doc")))
+
+
+def _incr_verdict(docs_sh, cand):
+    """Jaccard-verify candidate (batch_doc, corpus_doc) pairs and emit
+    every batch doc with its is_dup verdict (shared by the in-query and
+    from-disk-index variants — parity pinned in tests/test_band_index.py)."""
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))
            / F.size(F.array_union("sh_a", "sh_b")))
     dup_ids = (cand
@@ -2197,6 +2194,56 @@ def q_dedup_incremental(spark, sf_dir):
             .join(dup_ids.withColumn("dup", F.lit(True)), "doc_id", "left")
             .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_dup"))
             .orderBy("doc_id"))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (cross-corpus) near-dedup: screen a NEW batch of
+    documents against an already-indexed corpus — the steady-state
+    shape of a production dedup pipeline, where each crawl increment
+    is checked against the accumulated index instead of re-running
+    all-pairs dedup over everything.  Corpus = docs with
+    md5(doc_id)%10 < 8; batch = the rest.  A batch doc is a duplicate
+    when an LSH band matches an indexed doc AND exact Jaccard >= 0.7
+    confirms.  Output: every batch doc with its verdict.
+
+    Scale shape: the index is the corpus's banded MinHash signatures
+    ONLY — (band_idx, key, doc_id), no text. This oracle-twinned entry
+    computes the index in-query so DuckDB can replay it; the EXECUTABLE
+    persisted form is build_incremental_band_index +
+    operators.dedup.save_band_index (bucketed+sorted on (band_idx, key))
+    probed by dedup_incremental_from_index, whose sort-merge probe reads
+    the index with no exchange and no sort (pinned, parity-tested in
+    tests/test_band_index.py). Candidates are keys-only; exact-Jaccard
+    verification shingles join by doc_id AFTER candidate pruning, so
+    corpus text is touched only for the handful of candidate partners.
+    The batch side is orders of magnitude smaller than the corpus —
+    AQE broadcasts it."""
+    docs_sh, bands = _incr_docs_bands(spark, sf_dir)
+    cand = (bands.filter(~F.col("in_corpus"))
+            .select(F.col("doc_id").alias("batch_doc"), "band_idx", "key")
+            .join(bands.filter("in_corpus")
+                  .select(F.col("doc_id").alias("corpus_doc"),
+                          "band_idx", "key"),
+                  ["band_idx", "key"])
+            .select("batch_doc", "corpus_doc").distinct())
+    return _incr_verdict(docs_sh, cand)
+
+
+def dedup_incremental_from_index(spark, sf_dir, index):
+    """q_dedup_incremental's steady-state twin: probe a LOADED persisted
+    band index (operators.dedup.load_band_index) instead of recomputing
+    the corpus bands in-query. Candidate generation joins the batch's
+    band keys against the index on (band_idx, key); because the index
+    table is bucketed+sorted on exactly those keys, the index side of
+    the sort-merge probe plans with NO exchange and NO sort — only the
+    increment shuffles. Verification and output are byte-identical to
+    the in-query variant (shared _incr_verdict)."""
+    docs_sh, bands = _incr_docs_bands(spark, sf_dir)
+    cand = (bands.filter(~F.col("in_corpus"))
+            .select(F.col("doc_id").alias("batch_doc"), "band_idx", "key")
+            .join(index, ["band_idx", "key"])
+            .select("batch_doc", "corpus_doc").distinct())
+    return _incr_verdict(docs_sh, cand)
 
 
 SQL_DEDUP_INCREMENTAL = f"""

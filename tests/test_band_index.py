@@ -1,0 +1,91 @@
+"""Executable persistence for the incremental-dedup band index.
+
+The r7 dedup_incremental entry DESCRIBED a persisted, bucketed
+(band_idx, key) index but rebuilt it in-query. These tests make the
+persistence claim executable: save_band_index writes the corpus bands as
+a bucketed+sorted external parquet table, load_band_index reopens it,
+and dedup_incremental_from_index probes it with
+
+  1. byte-identical verdicts to the in-query (oracle-certified) variant,
+  2. a probe plan in which the INDEX side of the sort-merge join carries
+     no Exchange and no Sort (the bucket spec satisfies both), so at
+     100 TB only the small increment ever shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_otlp_spark.operators.dedup import (load_band_index,
+                                               save_band_index)
+from duckdb_otlp_spark.queries import (QUERIES, build_incremental_band_index,
+                                       dedup_incremental_from_index)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def band_index(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("band_index")
+    table = "test_band_index_corpus"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    save_band_index(build_incremental_band_index(spark, SF),
+                    str(path / "idx"), table, num_buckets=8)
+    yield load_band_index(spark, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_probe_from_disk_matches_in_query_index(spark, band_index):
+    """Oracle parity by transitivity: the from-disk probe must return
+    exactly the rows of the in-query variant, which the driver's DuckDB
+    differential certifies."""
+    want = [(r["doc_id"], r["is_dup"])
+            for r in QUERIES["dedup_incremental"](spark, SF).collect()]
+    got = [(r["doc_id"], r["is_dup"])
+           for r in dedup_incremental_from_index(
+               spark, SF, band_index).collect()]
+    assert got == want
+    assert len(got) > 0 and any(d for _, d in got), \
+        "fixture must contain at least one duplicate to be non-vacuous"
+
+
+def test_index_side_of_probe_has_no_exchange_or_sort(spark, band_index):
+    """The 100 TB point of bucketing: with broadcast off (forcing the
+    sort-merge shape a big increment would take), the candidate probe
+    must shuffle+sort ONLY the batch side — the index scan's bucket
+    spec already satisfies the join's distribution and ordering."""
+    bands = build_incremental_band_index(spark, SF).withColumnRenamed(
+        "corpus_doc", "batch_doc")  # any probe-shaped left side works
+    probe = bands.join(band_index.hint("merge"), ["band_idx", "key"])
+    with_bucket = probe._jdf.queryExecution().executedPlan().toString()
+
+    # exactly ONE hashpartitioning exchange on the join keys (the probe
+    # side); a second one would mean the index got shuffled too
+    ex = re.findall(r"Exchange hashpartitioning\(band_idx", with_bucket)
+    assert len(ex) == 1, with_bucket
+    # and the index relation scans with the bucket layout
+    assert "SelectedBucketsCount" in with_bucket or \
+        "Bucketed: true" in with_bucket, with_bucket
+
+    # mutation control: the same probe against a bucket-UNAWARE read of
+    # the same files plans TWO exchanges — proving the single-exchange
+    # assertion above is load-bearing, not incidental
+    flat = spark.read.parquet(
+        spark.sql("DESCRIBE FORMATTED test_band_index_corpus")
+        .filter("col_name = 'Location'").collect()[0]["data_type"])
+    probe_flat = bands.join(flat.hint("merge"), ["band_idx", "key"])
+    no_bucket = probe_flat._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(
+        r"Exchange hashpartitioning\(band_idx", no_bucket)) == 2, no_bucket
+
+
+def test_index_is_keys_only(spark, band_index):
+    """The persisted index must never carry text — the narrowness IS the
+    scale story (index bytes ~ O(docs), not O(corpus bytes))."""
+    assert set(band_index.columns) == {"band_idx", "key", "corpus_doc"}
+    n_corpus = band_index.select("corpus_doc").distinct().count()
+    n_bands = band_index.count()
+    assert n_bands == 3 * n_corpus  # one row per (doc, band), 3 bands
