@@ -48,10 +48,20 @@ __all__ = ["windowed_counts", "sessionize_stateful",
            "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
 
 
+# Above this many distinct eval grams the screen stops inlining the set
+# as a Catalyst array literal (plan bloat + driver memory: the literal is
+# serialized into every task's plan) and switches to the Arrow-batched
+# path, whose broadcast variable ships the set to each executor ONCE.
+# Benchmark-suite-sized eval sets (the common case) stay JVM-side.
+LITERAL_MAX_GRAMS = 100_000
+
+
 def contamination_screen_stream(docs: DataFrame, eval_grams, *,
                                 text_col: str = "text", gram_n: int = 5,
                                 max_overlap: float = 0.5,
-                                use_pandas: bool = False) -> DataFrame:
+                                use_pandas: bool = False,
+                                literal_max_grams: int = LITERAL_MAX_GRAMS,
+                                ) -> DataFrame:
     """Streaming benchmark-leakage screen: drop documents whose distinct
     word n-gram overlap with the (static) eval corpus exceeds
     ``max_overlap`` — the at-ingest twin of
@@ -71,10 +81,17 @@ def contamination_screen_stream(docs: DataFrame, eval_grams, *,
     tokens, distinct grams, docs below gram_n words survive), identical
     on streaming and batch inputs.
 
-    ``use_pandas=True`` keeps the Arrow-batched mapInPandas fallback —
+    The JVM literal path is for eval sets up to ``literal_max_grams``
+    distinct grams; above that the screen switches AUTOMATICALLY to the
+    Arrow-batched mapInPandas path, where the gram set travels as a
+    Spark broadcast variable (one copy per executor) instead of a plan
+    literal (one copy per serialized task plan + resident in the driver's
+    Catalyst tree) — the scale cliff a multi-million-gram eval corpus
+    would otherwise hit. Both regimes keep identical rows (pinned by
+    tests/test_streaming_operators.py, including a threshold-crossing
+    case). ``use_pandas=True`` forces the Arrow path explicitly — also
     the escape hatch for gram functions a Catalyst expression can't
-    express (custom tokenizers, normalization) — pinned equal to the
-    JVM path on the same rows.
+    express (custom tokenizers, normalization).
 
     Neither path is the batch hot path: the batch screen stays a
     JVM-side gram equi-join (pipeline.contamination_screen); streaming
@@ -85,7 +102,7 @@ def contamination_screen_stream(docs: DataFrame, eval_grams, *,
     if not isinstance(eval_grams, (set, frozenset)):
         eval_grams = {r[0] for r in eval_grams.collect()}
 
-    if use_pandas:
+    if use_pandas or len(eval_grams) > literal_max_grams:
         bc = docs.sparkSession.sparkContext.broadcast(frozenset(eval_grams))
 
         def screen(batches: Iterable[pd.DataFrame]):

@@ -408,6 +408,35 @@ def test_contamination_screen_stream_is_jvm_side(spark):
         docs, set(), max_overlap=0.5).collect()) == [1, 2, 3, 4, 5, 6, 7]
 
 
+def test_contamination_screen_auto_scales_past_literal_threshold(spark):
+    """Above literal_max_grams the screen must route itself to the
+    Arrow/broadcast path (the in-plan array literal is the one scale
+    cliff: it is serialized into every task plan), below it stay pure
+    JVM — and both regimes keep IDENTICAL rows at the crossover."""
+    from duckdb_otlp_spark.plans import audit
+    from duckdb_otlp_spark.streaming import contamination_screen_stream
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    grams = {" ".join(eval_text.split()[i:i + 5]) for i in range(6)}
+    docs = spark.createDataFrame(
+        [(1, eval_text),
+         (2, "completely unrelated words forming their own five gram run"),
+         (3, "short doc"),
+         (4, "the quick brown fox jumps but then diverges wildly away here")],
+        "doc_id long, text string")
+
+    at_limit = contamination_screen_stream(
+        docs, grams, max_overlap=0.5, literal_max_grams=len(grams))
+    over_limit = contamination_screen_stream(
+        docs, grams, max_overlap=0.5, literal_max_grams=len(grams) - 1)
+    # exactly at the threshold: still the JVM literal; one past: Arrow
+    assert not audit(at_limit).has_python_eval
+    assert audit(over_limit).has_python_eval
+    assert (sorted(r.doc_id for r in at_limit.collect())
+            == sorted(r.doc_id for r in over_limit.collect())
+            == [2, 3, 4])
+
+
 def test_dedup_stream_unbounded_and_key_mode(spark, tmp_path):
     """bounded=False (exact-forever state) collapses a duplicate that
     arrives AFTER the watermark horizon — the pair bounded=True keeps —
