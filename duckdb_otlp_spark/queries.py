@@ -1897,19 +1897,25 @@ def q_sequence_pack(spark, sf_dir):
     the 32-way hash shard, so each shard's running sum is an
     independent task and adding shards scales out. The shard hash is
     md5-derived so the DuckDB oracle recomputes identical packing."""
-    from pyspark.sql import Window as W
-
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     n_tok = F.size(F.split(F.trim("text"), r"\s+"))
     shard = _md5int(F.col("doc_id").cast("string")) % 32
+    t = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+    return pack_contiguous(t)
+
+
+def pack_contiguous(t, seq_len: int = 2048):
+    """Contiguous-fill packing over any (doc_id, shard, n_tokens)
+    DataFrame — the per-shard cumsum-window core of q_sequence_pack,
+    exposed so the hypothesis suite (tests/test_pack_shuffle_properties)
+    can drive it on generated populations."""
     w = (W.partitionBy("shard").orderBy("doc_id")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    t = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
     cum = F.sum("n_tokens").over(w)
     start = cum - F.col("n_tokens")
     return (t.select("doc_id", "shard", "n_tokens",
-                     F.floor(start / 2048).cast("long").alias("seq_id"),
-                     (start % 2048).cast("long").alias("offset_in_seq"))
+                     F.floor(start / seq_len).cast("long").alias("seq_id"),
+                     (start % seq_len).cast("long").alias("offset_in_seq"))
             .orderBy("shard", "doc_id"))
 
 
@@ -1953,7 +1959,14 @@ def q_sequence_pack_nostraddle(spark, sf_dir):
     n_tok = F.size(F.split(F.trim("text"), r"\s+"))
     shard = _md5int(F.col("doc_id").cast("string")) % 32
     t = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+    return pack_nostraddle(t)
 
+
+def pack_nostraddle(t, seq_len: int = _PACK_SEQ_LEN):
+    """Next-fit no-straddle packing over any (doc_id, shard, n_tokens)
+    DataFrame — the applyInPandas core of q_sequence_pack_nostraddle,
+    exposed so the hypothesis suite (tests/test_pack_shuffle_properties)
+    can drive it on generated populations."""
     def pack(pdf):
         pdf = pdf.sort_values("doc_id", ignore_index=True)
         seq = fill = 0
@@ -1963,7 +1976,7 @@ def q_sequence_pack_nostraddle(spark, sf_dir):
             if i == 0:
                 seqs.append(0)
                 offs.append(0)
-            elif fill + n <= _PACK_SEQ_LEN:
+            elif fill + n <= seq_len:
                 seqs.append(seq)
                 offs.append(fill)
                 fill += n
@@ -1972,7 +1985,7 @@ def q_sequence_pack_nostraddle(spark, sf_dir):
                 seq += 1
                 seqs.append(seq)
                 offs.append(0)
-            fill = _PACK_SEQ_LEN if n >= _PACK_SEQ_LEN else n
+            fill = seq_len if n >= seq_len else n
         pdf["seq_id"] = seqs
         pdf["offset_in_seq"] = offs
         return pdf
@@ -1985,35 +1998,45 @@ def q_sequence_pack_nostraddle(spark, sf_dir):
             .orderBy("shard", "doc_id"))
 
 
-SQL_SEQUENCE_PACK_NOSTRADDLE = f"""
+def sql_pack_nostraddle_over(base_sql: str,
+                             seq_len: int = _PACK_SEQ_LEN) -> str:
+    """DuckDB recursive-CTE replay of the next-fit recurrence over any
+    (doc_id, shard, n_tokens) base subquery — the oracle twin for
+    pack_nostraddle, reused by the hypothesis suite on generated
+    populations (tests/test_pack_shuffle_properties)."""
+    return f"""
 WITH RECURSIVE base AS (
     SELECT doc_id, shard, n_tokens,
            row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-    FROM (SELECT doc_id,
-                 {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 32 AS shard,
-                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
-                     AS n_tokens
-          FROM documents WHERE doc_id < 2000)),
+    FROM ({base_sql})),
 pack AS (
     SELECT shard, rn, doc_id, n_tokens,
            CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS offset_in_seq,
-           CASE WHEN n_tokens >= {_PACK_SEQ_LEN} THEN {_PACK_SEQ_LEN}
+           CASE WHEN n_tokens >= {seq_len} THEN {seq_len}
                 ELSE n_tokens END AS fill
     FROM base WHERE rn = 1
     UNION ALL
     SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
-           CASE WHEN p.fill + b.n_tokens <= {_PACK_SEQ_LEN}
+           CASE WHEN p.fill + b.n_tokens <= {seq_len}
                 THEN p.seq_id ELSE p.seq_id + 1 END,
-           CASE WHEN p.fill + b.n_tokens <= {_PACK_SEQ_LEN}
+           CASE WHEN p.fill + b.n_tokens <= {seq_len}
                 THEN p.fill ELSE 0 END,
-           CASE WHEN p.fill + b.n_tokens <= {_PACK_SEQ_LEN}
+           CASE WHEN p.fill + b.n_tokens <= {seq_len}
                 THEN p.fill + b.n_tokens
-                WHEN b.n_tokens >= {_PACK_SEQ_LEN} THEN {_PACK_SEQ_LEN}
+                WHEN b.n_tokens >= {seq_len} THEN {seq_len}
                 ELSE b.n_tokens END
     FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
 SELECT doc_id, shard, n_tokens, seq_id, offset_in_seq
 FROM pack ORDER BY shard, doc_id
 """
+
+
+SQL_SEQUENCE_PACK_NOSTRADDLE = sql_pack_nostraddle_over(f"""
+    SELECT doc_id,
+           {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 32 AS shard,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+               AS n_tokens
+    FROM documents WHERE doc_id < 2000""")
 
 
 def q_feature_hash(spark, sf_dir):
@@ -2111,8 +2134,15 @@ def q_corpus_shuffle(spark, sf_dir):
     whole thing is ONE plan (no driver collect, no build-time job —
     the ann_ivf_topk lesson).  Adding buckets scales out; the oracle
     recomputes the identical permutation as one ROW_NUMBER."""
-    docs = _t(spark, sf_dir, "documents")
-    key = _md5int(F.concat(F.lit(_SHUFFLE_SEED),
+    return corpus_shuffle_positions(_t(spark, sf_dir, "documents"))
+
+
+def corpus_shuffle_positions(docs, seed: str = _SHUFFLE_SEED):
+    """The radix-enumeration core of q_corpus_shuffle over any
+    DataFrame with a doc_id column — exposed so the hypothesis suite
+    (tests/test_pack_shuffle_properties) can assert bijectivity and
+    repartitioning-determinism on generated id populations."""
+    key = _md5int(F.concat(F.lit(seed),
                            F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", key.alias("key")).withColumn(
         "bucket", F.shiftright("key", 60 - _SHUFFLE_BUCKETS_LOG2))
