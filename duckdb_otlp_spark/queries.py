@@ -2372,6 +2372,156 @@ SQL_PII_SCRUB = _sql_pii(
     " || CASE WHEN doc_id % 4 = 0 THEN ' +1 555-123-4567' ELSE '' END)")
 
 
+def q_source_mix_weights(spark, sf_dir):
+    """Temperature-based training-mix weights: per source, the sampling
+    weight w_s = sqrt(tokens_s) / sum_s sqrt(tokens_s) (temperature
+    alpha = 0.5 — the standard up-weight-the-tail move for multilingual
+    / multi-source pretraining mixes) plus the per-source repeat factor
+    ("epochs") a 10M-token budget implies.  This is the table a data
+    pipeline materializes to drive its sampler.
+
+    alpha = 0.5 deliberately: sqrt is correctly rounded under IEEE 754
+    in both engines (pow is only within 1 ulp on the JVM), so the twin
+    computation is bit-identical before the presentation rounding.
+
+    Scale shape: map-side token count → ONE low-cardinality groupBy
+    (sources, not docs); the corpus-total normalizer is a window over
+    the per-source aggregate (O(sources) rows, like corpus_shuffle's
+    32-row cumsum), so the corpus is touched exactly once and text
+    never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    per_src = (docs.select("source", n_tok.alias("n"))
+               .groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n").cast("long").alias("n_tokens")))
+    w_all = W.partitionBy()
+    scaled = F.sqrt(F.col("n_tokens").cast("double"))
+    out = per_src.select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6)
+        .alias("raw_share"),
+        F.round(scaled / F.sum(scaled).over(w_all), 6).alias("mix_weight"),
+        F.round(scaled / F.sum(scaled).over(w_all)
+                * 10_000_000 / F.col("n_tokens"), 6).alias("epochs_at_10m"))
+    return out.orderBy("source")
+
+
+SQL_SOURCE_MIX_WEIGHTS = """
+WITH per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / sum(n_tokens) OVER (), 6) AS raw_share,
+       round(sqrt(CAST(n_tokens AS DOUBLE))
+             / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS mix_weight,
+       round(sqrt(CAST(n_tokens AS DOUBLE))
+             / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()
+             * 10000000 / n_tokens, 6) AS epochs_at_10m
+FROM per_src ORDER BY source
+"""
+
+
+def q_length_buckets(spark, sf_dir):
+    """Length-bucket curriculum stats: docs grouped into power-of-two
+    token-length buckets (bucket = floor(log2(n_tokens)) computed via
+    integer bit length — never floating log, whose boundary values
+    differ across engines), with per-bucket doc/token counts and the
+    corpus share — the table behind length-curriculum batch schedules
+    and padding-efficiency analyses (batching docs of similar length
+    wastes the least padding).
+
+    Scale shape: bucket id is a map-side expression over the token
+    count; ONE ~60-bucket groupBy; text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    # floor(log2(n)) as bit_length(n)-1: bin() renders the bigint's
+    # minimal binary string in both engines
+    bucket = (F.length(F.bin(F.col("n").cast("long"))) - 1).cast("long")
+    per = (docs.select(n_tok.alias("n"))
+           .select("n", bucket.alias("len_bucket"))
+           .groupBy("len_bucket")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n").cast("long").alias("n_tokens"),
+                F.min("n").alias("min_tokens"),
+                F.max("n").alias("max_tokens")))
+    w_all = W.partitionBy()
+    return (per.select(
+        "len_bucket", "n_docs", "n_tokens", "min_tokens", "max_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_all), 6)
+        .alias("doc_share"))
+        .orderBy("len_bucket"))
+
+
+SQL_LENGTH_BUCKETS = """
+WITH t AS (
+    SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n
+    FROM documents),
+per AS (
+    SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(min(n) AS INT) AS min_tokens,
+           CAST(max(n) AS INT) AS max_tokens
+    FROM t GROUP BY 1)
+SELECT len_bucket, n_docs, n_tokens, min_tokens, max_tokens,
+       round(n_docs / sum(n_docs) OVER (), 6) AS doc_share
+FROM per ORDER BY len_bucket
+"""
+
+
+def q_token_offsets(spark, sf_dir):
+    """Global token-offset enumeration: each document's starting token
+    offset in the concatenated corpus laid out in the seeded shuffle
+    order (corpus_shuffle's permutation) — the byte/token map a trainer
+    uses to resume deterministically from "token 3.2 trillion" without
+    replaying the stream.
+
+    Scale shape — the WEIGHTED generalization of corpus_shuffle's radix
+    trick: a global token cumsum over shuffle order would be one task,
+    so instead the md5 key's top 5 bits form 32 ordered range buckets,
+    each bucket computes its own (parallel) token cumsum, and a 32-row
+    SinglePartition cumsum over per-bucket token totals supplies the
+    bucket base offsets.  Token counts are computed map-side; text
+    never shuffles — only (doc_id, key, n_tokens) move."""
+    docs = _t(spark, sf_dir, "documents")
+    key = _md5int(F.concat(F.lit(_SHUFFLE_SEED),
+                           F.col("doc_id").cast("string")))
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    keyed = (docs.select("doc_id", key.alias("key"), n_tok.alias("n_tokens"))
+             .withColumn("bucket",
+                         F.shiftright("key", 60 - _SHUFFLE_BUCKETS_LOG2)))
+    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (keyed.groupBy("bucket")
+               .agg(F.sum("n_tokens").alias("tok")))
+    offsets = offsets.select(
+        "bucket",
+        F.coalesce(F.sum("tok").over(w_off), F.lit(0)).alias("base"))
+    w = (W.partitionBy("bucket").orderBy("key", "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (keyed.join(F.broadcast(offsets), "bucket")
+            .select("doc_id", "n_tokens",
+                    (F.col("base") + F.sum("n_tokens").over(w)
+                     - F.col("n_tokens")).alias("token_offset"))
+            .orderBy("token_offset"))
+
+
+SQL_TOKEN_OFFSETS = f"""
+SELECT doc_id, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+                                ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS BIGINT) AS token_offset
+FROM (SELECT doc_id, {_SQL_SHUFFLE_KEY} AS k,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents)
+ORDER BY token_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2494,6 +2644,9 @@ QUERIES.update({
     "corpus_shuffle": q_corpus_shuffle,
     "dedup_incremental": q_dedup_incremental,
     "pii_scrub": q_pii_scrub,
+    "source_mix_weights": q_source_mix_weights,
+    "length_buckets": q_length_buckets,
+    "token_offsets": q_token_offsets,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -2563,6 +2716,9 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "pii_scrub": SQL_PII_SCRUB,
+    "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
+    "length_buckets": SQL_LENGTH_BUCKETS,
+    "token_offsets": SQL_TOKEN_OFFSETS,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

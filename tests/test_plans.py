@@ -425,6 +425,37 @@ def test_corpus_shuffle_no_global_order_window(spark):
          re.finditer(r"windowspecdefinition\([^)]*", rep.text)]
 
 
+def test_token_offsets_no_global_order_window(spark):
+    """token_offsets is the weighted corpus_shuffle: exactly ONE
+    SinglePartition (the 32-row base-offset cumsum), offsets join back
+    broadcast, and only (doc_id, text) leave the scan — with text
+    consumed map-side (token count) before any exchange."""
+    rep = _rep(spark, "token_offsets")
+    assert rep.text.count("SinglePartition") == 1, \
+        rep.text.count("SinglePartition")
+    assert rep.broadcast_joins >= 1
+    assert rep.nested_loop_joins == 0
+    assert not rep.has_python_eval
+    import re
+    assert re.search(r"windowspecdefinition\(bucket#\d+L?, \w+#", rep.text)
+
+
+def test_mix_and_bucket_stats_are_single_agg(spark):
+    """source_mix_weights / length_buckets: map-side expressions + one
+    low-cardinality groupBy; no joins, no Python, text never shuffles
+    (the aggregate's shuffle carries only (key, partial counts))."""
+    for name in ("source_mix_weights", "length_buckets"):
+        rep = _rep(spark, name)
+        assert rep.nested_loop_joins == 0, name
+        assert rep.broadcast_joins == 0, name
+        assert not rep.has_python_eval, name
+        scan = rep.scan_for("documents.parquet")
+        assert "text" in scan.read_columns and len(scan.read_columns) <= 2, \
+            (name, scan.read_columns)
+        # partial aggregation applies before the exchange
+        assert "partial" in rep.text.lower(), name
+
+
 def test_dedup_incremental_no_nlj(spark):
     """Incremental dedup's candidate generation is a banded equi-join
     (batch bands probe the corpus band index) and verification joins by
