@@ -129,7 +129,7 @@ def _paced_producer(args) -> tuple[int, int, float, int]:
     depth = 4
     t0 = time.perf_counter()
     slot_lock = threading.Lock()
-    state = {"slot": 0, "ok": 0, "producer_errors": 0}
+    state = {"slot": 0, "ok": 0, "producer_errors": 0, "statuses": {}}
 
     def post(conn, body) -> int:
         conn.request("POST", "/v1/logs", body=body,
@@ -143,6 +143,7 @@ def _paced_producer(args) -> tuple[int, int, float, int]:
         conn = http.client.HTTPConnection(host, port, timeout=60)
         ok = 0
         faults = 0
+        statuses: dict[int, int] = {}
         while True:
             with slot_lock:
                 i = state["slot"]
@@ -172,9 +173,13 @@ def _paced_producer(args) -> tuple[int, int, float, int]:
                     continue
             if status == 202:
                 ok += 1
+            else:
+                statuses[status] = statuses.get(status, 0) + 1
         with slot_lock:
             state["ok"] += ok
             state["producer_errors"] += faults
+            for s, n in statuses.items():
+                state["statuses"][s] = state["statuses"].get(s, 0) + n
 
     threads = [threading.Thread(target=run) for _ in range(depth)]
     for t in threads:
@@ -182,7 +187,7 @@ def _paced_producer(args) -> tuple[int, int, float, int]:
     for t in threads:
         t.join()
     return (state["ok"], n_sends, time.perf_counter() - t0,
-            state["producer_errors"])
+            state["producer_errors"], state["statuses"])
 
 
 class _IngestServer:
@@ -332,6 +337,18 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
         # socket must not be read as a server capacity deficit
         producer_errors = sum(r[3] for r in results)
         warm_producer_errors = sum(r[3] for r in warm)
+        reject_statuses: dict[str, int] = {}
+        for r in results:
+            for s, n in r[4].items():
+                reject_statuses[str(s)] = reject_statuses.get(str(s), 0) + n
+        # server-side rejection taxonomy BEFORE the flush mutates state:
+        # with client-side reject_statuses this pins WHICH limiter fired
+        # (503 admission vs auth vs body caps) when a run records errors
+        row = srv.server.server_row()
+        server_rejects = {k: row[k] for k in
+                          ("rejected_auth", "rejected_413",
+                           "rejected_415", "rejected_503")
+                          if row.get(k)}
         t_flush = time.perf_counter()
         srv.server.flush()
         drain_s = time.perf_counter() - t_flush
@@ -361,6 +378,8 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
         # never misread as server capacity. Both must be zero to pass.
         "errors": sent - accepted - producer_errors,
         "producer_errors": producer_errors,
+        "reject_statuses": reject_statuses,
+        "server_rejects": server_rejects,
         "drain_backlog_s": round(drain_s, 2),
         "sealed_rows": sealed,
         "pass": bool(sent - accepted == 0
