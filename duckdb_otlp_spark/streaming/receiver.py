@@ -80,7 +80,16 @@ _OTAP_CTYPES = ("application/vnd.otel.arrow", "application/x-otap")
 # listing load. Segments target the same order of magnitude as the
 # reference's seal_target_bytes admission batching
 # (reference: otlp_ingest_limits.hpp DEFAULT_SEAL_TARGET_BYTES).
-DEFAULT_SEGMENT_ROTATE_BYTES = 8 * 1024 * 1024
+#
+# Sized so a seal-cadence batch fills the machine: the seal scan plans
+# ONE task per visible segment (coalesce can only merge), so segment
+# size caps seal parallelism at (rate x trigger / size) tasks. At the
+# 175k logs/s capacity-gate rate (~61 MB/s of spooled text) a 2 s
+# trigger yields ~15 tasks with 8 MiB segments — half a 32-thread
+# executor idle through every seal — vs ~40 with 3 MiB (r8: measured
+# zero-503 full-duration gate after the change, from ~1-13% shed
+# before). cleanSource bounds the file count either way.
+DEFAULT_SEGMENT_ROTATE_BYTES = 3 * 1024 * 1024
 DEFAULT_SEGMENT_ROTATE_MS = 500
 
 

@@ -434,6 +434,10 @@ class OtlpSparkServer:
             (out.write.mode("append")
              .partitionBy("year", "month", "day")
              .option("compression", self.compression)
+             # seal hot path: zstd level 1 (files stay zstd — the
+             # format parity that matters); compaction later rewrites
+             # at the codec default, so steady-state files re-compress
+             .option("parquet.compression.codec.zstd.level", "1")
              .parquet(str(self.export_root / table)))
             rows = int(obs.get["rows"])
             self._record_seal(table, rows, batch_id,
@@ -504,7 +508,14 @@ class OtlpSparkServer:
             # (inputFiles() is NOT usable here: the micro-batch DF hides
             # its file list, returning [] even for non-empty batches —
             # isEmpty's limit-1 job is the cheapest correct check.)
-            if batch_df.isEmpty():
+            # The check is GATED on the admission gauge: a non-empty
+            # batch implies un-released spooled bytes, so buffered == 0
+            # proves the batch CAN be empty and is worth probing, while
+            # a busy pipeline (buffered > 0) skips the probe — at a 2 s
+            # cadence the limit-1 job was costing ~5% of the seal
+            # path's 175k logs/s capacity budget. A raced empty batch
+            # on the busy path just runs a sub-second empty plan.
+            if self.receiver.buffered_bytes == 0 and batch_df.isEmpty():
                 return
             # The streaming file source plans one scan task per spool
             # segment: coalesce packs a many-tiny-segment backlog into
@@ -698,8 +709,17 @@ class OtlpSparkServer:
                         f"transport={self.receiver.transport} sink={self.sink}")
 
     def _start_query(self, signal: str):
+        # cleanSource=delete: sealed spool segments are deleted once
+        # their micro-batch COMMITS (a failed batch replays from the
+        # same files). Without it the spool directory grows for the
+        # server's whole lifetime — the per-trigger source listing
+        # becomes O(segments ever spooled) and a long-running edge
+        # eventually exhausts the disk with data that's already in
+        # parquet (observed: 2.2 GB of dead segments after a 90 s
+        # 175k logs/s run).
         src = (self.spark.readStream
                .format("text")
+               .option("cleanSource", "delete")
                .load(str(self.spool_dir / signal)))
         return (src.writeStream
                 .queryName(f"otlp_seal_{signal}_{self.uri.port}")
