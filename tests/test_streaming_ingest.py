@@ -95,6 +95,32 @@ def test_ingest_end_to_end(spark, server):
     assert s.collect()[0]["int_value"] == 42
 
 
+def test_sealed_spool_segments_are_deleted(spark, server):
+    """cleanSource=delete (r8): once a micro-batch commits, its spool
+    segments disappear — without this the spool directory grows for the
+    server's lifetime (O(segments-ever) source listings, disk exhaustion
+    with data that's already in parquet). Runs after the e2e test so
+    sealed traffic exists."""
+    import time
+
+    url = server.uri.url
+    spool = server.spool_dir / "logs"
+    counts = []
+    # Spark cleans a batch's source files when the NEXT batch commits,
+    # so the newest segment legitimately lingers; the property is that
+    # the population stays BOUNDED instead of growing by one visible
+    # segment per sealed batch (pre-r8 behavior: monotonic growth).
+    for round_ in range(4):
+        assert _post(url, "/v1/logs", LOGS_SIMPLE[round_ % 3])[0] == 202
+        otlp_flush(spark, server.uri.canonical).collect()
+        time.sleep(0.5)     # async cleaner thread
+        counts.append(len(list(spool.glob("*.jsonl"))))
+    assert counts[-1] <= 2, counts
+    # and the sealed rows stay queryable after their segments vanish
+    assert spark.read.parquet(
+        str(server.export_root / "otlp_logs")).count() >= 7
+
+
 def test_auth_and_content_negotiation(server):
     url = server.uri.url
     env = LOGS_SIMPLE[0]
