@@ -1,6 +1,7 @@
 from duckdb_otlp_spark.streaming.operators import (  # noqa: F401
     contamination_screen_stream,
     dedup_stream,
+    pii_scrub_stream,
     sessionize_stateful,
     sessionize_windowed,
     windowed_counts,

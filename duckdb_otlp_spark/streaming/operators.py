@@ -44,7 +44,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["windowed_counts", "sessionize_stateful",
            "sessionize_windowed", "dedup_stream",
-           "contamination_screen_stream",
+           "contamination_screen_stream", "pii_scrub_stream",
            "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
 
 
@@ -205,6 +205,27 @@ def windowed_counts(events: DataFrame, *, window: str = "5 minutes",
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "event_type", "n_events", "sum_value"))
+
+
+def pii_scrub_stream(docs: DataFrame, *, text_col: str = "text",
+                     audit: bool = True) -> DataFrame:
+    """At-ingest PII scrubbing: redact every PII category in the text
+    column (and, with ``audit``, append the per-category redaction
+    counts) so raw identifiers never reach the sealed corpus — the
+    streaming twin of operators.text.scrub_documents, sharing its
+    expressions verbatim.
+
+    STATELESS by construction (each document is scrubbed on its own
+    row), so on a stream it is pure map-only Catalyst work inside
+    whole-stage-codegen-able projections — no watermark, no state
+    store, no Python worker — and on a batch input the identical
+    expression tree returns byte-identical rows (parity pinned by
+    tests/test_streaming_operators.py)."""
+    from duckdb_otlp_spark.operators.text import pii_scrub, scrub_documents
+
+    if audit:
+        return scrub_documents(docs, text_col=text_col)
+    return docs.withColumn(text_col, pii_scrub(F.col(text_col)))
 
 
 def sessionize_windowed(events: DataFrame, *, gap: str = "30 minutes",

@@ -437,6 +437,52 @@ def test_contamination_screen_auto_scales_past_literal_threshold(spark):
             == [2, 3, 4])
 
 
+def test_pii_scrub_stream_matches_batch_and_is_stateless(spark, tmp_path):
+    """At-ingest PII scrub: a live stream redacts exactly like the
+    batch scrub_documents pass (same rows, same audit counts), stays
+    JVM-side, and needs no state store (stateless map — append mode
+    with no watermark is legal)."""
+    from duckdb_otlp_spark.operators.text import scrub_documents
+    from duckdb_otlp_spark.plans import audit
+    from duckdb_otlp_spark.streaming import pii_scrub_stream
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    docs = [
+        (1, "mail alice@example.com or call +1 555-123-4567"),
+        (2, "ssn 123-45-6789 at host 10.0.0.7"),
+        (3, "clean text, nothing to redact"),
+    ]
+    batch = spark.createDataFrame(docs, doc_schema)
+    want = sorted(tuple(r) for r in scrub_documents(batch).collect())
+
+    # batch input through the streaming op: identical rows, no Python
+    got_batch = pii_scrub_stream(batch)
+    assert sorted(tuple(r) for r in got_batch.collect()) == want
+    assert not audit(got_batch).has_python_eval
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs[:2], doc_schema).coalesce(1) \
+        .write.parquet(f"{path}/slice=0", mode="overwrite")
+    stream = (spark.readStream.schema(doc_schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{path}/slice=*"))
+    q, name = _run(pii_scrub_stream(stream), "append")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(docs[2:], doc_schema).coalesce(1) \
+            .write.parquet(f"{path}/slice=1", mode="overwrite")
+        q.processAllAvailable()
+        got_stream = sorted(tuple(r) for r in spark.table(name).collect())
+        assert got_stream == want
+        # stateless: no state-store rows ever materialize
+        for op in (q.lastProgress or {}).get("stateOperators", []):
+            assert op.get("numRowsTotal", 0) == 0, op
+    finally:
+        q.stop()
+
+
 def test_dedup_stream_unbounded_and_key_mode(spark, tmp_path):
     """bounded=False (exact-forever state) collapses a duplicate that
     arrives AFTER the watermark horizon — the pair bounded=True keeps —
