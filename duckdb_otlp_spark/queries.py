@@ -2522,6 +2522,52 @@ ORDER BY token_offset
 """
 
 
+def q_unigram_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal quality score: per document, the mean
+    negative log2-probability of its tokens under the corpus's own
+    unigram distribution — low surprisal = boilerplate/repetitive, high
+    surprisal = rare-token-dense (OCR noise, codes); the classic cheap
+    LM-based quality band-pass a pretraining pipeline runs before any
+    neural scorer.
+
+    Scale shape: one (doc_id, token) explode -> token-keyed partial-agg
+    groupBy builds the LM (O(vocab) rows, never the corpus), the corpus
+    token total is a 1-row broadcast (bm25's corpus-stats pattern —
+    not a window over the vocab, which would single-partition it), and
+    scoring joins tokens to the LM by token key, aggregating per doc.
+    Text itself never shuffles — only (doc_id, token) pairs do."""
+    docs = _docs_parallel(spark, sf_dir)
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                         r"\s+")).alias("tok"))
+           .filter(F.col("tok") != ""))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    lm = vocab.crossJoin(F.broadcast(total))
+    return (tok.join(lm, "tok")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg(-F.log2(F.col("c") / F.col("t"))), 4)
+                 .alias("mean_surprisal_bits"))
+            .orderBy("doc_id"))
+
+
+SQL_UNIGRAM_SURPRISAL = """
+WITH tok AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents)
+    WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+total AS (SELECT sum(c) AS t FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log2(CAST(c AS DOUBLE) / t)), 4) AS mean_surprisal_bits
+FROM tok JOIN vocab USING (tok) CROSS JOIN total
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2647,6 +2693,7 @@ QUERIES.update({
     "source_mix_weights": q_source_mix_weights,
     "length_buckets": q_length_buckets,
     "token_offsets": q_token_offsets,
+    "unigram_surprisal": q_unigram_surprisal,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -2719,6 +2766,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "length_buckets": SQL_LENGTH_BUCKETS,
     "token_offsets": SQL_TOKEN_OFFSETS,
+    "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

@@ -456,6 +456,23 @@ def test_mix_and_bucket_stats_are_single_agg(spark):
         assert "partial" in rep.text.lower(), name
 
 
+def test_unigram_surprisal_lm_shape(spark):
+    """unigram_surprisal: the LM is a vocab-sized partial-agg groupBy,
+    the corpus total broadcasts as ONE row (never a window over the
+    vocab), scoring joins shuffle (doc_id, token) pairs only — no
+    Python, no SinglePartition anywhere."""
+    rep = _rep(spark, "unigram_surprisal")
+    assert not rep.has_python_eval
+    # exactly ONE SinglePartition: the final step of the 1-ROW corpus
+    # total (partial sums over the vocab reduce to one row — O(1)
+    # data); the vocab build and the scoring both stay hash-partitioned
+    assert rep.text.count("SinglePartition") == 1, \
+        rep.text.count("SinglePartition")
+    assert "partial" in rep.text.lower()
+    scan = rep.scan_for("documents.parquet")
+    assert set(scan.read_columns) == {"doc_id", "text"}, scan.read_columns
+
+
 def test_dedup_incremental_no_nlj(spark):
     """Incremental dedup's candidate generation is a banded equi-join
     (batch bands probe the corpus band index) and verification joins by
