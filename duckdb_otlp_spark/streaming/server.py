@@ -102,7 +102,8 @@ class OtlpSparkServer:
                  warm_start: bool = True,
                  accept_workers: int = 2,
                  create_tables: bool = True,
-                 transport: str = "http"):
+                 transport: str = "http",
+                 scrub_body_pii: bool = False):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
@@ -119,6 +120,13 @@ class OtlpSparkServer:
         self.compression = "zstd" if zstd else "snappy"
         self.promote_resource = list(promote_resource or [])
         self.promote_scope = list(promote_scope or [])
+        # opt-in at-seal PII redaction of log bodies (beyond-reference,
+        # SURVEY C39's server integration): the same map-only chained
+        # regexp_replace as operators.text.pii_scrub, applied inside the
+        # seal's flatten plan so raw identifiers never reach the sealed
+        # corpus. Zero extra jobs/shuffles — just more columns in the
+        # existing projection.
+        self.scrub_body_pii = bool(scrub_body_pii)
         if sink not in ("parquet", "catalog"):
             raise ValueError(f"unknown sink {sink!r}; use 'parquet' or 'catalog'")
         self.sink = sink
@@ -570,6 +578,9 @@ class OtlpSparkServer:
             else:
                 table = TARGET_TABLES[signal]
                 df = self._promote(FLATTEN[signal](env))
+                if self.scrub_body_pii and signal == "logs":
+                    from duckdb_otlp_spark.operators.text import pii_scrub
+                    df = df.withColumn("body", pii_scrub(F.col("body")))
                 if self.catalog is not None:
                     self._seal_catalog([(table, df)], batch_id)
                 else:

@@ -121,6 +121,36 @@ def test_sealed_spool_segments_are_deleted(spark, server):
         str(server.export_root / "otlp_logs")).count() >= 7
 
 
+def test_scrub_body_pii_at_seal(spark, tmp_path_factory):
+    """otlp_serve(scrub_body_pii=True): planted PII in log bodies is
+    redacted inside the seal's flatten plan, so raw identifiers never
+    reach the sealed parquet (SURVEY C39's server integration; opt-in,
+    default off — the default path stays byte-faithful)."""
+    from tests.fixtures import BASE_NS, _kv, _log_env
+
+    work = tmp_path_factory.mktemp("scrub")
+    row = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(work),
+                     disable_auth=True, seal_max_age_ms=500,
+                     scrub_body_pii=True)
+    info = row.collect()[0]
+    from duckdb_otlp_spark.streaming.server import _get
+    srv = _get(info["uri"])
+    try:
+        env = _log_env([{
+            "timeUnixNano": str(BASE_NS), "severityNumber": 9,
+            "severityText": "INFO",
+            "body": {"stringValue":
+                     "user alice@example.com ssn 123-45-6789 ip 10.0.0.7"},
+            "attributes": [_kv("k", "v")]}])
+        assert _post(srv.uri.url, "/v1/logs", env, token=None)[0] == 202
+        otlp_flush(spark, srv.uri.canonical).collect()
+        body = spark.read.parquet(str(srv.export_root / "otlp_logs")) \
+            .select("body").collect()[0]["body"]
+        assert body == "user <EMAIL> ssn <SSN> ip <IP>", body
+    finally:
+        otlp_stop(spark, srv.uri.canonical)
+
+
 def test_auth_and_content_negotiation(server):
     url = server.uri.url
     env = LOGS_SIMPLE[0]
