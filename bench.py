@@ -100,7 +100,7 @@ def _ingest_producer(args) -> tuple[int, float]:
     return ok, time.perf_counter() - t0
 
 
-def _paced_producer(args) -> tuple[int, int, float, int]:
+def _paced_producer(args) -> tuple[int, int, float, int, dict[int, int]]:
     """Paced producer process: `depth` threads share one schedule, each
     with its own keep-alive connection — the reference harness's
     concurrency x queue-depth shape (benchmark_catalog_ingest.py:
@@ -121,7 +121,7 @@ def _paced_producer(args) -> tuple[int, int, float, int]:
     at-least-once: an ack lost in flight may double-deliver that batch.
 
     Returns (accepted_202s, slots_scheduled, wall_seconds,
-    producer_errors)."""
+    producer_errors, non_202_counts_by_status)."""
     import http.client
     import threading
 
@@ -358,7 +358,11 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
         # rows here would make seal-completeness unsatisfiable
         expected = (accepted + warm_ok) * batch
         reflushes = 0
-        while sealed != expected and reflushes < 2:
+        # reflush only on MISSING rows: sealed can legitimately EXCEED
+        # expected when a producer retry double-delivered (the ack was
+        # lost after the server accepted — at-least-once), and looping
+        # on != would burn both reflushes and misblame the flush path
+        while sealed < expected and reflushes < 2:
             # safety net only: flush now blocks on sequence-tagged
             # rotate acks (receiver.rotate_all), so one flush makes
             # everything visible unless a worker missed its 10 s ack
@@ -393,6 +397,14 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
         # at a flush-visibility bug to chase, not routine lag
         out["reflushes"] = reflushes
         out["warning"] = "seal visibility needed reflushes (flush bug?)"
+    if sealed > expected:
+        # distinct from row LOSS: a dropped ack after server-side accept
+        # makes the producer's one retry double-deliver that batch —
+        # report the overage as producer-side at-least-once, not as a
+        # seal bug (the gate still fails: completeness is == by design)
+        out["sealed_overage"] = sealed - expected
+        out["warning"] = ("sealed rows exceed accepted*batch — probable "
+                          "producer retry double-delivery (at-least-once)")
     if warmup > 0:
         out["warmup_seconds"] = warmup
         out["warmup_errors"] = warm_sent - warm_ok - warm_producer_errors
@@ -401,7 +413,8 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
 
 
 def run_rate_sweep(spark, rates=(10_000, 25_000, 50_000, 75_000, 100_000,
-                                 150_000, 200_000, 250_000),
+                                 150_000, 200_000, 250_000, 300_000,
+                                 350_000),
                    seconds: int = 6) -> dict:
     """Ingest rate sweep, mirroring the reference's catalog-ingest
     harness (/root/reference/scripts/benchmark_catalog_ingest.py:40-66,
@@ -411,8 +424,10 @@ def run_rate_sweep(spark, rates=(10_000, 25_000, 50_000, 75_000, 100_000,
     highest rate that still paces on schedule with every row sealed —
     is where the seal cadence stops keeping up with admission; beyond
     it the drain backlog grows with the send duration instead of
-    staying O(seal interval).  Opt-in (``--sweep``): a full sweep is
-    ~8x the single-rate gate's wall time."""
+    staying O(seal interval).  The default rates extend the reference's
+    10k-100k profile to 350k — the r8 README table is reproducible with
+    the shipped defaults.  Opt-in (``--sweep``): a full sweep is ~10x
+    the single-rate gate's wall time."""
     points = []
     knee = None
     for rate in rates:
@@ -651,9 +666,12 @@ def main() -> None:
                  else len(df.collect()))
             runs.append(round(time.perf_counter() - t0, 4))
             assert n >= 0
-        # each run re-persists its own intermediates (new DF lineage);
-        # drop them so the 2x pass doesn't double the cache footprint
-        spark.catalog.clearCache()
+            # clear BETWEEN runs, not after: Spark's CacheManager
+            # substitutes run 1's materialized InMemoryRelation into
+            # run 2 by canonicalized-plan match, so without this the
+            # min would record a warm-cache time, not the engine
+            # (and the 2x pass would double the cache footprint)
+            spark.catalog.clearCache()
         raws[name] = runs
         timings[name] = min(runs)
     probe_q_after = _cpu_probe_ms()

@@ -171,16 +171,23 @@ def _snapshot(meta_dir: Path, version: int | None,
         sid = md["current-snapshot-id"]
         return next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     # snapshot addressing: each export writes one snapshot per metadata
-    # version, so search the version history (newest first)
-    versions = sorted((int(p.name[1:].split(".")[0])
-                       for p in meta_dir.glob("v*.metadata.json")),
-                      reverse=True)
+    # version. With an explicit version the search is RESTRICTED to it
+    # (silently widening to other versions would hand back data the
+    # caller explicitly excluded); otherwise search newest-first.
+    if version is not None:
+        versions = [version]
+    else:
+        versions = sorted((int(p.name[1:].split(".")[0])
+                           for p in meta_dir.glob("v*.metadata.json")),
+                          reverse=True)
     for v in versions:
         md = load_table_metadata(meta_dir, v)
         for s in md["snapshots"]:
             if s["snapshot-id"] == snapshot_id:
                 return s
-    raise LookupError(f"snapshot {snapshot_id} not found in {meta_dir}")
+    where = f"metadata version v{version} of " if version is not None else ""
+    raise LookupError(
+        f"snapshot {snapshot_id} not found in {where}{meta_dir}")
 
 
 def iceberg_data_files(meta_dir: str | Path, *,

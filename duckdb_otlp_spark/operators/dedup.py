@@ -425,8 +425,17 @@ def save_band_index(bands: DataFrame, path: str, table: str,
     only the (small) batch side exchanges. Re-dedup-the-world becomes
     probe-an-index (see queries.q_dedup_incremental's scale note; the
     companion of save_ivf_index in operators/similarity.py).
+
+    The repartition below is load-bearing for the NO-sort half of that
+    guarantee: bucketBy writes one file per (input task, bucket), and a
+    bucket spread over multiple files reports UNKNOWN output ordering —
+    Spark would silently re-sort the whole index above every probe scan
+    (the exact cost sortBy exists to eliminate). Aligning the input to
+    the writer's own hash partitioning yields exactly one sorted file
+    per bucket (pinned by tests/test_band_index.py's Sort-count gate).
     """
-    (bands.write.format("parquet")
+    (bands.repartition(num_buckets, "band_idx", "key")
+     .write.format("parquet")
      .bucketBy(num_buckets, "band_idx", "key")
      .sortBy("band_idx", "key")
      .option("path", path)

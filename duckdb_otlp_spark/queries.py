@@ -2185,15 +2185,21 @@ def _incr_docs_bands(spark, sf_dir):
     sig = (docs_sh.select("doc_id", "in_corpus",
                           _base_hashes(F.col("sh")).alias("hs"))
            .select("doc_id", "in_corpus", *_minhash_cols(F.col("hs"))))
-    bands = (sig.select(
-        "doc_id", "in_corpus",
+    bands = _incr_bands_from_sig(sig, extra=("in_corpus",)).persist(disk)
+    return docs_sh, bands
+
+
+def _incr_bands_from_sig(sig, extra: tuple[str, ...] = ()):
+    """Explode a 6-minhash signature frame (m0..m5 columns) into the
+    3-band (band_idx, key) rows both incremental-dedup variants and the
+    persisted index share."""
+    return (sig.select(
+        "doc_id", *extra,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
                      F.concat_ws("_", f"m{2 * b}", f"m{2 * b + 1}").alias("key"))
             for b in range(3)])).alias("band"))
-        .select("doc_id", "in_corpus", "band.band_idx", "band.key")
-        .persist(disk))
-    return docs_sh, bands
+        .select("doc_id", *extra, "band.band_idx", "band.key"))
 
 
 def build_incremental_band_index(spark, sf_dir):
@@ -2266,14 +2272,47 @@ def dedup_incremental_from_index(spark, sf_dir, index):
     band keys against the index on (band_idx, key); because the index
     table is bucketed+sorted on exactly those keys, the index side of
     the sort-merge probe plans with NO exchange and NO sort — only the
-    increment shuffles. Verification and output are byte-identical to
-    the in-query variant (shared _incr_verdict)."""
-    docs_sh, bands = _incr_docs_bands(spark, sf_dir)
-    cand = (bands.filter(~F.col("in_corpus"))
-            .select(F.col("doc_id").alias("batch_doc"), "band_idx", "key")
+    increment shuffles.
+
+    The steady-state cost model is enforced, not just described: ONLY
+    the batch is shingled/MinHashed/banded (the corpus banding lives in
+    the persisted index), and corpus text is shingled AFTER candidate
+    pruning — the candidate ids join to the raw documents first, so a
+    100 TB corpus contributes only its candidate partners to the
+    Jaccard verify (pinned by tests/test_band_index.py: exactly one
+    corpus-membership predicate in the plan, the NEGATED batch filter).
+    Verdicts are value-identical to the in-query variant (parity
+    test)."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs_parallel(spark, sf_dir)
+    in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
+    batch_sh = (docs.filter(~in_corpus)
+                .select("doc_id", _shingles(F.col("text")).alias("sh"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    sig = (batch_sh.select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
+           .select("doc_id", *_minhash_cols(F.col("hs"))))
+    bands = _incr_bands_from_sig(sig)
+    cand = (bands.select(F.col("doc_id").alias("batch_doc"),
+                         "band_idx", "key")
             .join(index, ["band_idx", "key"])
             .select("batch_doc", "corpus_doc").distinct())
-    return _incr_verdict(docs_sh, cand)
+    corpus_sh = (cand.select("corpus_doc").distinct()
+                 .join(docs.select(F.col("doc_id").alias("corpus_doc"),
+                                   "text"), "corpus_doc")
+                 .select("corpus_doc", _shingles(F.col("text")).alias("sh_b")))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
+           / F.size(F.array_union("sh_a", "sh_b")))
+    dup_ids = (cand
+               .join(batch_sh.select(F.col("doc_id").alias("batch_doc"),
+                                     F.col("sh").alias("sh_a")), "batch_doc")
+               .join(corpus_sh, "corpus_doc")
+               .filter(jac >= 0.7)
+               .select(F.col("batch_doc").alias("doc_id")).distinct())
+    return (batch_sh.select("doc_id")
+            .join(dup_ids.withColumn("dup", F.lit(True)), "doc_id", "left")
+            .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_dup"))
+            .orderBy("doc_id"))
 
 
 SQL_DEDUP_INCREMENTAL = f"""

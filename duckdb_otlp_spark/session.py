@@ -79,6 +79,13 @@ def get_spark(app_name: str = "duckdb-otlp-spark", cpus: int | None = None) -> S
         # ~128 MiB scan partitions: matches the reference's own seal/file sizing
         # and keeps task counts sane at 100 TB (reference: otlp_ingest_limits.hpp).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # bucketed+sorted index tables (operators.dedup.save_band_index)
+        # are written one-sorted-file-per-bucket so probe sort-merge
+        # joins can skip BOTH the exchange and the sort on the index
+        # side; Spark 3+ only trusts per-bucket file ordering with this
+        # (misnamed "legacy") flag, which is a no-op for non-bucketed
+        # scans
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.executorEnv.PYTHONPATH", pythonpath)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

@@ -66,6 +66,13 @@ def test_index_side_of_probe_has_no_exchange_or_sort(spark, band_index):
     # side); a second one would mean the index got shuffled too
     ex = re.findall(r"Exchange hashpartitioning\(band_idx", with_bucket)
     assert len(ex) == 1, with_bucket
+    # ... and exactly ONE Sort on the join keys (again the probe side):
+    # a bucket spread over multiple files reports unknown ordering and
+    # Spark would re-sort the whole index above the scan — save's
+    # input-aligning repartition guarantees one sorted file per bucket
+    # (the fixture input IS multi-partition, so this pin is exercised)
+    sorts = re.findall(r"Sort \[band_idx", with_bucket)
+    assert len(sorts) == 1, with_bucket
     # and the index relation scans with the bucket layout
     assert "SelectedBucketsCount" in with_bucket or \
         "Bucketed: true" in with_bucket, with_bucket
@@ -80,6 +87,24 @@ def test_index_side_of_probe_has_no_exchange_or_sort(spark, band_index):
     no_bucket = probe_flat._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(
         r"Exchange hashpartitioning\(band_idx", no_bucket)) == 2, no_bucket
+
+
+def test_probe_bands_only_the_batch(spark, band_index):
+    """The steady-state cost model must be IN THE PLAN, not just the
+    docstring: probing a loaded index shingles/MinHashes/bands only the
+    batch (exactly one corpus-membership predicate — the negated batch
+    filter) and never rebuilds the corpus banding (no in_corpus
+    projection anywhere). The r8 review found the previous version
+    recomputing and persisting the full corpus bands per increment."""
+    plan = dedup_incremental_from_index(
+        spark, SF, band_index)._jdf.queryExecution().executedPlan() \
+        .toString()
+    # the batch filter NOT(md5%10 < 8) optimizes to >= 8; the CORPUS
+    # form (< 8) and the in_corpus projection must never appear — the
+    # in-query variant has 14 of each (corpus banding), this has zero
+    assert "< 8" not in plan
+    assert "AS in_corpus" not in plan
+    assert plan.count(">= 8") >= 1, plan
 
 
 def test_index_is_keys_only(spark, band_index):
