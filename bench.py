@@ -690,16 +690,23 @@ def main() -> None:
         "cpus": args.cpus,
     }
     if not args.no_ingest:
-        try:
-            out["ingest"] = run_ingest_bench(spark)
-        except Exception as e:  # noqa: BLE001 — never lose the query numbers
-            out["ingest"] = {"error": str(e)[:200]}
+        # the paced capacity gate runs FIRST among the ingest sections:
+        # the burst bench seals ~700 MB and its teardown deletes a
+        # multi-GB work tree, leaving a page-cache writeback storm that
+        # a 20 s gate started seconds later inherits (observed: 139k/s
+        # zero-error pacing shortfall right after the burst vs 175k/s
+        # standalone — the gate measures the server, not the previous
+        # section's IO debt)
         try:
             out["sustained"] = run_sustained_ingest(
                 spark, seconds=args.sustained_seconds,
                 warmup=args.sustained_warmup)
-        except Exception as e:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001 — never lose the query numbers
             out["sustained"] = {"error": str(e)[:200]}
+        try:
+            out["ingest"] = run_ingest_bench(spark)
+        except Exception as e:  # noqa: BLE001
+            out["ingest"] = {"error": str(e)[:200]}
         if args.sweep:
             try:
                 out["sweep"] = run_rate_sweep(spark,
