@@ -403,8 +403,13 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
         # report the overage as producer-side at-least-once, not as a
         # seal bug (the gate still fails: completeness is == by design)
         out["sealed_overage"] = sealed - expected
-        out["warning"] = ("sealed rows exceed accepted*batch — probable "
-                          "producer retry double-delivery (at-least-once)")
+        over = ("sealed rows exceed accepted*batch — probable producer "
+                "retry double-delivery (at-least-once)")
+        # append, don't clobber: a reflush can surface late segments
+        # that include a double-delivered batch, and the flush-
+        # visibility signal must survive next to the overage one
+        out["warning"] = (f"{out['warning']}; {over}"
+                          if "warning" in out else over)
     if warmup > 0:
         out["warmup_seconds"] = warmup
         out["warmup_errors"] = warm_sent - warm_ok - warm_producer_errors

@@ -179,6 +179,12 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 # text, so each count equals the number of redactions pii_scrub actually
 # performs for that category — overlapping patterns can never double-count.
 PII_SCRUB_ORDER: tuple[str, ...] = ("email", "ssn", "ipv4", "phone")
+# completeness guard: both pii_scrub and pii_counts iterate the ORDER
+# tuple, so a category added to PII_PATTERNS without a slot here would
+# silently be neither redacted nor counted (and the DuckDB oracle,
+# which mirrors the same order, would agree) — fail at import instead
+assert set(PII_SCRUB_ORDER) == set(PII_PATTERNS), \
+    (PII_SCRUB_ORDER, sorted(PII_PATTERNS))
 
 
 def pii_counts(text: Column) -> dict[str, Column]:

@@ -2204,29 +2204,41 @@ def _incr_bands_from_sig(sig, extra: tuple[str, ...] = ()):
 
 def build_incremental_band_index(spark, sf_dir):
     """The corpus side of the incremental-dedup band index as
-    (band_idx, key, doc_id) — keys only, no text. Feed to
+    (band_idx, key, corpus_doc) — keys only, no text. Feed to
     operators.dedup.save_band_index to make the persistence executable
     (bucketed+sorted external table; the probe then reads the index
-    with NO exchange — see dedup_incremental_from_index)."""
-    _, bands = _incr_docs_bands(spark, sf_dir)
-    return (bands.filter("in_corpus")
+    with NO exchange — see dedup_incremental_from_index).
+
+    Bands ONLY the corpus-filtered docs, with no persist: the build is
+    a single pass straight into the index writer — banding the batch
+    too (and pinning corpus-scale frames in cache) was an r8 review
+    finding."""
+    docs = _docs_parallel(spark, sf_dir)
+    in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
+    sig = (docs.filter(in_corpus)
+           .select("doc_id",
+                   _base_hashes(_shingles(F.col("text"))).alias("hs"))
+           .select("doc_id", *_minhash_cols(F.col("hs"))))
+    return (_incr_bands_from_sig(sig)
             .select("band_idx", "key", F.col("doc_id").alias("corpus_doc")))
 
 
-def _incr_verdict(docs_sh, cand):
+def _incr_verdict(batch_sh, corpus_sh, cand):
     """Jaccard-verify candidate (batch_doc, corpus_doc) pairs and emit
-    every batch doc with its is_dup verdict (shared by the in-query and
-    from-disk-index variants — parity pinned in tests/test_band_index.py)."""
+    every batch doc with its is_dup verdict. ``batch_sh`` carries
+    (batch_doc, sh_a), ``corpus_sh`` (corpus_doc, sh_b) — the variants
+    differ only in where those shingles come from (in-query: the shared
+    persisted frame; from-index: batch-only shingles + post-candidate
+    corpus shingling), so the verify/verdict shape lives in exactly one
+    place (parity pinned in tests/test_band_index.py)."""
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))
            / F.size(F.array_union("sh_a", "sh_b")))
     dup_ids = (cand
-               .join(docs_sh.select(F.col("doc_id").alias("batch_doc"),
-                                    F.col("sh").alias("sh_a")), "batch_doc")
-               .join(docs_sh.select(F.col("doc_id").alias("corpus_doc"),
-                                    F.col("sh").alias("sh_b")), "corpus_doc")
+               .join(batch_sh, "batch_doc")
+               .join(corpus_sh, "corpus_doc")
                .filter(jac >= 0.7)
                .select(F.col("batch_doc").alias("doc_id")).distinct())
-    return (docs_sh.filter(~F.col("in_corpus")).select("doc_id")
+    return (batch_sh.select(F.col("batch_doc").alias("doc_id"))
             .join(dup_ids.withColumn("dup", F.lit(True)), "doc_id", "left")
             .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_dup"))
             .orderBy("doc_id"))
@@ -2262,7 +2274,12 @@ def q_dedup_incremental(spark, sf_dir):
                           "band_idx", "key"),
                   ["band_idx", "key"])
             .select("batch_doc", "corpus_doc").distinct())
-    return _incr_verdict(docs_sh, cand)
+    return _incr_verdict(
+        docs_sh.filter(~F.col("in_corpus"))
+        .select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_a")),
+        docs_sh.select(F.col("doc_id").alias("corpus_doc"),
+                       F.col("sh").alias("sh_b")),
+        cand)
 
 
 def dedup_incremental_from_index(spark, sf_dir, index):
@@ -2301,18 +2318,10 @@ def dedup_incremental_from_index(spark, sf_dir, index):
                  .join(docs.select(F.col("doc_id").alias("corpus_doc"),
                                    "text"), "corpus_doc")
                  .select("corpus_doc", _shingles(F.col("text")).alias("sh_b")))
-    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
-           / F.size(F.array_union("sh_a", "sh_b")))
-    dup_ids = (cand
-               .join(batch_sh.select(F.col("doc_id").alias("batch_doc"),
-                                     F.col("sh").alias("sh_a")), "batch_doc")
-               .join(corpus_sh, "corpus_doc")
-               .filter(jac >= 0.7)
-               .select(F.col("batch_doc").alias("doc_id")).distinct())
-    return (batch_sh.select("doc_id")
-            .join(dup_ids.withColumn("dup", F.lit(True)), "doc_id", "left")
-            .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_dup"))
-            .orderBy("doc_id"))
+    return _incr_verdict(
+        batch_sh.select(F.col("doc_id").alias("batch_doc"),
+                        F.col("sh").alias("sh_a")),
+        corpus_sh, cand)
 
 
 SQL_DEDUP_INCREMENTAL = f"""

@@ -516,19 +516,27 @@ class OtlpSparkServer:
             # (inputFiles() is NOT usable here: the micro-batch DF hides
             # its file list, returning [] even for non-empty batches —
             # isEmpty's limit-1 job is the cheapest correct check.)
-            # The check is GATED on the admission gauge: a non-empty
-            # batch implies un-released spooled bytes, so buffered == 0
-            # proves the batch CAN be empty and is worth probing, while
-            # a busy pipeline (buffered > 0) skips the probe — at a 2 s
-            # cadence the limit-1 job was costing ~5% of the seal
-            # path's 175k logs/s capacity budget. A raced empty batch
-            # on the busy path just runs a sub-second empty plan.
-            if self.receiver.buffered_bytes == 0 and batch_df.isEmpty():
+            # The check is GATED on THIS signal's admission gauge: a
+            # non-empty batch implies un-released spooled bytes for its
+            # OWN signal, so per-signal buffered == 0 proves the batch
+            # CAN be empty and is worth probing, while a busy signal
+            # skips the probe — at a 2 s cadence the limit-1 job was
+            # costing ~5% of the seal path's 175k logs/s capacity
+            # budget. The gauge must be per-signal (not the global
+            # sum): a logs-only sustained run would otherwise disable
+            # the guard for the idle traces/metrics queries, whose
+            # empty batches then pay the full dead-work path the guard
+            # exists to skip. A raced empty batch on the busy path just
+            # runs a sub-second empty plan.
+            if (self.receiver.buffered_bytes_by_signal()[signal] == 0
+                    and batch_df.isEmpty()):
                 return
             # The streaming file source plans one scan task per spool
             # segment: coalesce packs a many-tiny-segment backlog into
             # at most one scan task per core. No repartition — receiver
-            # segments are size-capped (8 MiB rotation), so scan tasks
+            # segments are size-capped (3 MiB rotation, sized so one
+            # seal-cadence batch fills the executor — receiver.py
+            # DEFAULT_SEGMENT_ROTATE_BYTES), so scan tasks
             # are already balanced, and shuffling the raw spool lines
             # was measured to DOUBLE the seal wall time (15.5 s vs
             # 7.3 s for a 2M-row batch) versus parsing in place.
