@@ -1,6 +1,7 @@
 from duckdb_otlp_spark.streaming.operators import (  # noqa: F401
     contamination_screen_stream,
     dedup_stream,
+    near_dedup_screen_stream,
     pii_scrub_stream,
     sessionize_stateful,
     sessionize_windowed,

@@ -45,6 +45,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = ["windowed_counts", "sessionize_stateful",
            "sessionize_windowed", "dedup_stream",
            "contamination_screen_stream", "pii_scrub_stream",
+           "near_dedup_screen_stream",
            "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
 
 
@@ -226,6 +227,55 @@ def pii_scrub_stream(docs: DataFrame, *, text_col: str = "text",
     if audit:
         return scrub_documents(docs, text_col=text_col)
     return docs.withColumn(text_col, pii_scrub(F.col(text_col)))
+
+
+def near_dedup_screen_stream(docs: DataFrame, index: DataFrame, *,
+                             text_col: str = "text",
+                             mark_col: str = "near_dup_candidate",
+                             ) -> DataFrame:
+    """At-ingest near-duplicate screen against a PERSISTED band index
+    (operators.dedup.save_band_index / queries.build_incremental_band
+    _index): each arriving document is MinHash-banded with the same
+    frozen hash family the batch incremental-dedup family uses, and
+    flagged when any of its 3 band keys exists in the index — the
+    streaming half of C34's probe-an-index steady state.
+
+    STATELESS by construction: the signature is map-only column math,
+    and the three band probes are stream-static LEFT joins against the
+    index's per-band DISTINCT key sets — no watermark, no state store,
+    no per-doc aggregation (band keys are computed as COLUMNS, not an
+    explode, precisely so the verdict never needs a stream-side
+    group-by). Lambda split, documented: this flags the LSH CANDIDATE
+    property at ingest (banding guarantees an exact duplicate always
+    flags — identical signatures share every band); the exact-Jaccard
+    verification stays in the batch pass over the sealed corpus
+    (dedup_incremental_from_index), exactly like dedup_stream's
+    watermark-horizon residue. Batch input returns the identical
+    column (parity pinned by tests/test_streaming_operators.py)."""
+    from duckdb_otlp_spark.queries import (_base_hashes, _minhash_cols,
+                                           _shingles)
+
+    hs = _base_hashes(_shingles(F.col(text_col)))
+    sig = docs.withColumn("__hs", hs)
+    sig = sig.select(
+        "*", *[c.alias(f"__m{i}")
+               for i, c in enumerate(_minhash_cols(F.col("__hs")))])
+    keyed = sig
+    for b in range(3):
+        keyed = keyed.withColumn(
+            f"__bk{b}", F.concat_ws("_", f"__m{2 * b}", f"__m{2 * b + 1}"))
+    hits = []
+    for b in range(3):
+        side = (index.filter(F.col("band_idx") == b)
+                .select(F.col("key").alias(f"__bk{b}")).distinct()
+                .withColumn(f"__hit{b}", F.lit(True)))
+        keyed = keyed.join(F.broadcast(side), f"__bk{b}", "left")
+        hits.append(F.coalesce(F.col(f"__hit{b}"), F.lit(False)))
+    mark = hits[0] | hits[1] | hits[2]
+    drop = (["__hs"] + [f"__m{i}" for i in range(6)]
+            + [f"__bk{b}" for b in range(3)]
+            + [f"__hit{b}" for b in range(3)])
+    return keyed.withColumn(mark_col, mark).drop(*drop)
 
 
 def sessionize_windowed(events: DataFrame, *, gap: str = "30 minutes",

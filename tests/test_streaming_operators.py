@@ -483,6 +483,77 @@ def test_pii_scrub_stream_matches_batch_and_is_stateless(spark, tmp_path):
         q.stop()
 
 
+def test_near_dedup_screen_stream_vs_index(spark, tmp_path):
+    """At-ingest near-dup screen vs a persisted band index: an exact
+    duplicate of an indexed doc MUST flag (identical signatures share
+    every band), unrelated docs must not, the live stream returns
+    exactly the batch answer, and the plan is stateless (no state
+    store, no Python)."""
+    from duckdb_otlp_spark.operators.dedup import (load_band_index,
+                                                   save_band_index)
+    from duckdb_otlp_spark.plans import audit
+    from duckdb_otlp_spark.queries import (_base_hashes, _incr_bands_from_sig,
+                                           _minhash_cols, _shingles)
+    from duckdb_otlp_spark.streaming import near_dedup_screen_stream
+
+    corpus_text = ("the quick brown fox jumps over the lazy dog and then "
+                   "naps in the warm afternoon sun by the old barn door")
+    corpus = spark.createDataFrame(
+        [(100, corpus_text),
+         (101, "completely different indexed document about glaciers and "
+               "volcanic rock formations across the northern ranges")],
+        "doc_id long, text string")
+    sig = (corpus.select(
+        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        .select("doc_id", *_minhash_cols(F.col("hs"))))
+    bands = _incr_bands_from_sig(sig).select(
+        "band_idx", "key", F.col("doc_id").alias("corpus_doc"))
+    spark.sql("DROP TABLE IF EXISTS test_near_dedup_idx")
+    save_band_index(bands, str(tmp_path / "idx"), "test_near_dedup_idx",
+                    num_buckets=4)
+    idx = load_band_index(spark, "test_near_dedup_idx")
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    docs = [
+        (1, corpus_text),                         # exact dup -> must flag
+        (2, "unrelated words forming their very own tiny document here "
+            "with zero overlap against anything indexed before now"),
+        (3, "short"),                             # sub-shingle, no grams
+    ]
+    batch = spark.createDataFrame(docs, doc_schema)
+
+    screened = near_dedup_screen_stream(batch, idx)
+    got_batch = {r["doc_id"]: r["near_dup_candidate"]
+                 for r in screened.collect()}
+    assert got_batch[1] is True
+    assert got_batch[2] is False
+    assert set(screened.columns) == {"doc_id", "text", "near_dup_candidate"}
+    assert not audit(screened).has_python_eval
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs[:2], doc_schema).coalesce(1) \
+        .write.parquet(f"{path}/slice=0", mode="overwrite")
+    stream = (spark.readStream.schema(doc_schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{path}/slice=*"))
+    q, name = _run(near_dedup_screen_stream(stream, idx), "append")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(docs[2:], doc_schema).coalesce(1) \
+            .write.parquet(f"{path}/slice=1", mode="overwrite")
+        q.processAllAvailable()
+        got_stream = {r["doc_id"]: r["near_dup_candidate"]
+                      for r in spark.table(name).collect()}
+        assert got_stream == got_batch
+        for op in (q.lastProgress or {}).get("stateOperators", []):
+            assert op.get("numRowsTotal", 0) == 0, op
+    finally:
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS test_near_dedup_idx")
+
+
 def test_dedup_stream_unbounded_and_key_mode(spark, tmp_path):
     """bounded=False (exact-forever state) collapses a duplicate that
     arrives AFTER the watermark horizon — the pair bounded=True keeps —
