@@ -182,9 +182,13 @@ PII_SCRUB_ORDER: tuple[str, ...] = ("email", "ssn", "ipv4", "phone")
 # completeness guard: both pii_scrub and pii_counts iterate the ORDER
 # tuple, so a category added to PII_PATTERNS without a slot here would
 # silently be neither redacted nor counted (and the DuckDB oracle,
-# which mirrors the same order, would agree) — fail at import instead
-assert set(PII_SCRUB_ORDER) == set(PII_PATTERNS), \
-    (PII_SCRUB_ORDER, sorted(PII_PATTERNS))
+# which mirrors the same order, would agree) — fail at import instead.
+# An explicit raise, not assert: python -O strips asserts, which would
+# silently reopen exactly the hole this guard documents.
+if set(PII_SCRUB_ORDER) != set(PII_PATTERNS):
+    raise RuntimeError(
+        f"PII_SCRUB_ORDER {PII_SCRUB_ORDER} does not cover PII_PATTERNS "
+        f"{sorted(PII_PATTERNS)} — every category needs a scrub slot")
 
 
 def pii_counts(text: Column) -> dict[str, Column]:

@@ -2182,11 +2182,31 @@ def _incr_docs_bands(spark, sf_dir):
     docs_sh = (docs.select("doc_id", in_corpus.alias("in_corpus"),
                            _shingles(F.col("text")).alias("sh"))
                .persist(disk))
-    sig = (docs_sh.select("doc_id", "in_corpus",
-                          _base_hashes(F.col("sh")).alias("hs"))
+    # sub-shingle docs (under 3 words) have EMPTY shingle sets: their
+    # minhashes are all null and concat_ws renders the same '' key for
+    # every one of them, so banding them makes all short docs mutual
+    # candidates (quadratic blowup, verified-false anyway — their
+    # Jaccard is null). Keep them out of the band stream entirely; the
+    # verdict still covers them (is_dup=false via the left join).
+    sig = (docs_sh.filter(F.size("sh") > 0)
+           .select("doc_id", "in_corpus",
+                   _base_hashes(F.col("sh")).alias("hs"))
            .select("doc_id", "in_corpus", *_minhash_cols(F.col("hs"))))
     bands = _incr_bands_from_sig(sig, extra=("in_corpus",)).persist(disk)
     return docs_sh, bands
+
+
+# the incremental-dedup band family: _MINHASH_K minhashes grouped in
+# bands of 2 — ONE definition shared by both batch variants, the
+# persisted index, and the streaming screen (a drifted copy would
+# compute keys that never match the index)
+INCR_BANDS = _MINHASH_K // 2
+
+
+def incr_band_key(b: int, col_name=lambda i: f"m{i}"):
+    """The band-b key expression over minhash columns named by
+    ``col_name`` (the streaming screen uses prefixed temp names)."""
+    return F.concat_ws("_", col_name(2 * b), col_name(2 * b + 1))
 
 
 def _incr_bands_from_sig(sig, extra: tuple[str, ...] = ()):
@@ -2197,8 +2217,8 @@ def _incr_bands_from_sig(sig, extra: tuple[str, ...] = ()):
         "doc_id", *extra,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
-                     F.concat_ws("_", f"m{2 * b}", f"m{2 * b + 1}").alias("key"))
-            for b in range(3)])).alias("band"))
+                     incr_band_key(b).alias("key"))
+            for b in range(INCR_BANDS)])).alias("band"))
         .select("doc_id", *extra, "band.band_idx", "band.key"))
 
 
@@ -2215,9 +2235,12 @@ def build_incremental_band_index(spark, sf_dir):
     finding."""
     docs = _docs_parallel(spark, sf_dir)
     in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
+    # size > 0 filter: sub-shingle docs would all share the '' key of
+    # null minhashes (see _incr_docs_bands) — never index them
     sig = (docs.filter(in_corpus)
            .select("doc_id",
                    _base_hashes(_shingles(F.col("text"))).alias("hs"))
+           .filter(F.size("hs") > 0)
            .select("doc_id", *_minhash_cols(F.col("hs"))))
     return (_incr_bands_from_sig(sig)
             .select("band_idx", "key", F.col("doc_id").alias("corpus_doc")))
@@ -2307,7 +2330,8 @@ def dedup_incremental_from_index(spark, sf_dir, index):
     batch_sh = (docs.filter(~in_corpus)
                 .select("doc_id", _shingles(F.col("text")).alias("sh"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
-    sig = (batch_sh.select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
+    sig = (batch_sh.filter(F.size("sh") > 0)
+           .select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
            .select("doc_id", *_minhash_cols(F.col("hs"))))
     bands = _incr_bands_from_sig(sig)
     cand = (bands.select(F.col("doc_id").alias("batch_doc"),

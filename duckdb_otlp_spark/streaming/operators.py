@@ -252,8 +252,9 @@ def near_dedup_screen_stream(docs: DataFrame, index: DataFrame, *,
     (dedup_incremental_from_index), exactly like dedup_stream's
     watermark-horizon residue. Batch input returns the identical
     column (parity pinned by tests/test_streaming_operators.py)."""
-    from duckdb_otlp_spark.queries import (_base_hashes, _minhash_cols,
-                                           _shingles)
+    from duckdb_otlp_spark.queries import (INCR_BANDS, _base_hashes,
+                                           _minhash_cols, _shingles,
+                                           incr_band_key)
 
     hs = _base_hashes(_shingles(F.col(text_col)))
     sig = docs.withColumn("__hs", hs)
@@ -261,20 +262,33 @@ def near_dedup_screen_stream(docs: DataFrame, index: DataFrame, *,
         "*", *[c.alias(f"__m{i}")
                for i, c in enumerate(_minhash_cols(F.col("__hs")))])
     keyed = sig
-    for b in range(3):
+    for b in range(INCR_BANDS):
+        # band-key layout shared with the batch family/index builder —
+        # a drifted copy would compute keys that never match the index
         keyed = keyed.withColumn(
-            f"__bk{b}", F.concat_ws("_", f"__m{2 * b}", f"__m{2 * b + 1}"))
+            f"__bk{b}", incr_band_key(b, col_name=lambda i: f"__m{i}"))
     hits = []
-    for b in range(3):
+    for b in range(INCR_BANDS):
+        # persisted: a stream-static join re-evaluates the static side
+        # EVERY micro-batch — without this, each trigger re-scans and
+        # re-aggregates the index three times on the ingest host
         side = (index.filter(F.col("band_idx") == b)
                 .select(F.col("key").alias(f"__bk{b}")).distinct()
-                .withColumn(f"__hit{b}", F.lit(True)))
+                .withColumn(f"__hit{b}", F.lit(True))
+                .persist())
         keyed = keyed.join(F.broadcast(side), f"__bk{b}", "left")
         hits.append(F.coalesce(F.col(f"__hit{b}"), F.lit(False)))
-    mark = hits[0] | hits[1] | hits[2]
+    mark = hits[0]
+    for h in hits[1:]:
+        mark = mark | h
+    # sub-shingle docs have all-null minhashes whose keys render '' —
+    # the index builder never stores such keys, and this gate makes the
+    # screen independent of that guarantee (a short doc is never a
+    # candidate; the batch family agrees: empty shingles verify false)
+    mark = (F.size("__hs") > 0) & mark
     drop = (["__hs"] + [f"__m{i}" for i in range(6)]
-            + [f"__bk{b}" for b in range(3)]
-            + [f"__hit{b}" for b in range(3)])
+            + [f"__bk{b}" for b in range(INCR_BANDS)]
+            + [f"__hit{b}" for b in range(INCR_BANDS)])
     return keyed.withColumn(mark_col, mark).drop(*drop)
 
 

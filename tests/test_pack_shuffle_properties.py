@@ -89,17 +89,16 @@ def test_corpus_shuffle_bijective_deterministic_and_exact(spark, ids, npart):
     assert got == want
 
 
-def test_token_offsets_consistent_with_shuffle_order(spark):
+def test_token_offsets_consistent_with_shuffle_order(spark, sf_dir):
     """Cross-entry invariant: token_offsets enumerates the SAME seeded
     permutation corpus_shuffle defines — sorting by token_offset yields
     exactly the doc order of pos, and each offset equals the running
     token total of everything before it."""
     from duckdb_otlp_spark.queries import QUERIES
 
-    sf = "/root/testdata/sf0.001"
     by_pos = [r["doc_id"] for r in
-              QUERIES["corpus_shuffle"](spark, sf).collect()]
-    offs = QUERIES["token_offsets"](spark, sf).collect()
+              QUERIES["corpus_shuffle"](spark, sf_dir).collect()]
+    offs = QUERIES["token_offsets"](spark, sf_dir).collect()
     assert [r["doc_id"] for r in offs] == by_pos
     running = 0
     for r in offs:

@@ -501,13 +501,19 @@ def test_near_dedup_screen_stream_vs_index(spark, tmp_path):
     corpus = spark.createDataFrame(
         [(100, corpus_text),
          (101, "completely different indexed document about glaciers and "
-               "volcanic rock formations across the northern ranges")],
+               "volcanic rock formations across the northern ranges"),
+         (102, "hi")],   # sub-shingle corpus doc: must not enter the index
         "doc_id long, text string")
     sig = (corpus.select(
         "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        .filter(F.size("hs") > 0)
         .select("doc_id", *_minhash_cols(F.col("hs"))))
     bands = _incr_bands_from_sig(sig).select(
         "band_idx", "key", F.col("doc_id").alias("corpus_doc"))
+    # the empty-shingle guard: null minhashes render the SAME '' key
+    # for every sub-shingle doc, so an unfiltered index would make all
+    # short docs mutual candidates (r8 review finding)
+    assert bands.filter(F.col("key") == "").count() == 0
     spark.sql("DROP TABLE IF EXISTS test_near_dedup_idx")
     save_band_index(bands, str(tmp_path / "idx"), "test_near_dedup_idx",
                     num_buckets=4)
