@@ -2679,13 +2679,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "embedding_bucket_ann": q_embedding_bucket_ann,
-    "text_quality": q_text_quality,
-    "doc_fingerprint": q_doc_fingerprint,
-    "ngram_jaccard": q_ngram_jaccard,
+    # text_quality / doc_fingerprint / lang_id / ngram_jaccard rotated past
+    # the window in round 9 to admit the four flagship LLM-pipeline
+    # operators below (r8 VERDICT #1): the three map-only text-expression
+    # entries were one family (in-window coverage continues via
+    # repetition_ratio, pii_scrub, and vocab_topk), and ngram_jaccard's
+    # broadcast-small-target join shape stays in-window via bm25_topk and
+    # contamination_overlap.  The overlap is pinned by the window-coverage
+    # gate (tests/test_plans.py) and all four keep their pytest oracle.
+    "dedup_incremental": q_dedup_incremental,
+    "pii_scrub": q_pii_scrub,
+    "token_offsets": q_token_offsets,
+    "unigram_surprisal": q_unigram_surprisal,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,       # fully oracle-checked (see SQL twin)
     "embedding_group_stats": q_embedding_group_stats,
-    "lang_id": q_lang_id,
     "sessionize": q_sessionize,
     "stratified_sample": q_stratified_sample,
     "dedup_cluster": q_dedup_cluster,
@@ -2738,6 +2746,18 @@ QUERIES.update({
     # gate) and both keep their pytest DuckDB oracle differential.
     "topn_groups": q_topn_groups,
     "window_running_sum": q_window_running_sum,
+    # text_quality / doc_fingerprint / lang_id / ngram_jaccard rotated past
+    # the window in round 9 to admit dedup_incremental / pii_scrub /
+    # token_offsets / unigram_surprisal to the driver hard gate (r8 VERDICT
+    # #1).  Map-only text-expression coverage stays in-window via
+    # repetition_ratio (same split(trim()) tokenizer), pii_scrub (chained
+    # regexp_replace), and vocab_topk; ngram_jaccard's broadcast-small-
+    # target join stays in-window via bm25_topk and contamination_overlap.
+    # Overlap pinned by tests/test_plans.py; pytest oracles retained.
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "ngram_jaccard": q_ngram_jaccard,
     "like_search": q_like_search,
     "count_distinct": q_count_distinct,
     "scalar_subquery": q_scalar_subquery,
@@ -2760,12 +2780,8 @@ QUERIES.update({
     "sequence_pack_nostraddle": q_sequence_pack_nostraddle,
     "source_cap": q_source_cap,
     "corpus_shuffle": q_corpus_shuffle,
-    "dedup_incremental": q_dedup_incremental,
-    "pii_scrub": q_pii_scrub,
     "source_mix_weights": q_source_mix_weights,
     "length_buckets": q_length_buckets,
-    "token_offsets": q_token_offsets,
-    "unigram_surprisal": q_unigram_surprisal,
 })
 
 ORACLE_SQL: dict[str, str] = {

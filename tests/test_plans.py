@@ -332,23 +332,30 @@ def _node_types(rep):
 
 
 def test_window_swap_family_coverage(spark):
-    """Window-coverage gate for the r6/r7 registry swaps (unnest_struct,
-    join_inner, token_count evicted past the driver's 50-entry hard-gate
-    window to admit the four OTAP signals): each evicted entry's
-    physical-operator / expression family must keep an in-window
-    representative, so the swap trades certification *redundancy*, never
-    certification *coverage* (r6 ADVICE)."""
+    """Window-coverage gate for the r6/r7/r9 registry swaps (unnest_struct,
+    join_inner, token_count, topn_groups, window_running_sum evicted to
+    admit the six OTAP signals; text_quality, doc_fingerprint, lang_id,
+    ngram_jaccard evicted in r9 to admit the four flagship LLM operators
+    dedup_incremental / pii_scrub / token_offsets / unigram_surprisal):
+    each evicted entry's physical-operator / expression family must keep an
+    in-window representative, so the swap trades certification
+    *redundancy*, never certification *coverage* (r6 ADVICE)."""
     from duckdb_otlp_spark.queries import QUERIES as Q
 
     window = set(list(Q)[:50])
     for evicted in ("unnest_struct", "join_inner", "token_count",
-                    "topn_groups", "window_running_sum"):
+                    "topn_groups", "window_running_sum", "text_quality",
+                    "doc_fingerprint", "lang_id", "ngram_jaccard"):
         assert evicted in Q and evicted not in window
-    for rep_name in ("join_multi", "tpch_q3", "asof_join", "text_quality",
+    for rep_name in ("join_multi", "tpch_q3", "asof_join",
+                     "repetition_ratio", "pii_scrub", "vocab_topk",
+                     "bm25_topk", "contamination_overlap",
                      "multimodal_features", "read_otap_metrics_gauge",
                      "read_otap_metrics_sum", "read_otap_metrics_histogram",
                      "read_otap_metrics_exp_histogram",
-                     "window_topk_per_group", "sessionize"):
+                     "window_topk_per_group", "sessionize",
+                     "dedup_incremental", "token_offsets",
+                     "unigram_surprisal"):
         assert rep_name in window, rep_name
 
     # join family: whichever equi-join strategy join_inner plans must
@@ -361,16 +368,44 @@ def test_window_swap_family_coverage(spark):
             assert getattr(jm, kind) + getattr(q3, kind) >= 1, kind
 
     # text family: token_count's split(trim(text)) tokenizer expression
-    # is evaluated verbatim inside the in-window text_quality plan
-    tc, tq = _rep(spark, "token_count"), _rep(spark, "text_quality")
+    # is evaluated verbatim inside the in-window repetition_ratio plan
+    tc, rr = _rep(spark, "token_count"), _rep(spark, "repetition_ratio")
     assert "split(trim(" in tc.text
-    assert "split(trim(" in tq.text
+    assert "split(trim(" in rr.text
+
+    # r9 text evictions: every physical node type in the three evicted
+    # map-only text plans is exercised by an in-window sibling (they are
+    # all scan → project → [filter/agg] shapes), and each evicted plan
+    # stays map-only text-expression work — no joins, no Python
+    text_covered = _node_types(rr) | _node_types(_rep(spark, "vocab_topk")) \
+        | _node_types(_rep(spark, "pii_scrub")) \
+        | _node_types(_rep(spark, "tail_topk"))
+    for evicted in ("text_quality", "doc_fingerprint", "lang_id"):
+        ev = _rep(spark, evicted)
+        missing = _node_types(ev) - text_covered
+        assert not missing, (evicted, missing)
+        assert not ev.has_python_eval
+
+    # r9 join eviction: ngram_jaccard's shape is "attach a broadcast
+    # single-row target to every scan row" (crossJoin(broadcast(1-row)) →
+    # BroadcastNestedLoopJoin) — the exact shape the in-window
+    # ann_cosine_topk plans; corpus-stats broadcasting also stays
+    # in-window via bm25_topk / contamination_overlap
+    nj = _rep(spark, "ngram_jaccard")
+    ac = _rep(spark, "ann_cosine_topk")
+    bt = _rep(spark, "bm25_topk")
+    co = _rep(spark, "contamination_overlap")
+    if nj.nested_loop_joins:
+        assert ac.nested_loop_joins >= 1  # same 1-row-broadcast NLJ shape
+    nj_missing = _node_types(nj) - (_node_types(ac) | _node_types(bt)
+                                    | _node_types(co) | text_covered)
+    assert not nj_missing, nj_missing
 
     # struct family: every physical node type in unnest_struct's plan is
     # exercised by an in-window sibling plan
     un = _rep(spark, "unnest_struct")
     covered = _node_types(_rep(spark, "multimodal_features")) \
-        | _node_types(_rep(spark, "tail_topk")) | _node_types(tq)
+        | _node_types(_rep(spark, "tail_topk")) | _node_types(rr)
     missing = _node_types(un) - covered
     assert not missing, missing
 
