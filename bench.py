@@ -118,10 +118,14 @@ def _paced_producer(args) -> tuple[int, int, float, int, dict[int, int]]:
     producer-error total so the gate can report producer faults
     separately from server rejections instead of silently killing the
     thread (which also lost its accumulated ok count).  The retry is
-    at-least-once: an ack lost in flight may double-deliver that batch.
+    at-least-once: an ack lost in flight may double-deliver that batch,
+    so retried slots are counted and returned — the seal-completeness
+    gate uses them to bound how much sealed may legitimately exceed
+    accepted*batch (r8 ADVICE: double-delivery must be separable from
+    row loss by automation, not just a warning string).
 
     Returns (accepted_202s, slots_scheduled, wall_seconds,
-    producer_errors, non_202_counts_by_status)."""
+    producer_errors, non_202_counts_by_status, retried_slots)."""
     import http.client
     import threading
 
@@ -129,7 +133,8 @@ def _paced_producer(args) -> tuple[int, int, float, int, dict[int, int]]:
     depth = 4
     t0 = time.perf_counter()
     slot_lock = threading.Lock()
-    state = {"slot": 0, "ok": 0, "producer_errors": 0, "statuses": {}}
+    state = {"slot": 0, "ok": 0, "producer_errors": 0, "statuses": {},
+             "retried": 0}
 
     def post(conn, body) -> int:
         conn.request("POST", "/v1/logs", body=body,
@@ -143,6 +148,7 @@ def _paced_producer(args) -> tuple[int, int, float, int, dict[int, int]]:
         conn = http.client.HTTPConnection(host, port, timeout=60)
         ok = 0
         faults = 0
+        retried = 0
         statuses: dict[int, int] = {}
         while True:
             with slot_lock:
@@ -171,6 +177,10 @@ def _paced_producer(args) -> tuple[int, int, float, int, dict[int, int]]:
                     conn = http.client.HTTPConnection(host, port,
                                                       timeout=60)
                     continue
+                # the first send may have been accepted server-side with
+                # the ack lost in flight: this retried slot can double-
+                # deliver, so count it for the completeness bound
+                retried += 1
             if status == 202:
                 ok += 1
             else:
@@ -178,6 +188,7 @@ def _paced_producer(args) -> tuple[int, int, float, int, dict[int, int]]:
         with slot_lock:
             state["ok"] += ok
             state["producer_errors"] += faults
+            state["retried"] += retried
             for s, n in statuses.items():
                 state["statuses"][s] = state["statuses"].get(s, 0) + n
 
@@ -187,7 +198,7 @@ def _paced_producer(args) -> tuple[int, int, float, int, dict[int, int]]:
     for t in threads:
         t.join()
     return (state["ok"], n_sends, time.perf_counter() - t0,
-            state["producer_errors"], state["statuses"])
+            state["producer_errors"], state["statuses"], state["retried"])
 
 
 class _IngestServer:
@@ -291,7 +302,8 @@ def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
                         "drain_backlog_s": out["drain_backlog_s"]})
         pacing_only = (not out["pass"] and out["errors"] == 0
                        and out["producer_errors"] == 0
-                       and out["sealed_rows"] == expected)
+                       and out["pass_reason"] in
+                       ("complete", "double_delivery_within_retry_bound"))
         if not pacing_only:
             break
     if len(history) > 1:
@@ -337,6 +349,7 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
         # socket must not be read as a server capacity deficit
         producer_errors = sum(r[3] for r in results)
         warm_producer_errors = sum(r[3] for r in warm)
+        retried_slots = sum(r[5] for r in results) + sum(r[5] for r in warm)
         reject_statuses: dict[str, int] = {}
         for r in results:
             for s, n in r[4].items():
@@ -386,11 +399,26 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
         "server_rejects": server_rejects,
         "drain_backlog_s": round(drain_s, 2),
         "sealed_rows": sealed,
+        "retried_slots": retried_slots,
+        # completeness: no loss ever passes; an overage passes ONLY when
+        # it is attributable to the producer's at-least-once retries
+        # (sealed within [expected, expected + retried_slots*batch]) —
+        # pass_reason makes double-delivery machine-separable from loss
+        # instead of a warning-string heuristic (r8 ADVICE)
         "pass": bool(sent - accepted == 0
-                     and sealed == expected
+                     and expected <= sealed <= expected
+                     + retried_slots * batch
                      and achieved >= rate * 0.97),
         "_expected_rows": expected,   # popped by the retry wrapper
     }
+    if sealed == expected:
+        out["pass_reason"] = "complete"
+    elif sealed < expected:
+        out["pass_reason"] = "row_loss"
+    elif sealed <= expected + retried_slots * batch:
+        out["pass_reason"] = "double_delivery_within_retry_bound"
+    else:
+        out["pass_reason"] = "overage_exceeds_retry_bound"
     if reflushes:
         # surfaced as an explicit warning: with sequence-tagged rotate
         # acks one flush should always suffice, so any reflush points
@@ -401,7 +429,7 @@ def _sustained_once(spark, rate, seconds, batch, workers, warmup) -> dict:
         # distinct from row LOSS: a dropped ack after server-side accept
         # makes the producer's one retry double-deliver that batch —
         # report the overage as producer-side at-least-once, not as a
-        # seal bug (the gate still fails: completeness is == by design)
+        # seal bug
         out["sealed_overage"] = sealed - expected
         over = ("sealed rows exceed accepted*batch — probable producer "
                 "retry double-delivery (at-least-once)")

@@ -168,8 +168,15 @@ def _snapshot(meta_dir: Path, version: int | None,
               snapshot_id: int | None) -> dict:
     if snapshot_id is None:
         md = load_table_metadata(meta_dir, version)
-        sid = md["current-snapshot-id"]
-        return next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+        sid = md.get("current-snapshot-id")
+        for s in md.get("snapshots", []):
+            if s["snapshot-id"] == sid:
+                return s
+        # e.g. an empty table (current-snapshot-id = -1, no snapshots):
+        # a descriptive error, not a bare StopIteration (r8 ADVICE)
+        raise LookupError(
+            f"current snapshot {sid} not found in {meta_dir} "
+            f"({len(md.get('snapshots', []))} snapshot(s) present)")
     # snapshot addressing: each export writes one snapshot per metadata
     # version. With an explicit version the search is RESTRICTED to it
     # (silently widening to other versions would hand back data the

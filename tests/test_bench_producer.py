@@ -78,7 +78,7 @@ def rejecting_server():
 def test_dropped_connections_are_retried_not_fatal(flaky_server):
     host, port = flaky_server.server_address
     n = 30
-    ok, sent, wall, faults, statuses = _paced_producer(
+    ok, sent, wall, faults, statuses, retried = _paced_producer(
         (host, port, [b"x"], 0.0, n))
     # conservation: every slot is accepted, rejected, or faulted —
     # dropped connections never vanish (the old code lost the whole
@@ -90,6 +90,10 @@ def test_dropped_connections_are_retried_not_fatal(flaky_server):
     # drop, so a few faults remain; without retry ok would be ~2n/3)
     assert faults <= n // 6, (ok, faults)
     assert ok >= n - n // 6
+    # every slot whose first send dropped but whose retry got a response
+    # is counted — the at-least-once double-delivery bound for the gate
+    assert retried >= ok - (n - n // 3)   # at least the recovered drops
+    assert retried + faults <= n
 
 
 def test_unreachable_server_counts_producer_errors():
@@ -100,18 +104,20 @@ def test_unreachable_server_counts_producer_errors():
     port = s.getsockname()[1]
     s.close()
     n = 5
-    ok, sent, wall, faults, statuses = _paced_producer(
+    ok, sent, wall, faults, statuses, retried = _paced_producer(
         ("127.0.0.1", port, [b"x"], 0.0, n))
     assert ok == 0
     assert faults == n          # retry exhausted per slot
+    assert retried == 0         # retry never got a response
     assert statuses == {}       # not server rejections
 
 
 def test_non_202_statuses_enter_taxonomy(rejecting_server):
     host, port = rejecting_server.server_address
     n = 20
-    ok, sent, wall, faults, statuses = _paced_producer(
+    ok, sent, wall, faults, statuses, retried = _paced_producer(
         (host, port, [b"x"], 0.0, n))
     assert faults == 0
+    assert retried == 0
     assert ok + statuses.get(503, 0) == n
     assert statuses.get(503, 0) == n // 2

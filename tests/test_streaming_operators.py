@@ -560,6 +560,48 @@ def test_near_dedup_screen_stream_vs_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS test_near_dedup_idx")
 
 
+def test_near_dedup_screen_cache_lifecycle(spark):
+    """Rebuild-the-screen-twice pin (r8 ADVICE/VERDICT): each build
+    persists three per-band index sides; the returned DataFrame's
+    ScreenCacheHandle must release exactly those caches so a stream
+    restart against a refreshed index leaves no stranded persisted RDDs
+    from the previous build."""
+    from duckdb_otlp_spark.streaming import near_dedup_screen_stream
+    from duckdb_otlp_spark.streaming.operators import ScreenCacheHandle
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def mk_index(tag):
+        return spark.createDataFrame(
+            [(b, f"{tag}:k{b}") for b in range(3)], "band_idx int, key string")
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+
+    spark.catalog.clearCache()
+    base = n_persistent()
+
+    s1 = near_dedup_screen_stream(docs, mk_index("v1"))
+    assert isinstance(s1.screen_cache, ScreenCacheHandle)
+    assert s1.screen_cache.active == 3
+    s1.collect()  # materialize the band-side caches
+    assert n_persistent() >= base + 3
+
+    # restart: rebuild against a refreshed index, releasing the old build
+    s1.screen_cache.unpersist(blocking=True)
+    assert s1.screen_cache.active == 0
+    s1.screen_cache.unpersist(blocking=True)  # idempotent
+    assert n_persistent() == base
+
+    s2 = near_dedup_screen_stream(docs, mk_index("v2"))
+    s2.collect()
+    assert n_persistent() >= base + 3
+    s2.screen_cache.unpersist(blocking=True)
+    assert n_persistent() == base
+
+
 def test_dedup_stream_unbounded_and_key_mode(spark, tmp_path):
     """bounded=False (exact-forever state) collapses a duplicate that
     arrives AFTER the watermark horizon — the pair bounded=True keeps —
