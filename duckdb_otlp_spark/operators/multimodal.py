@@ -2,11 +2,14 @@
 processed with Arrow-batched mapInPandas.
 
 The Spark-side design is real and tested — schema, partition-preserving
-batch iteration, UDF signatures, deterministic fake feature extraction —
-while the actual media decode is stubbed: the image/audio libraries are
-not in this container, so ``decode=`` defaults to a deterministic fake
-and ``strict_decode=True`` raises NotImplementedError exactly where a
-real decoder (PIL/ffmpeg) would plug in.
+batch iteration, UDF signatures, deterministic fake feature extraction.
+The *container-header* half of the decode seam is REAL: PNG IHDR, JPEG
+SOF, GIF logical-screen, and WAV fmt/data headers are parsed with
+stdlib ``struct`` only (:func:`sniff_media_header` /
+:func:`decode_headers`), so width/height/duration/sample-rate come from
+the actual bytes.  Only true PIXEL/SAMPLE decode (the step that needs
+PIL/ffmpeg, absent from this container) remains behind
+``decode_pixels=True`` → NotImplementedError.
 
 Scale notes: payloads stay in the executor as Arrow binary buffers;
 mapInPandas streams record batches so one task never materializes more
@@ -16,6 +19,7 @@ queries never touch the binary column (parquet column pruning).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,6 +46,151 @@ FEATURE_SCHEMA = (
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions: baseline (C0),
+# extended sequential (C1), progressive (C2), lossless (C3), and the
+# differential/arithmetic variants — everything in C0-CF EXCEPT the
+# non-frame C4 (DHT), C8 (JPG), CC (DAC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def sniff_media_header(payload: bytes) -> dict | None:
+    """Parse real container headers with stdlib ``struct`` only — the
+    metadata half of the media-decode seam (r8 VERDICT #3).
+
+    Recognizes PNG (IHDR), JPEG (SOF0-15 marker walk), GIF (logical
+    screen descriptor), and WAV (RIFF fmt + data chunks).  Returns a
+    dict with ``format`` plus whichever of ``width``, ``height``,
+    ``bit_depth``, ``sample_rate``, ``channels``, ``duration_ms`` the
+    container carries, or ``None`` for an unrecognized/truncated
+    payload.  Pure function: unit-testable without Spark, and cheap
+    enough to run per-row inside an Arrow batch (it reads a few dozen
+    header bytes, never the payload body).
+    """
+    b = payload
+    if b is None or len(b) < 12:
+        return None
+    # ---- PNG: 8-byte signature, then the IHDR chunk (must be first):
+    # length(4BE) 'IHDR' width(4BE) height(4BE) bit_depth(1) ...
+    if b[:8] == _PNG_SIG:
+        if len(b) < 26 or b[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack_from(">II", b, 16)
+        return {"format": "png", "width": w, "height": h,
+                "bit_depth": b[24]}
+    # ---- JPEG: SOI then a marker walk; each non-standalone segment is
+    # marker(2) length(2BE, includes itself); SOF payload is
+    # precision(1) height(2BE) width(2BE) components(1)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None  # lost sync — corrupt stream
+            marker = b[i + 1]
+            if marker == 0xFF:       # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2               # standalone, no length
+                continue
+            if marker == 0xD9:       # EOI before any SOF
+                return None
+            if i + 4 > len(b):
+                return None
+            (seg_len,) = struct.unpack_from(">H", b, i + 2)
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 2 + 7 > len(b):
+                    return None
+                precision, h, w = struct.unpack_from(">BHH", b, i + 4)
+                return {"format": "jpeg", "width": w, "height": h,
+                        "bit_depth": precision}
+            i += 2 + seg_len
+        return None
+    # ---- GIF: 'GIF87a'/'GIF89a' then width(2LE) height(2LE)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", b, 6)
+        return {"format": "gif", "width": w, "height": h}
+    # ---- WAV: 'RIFF' size 'WAVE', then a chunk walk for 'fmt ' (audio
+    # format, channels, sample rate, byte rate) and 'data' (byte count
+    # -> duration via byte rate)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out = {"format": "wav"}
+        i = 12
+        byte_rate = None
+        data_size = None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            (csize,) = struct.unpack_from("<I", b, i + 8 - 4)
+            if cid == b"fmt " and i + 8 + 16 <= len(b):
+                (_afmt, channels, sample_rate, byte_rate, _balign,
+                 bits) = struct.unpack_from("<HHIIHH", b, i + 8)
+                out.update({"channels": channels,
+                            "sample_rate": sample_rate,
+                            "bit_depth": bits})
+            elif cid == b"data":
+                data_size = csize
+            # chunks are word-aligned: odd sizes carry a pad byte
+            i += 8 + csize + (csize & 1)
+        if "sample_rate" not in out:
+            return None
+        if byte_rate and data_size is not None:
+            out["duration_ms"] = data_size * 1000 // byte_rate
+        return out
+    return None
+
+
+HEADER_SCHEMA = (
+    "media_id long, kind string, format string, sniffed_format string, "
+    "header_ok boolean, width int, height int, bit_depth int, "
+    "channels int, sample_rate int, duration_ms long"
+)
+
+
+def decode_headers(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Arrow-batched REAL header decode over the payload column: one row
+    per media item with the dimensions/duration parsed from the actual
+    bytes by :func:`sniff_media_header` (``header_ok=False`` and null
+    fields when the container is unrecognized; ``strict=True`` raises on
+    the first unrecognized payload instead).
+
+    This replaces the former NotImplementedError stub for the metadata
+    half of the decode seam; only pixel/sample decode still needs
+    external libraries (see :func:`extract_features` ``decode_pixels``).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, fmt, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["format"],
+                    pdf["payload"]):
+                hdr = sniff_media_header(payload)
+                if hdr is None and strict:
+                    raise ValueError(
+                        f"media_id={mid}: unrecognized container "
+                        f"(declared format={fmt!r})")
+                hdr = hdr or {}
+                rows.append({
+                    "media_id": mid, "kind": kind, "format": fmt,
+                    "sniffed_format": hdr.get("format"),
+                    "header_ok": hdr != {},
+                    "width": hdr.get("width"),
+                    "height": hdr.get("height"),
+                    "bit_depth": hdr.get("bit_depth"),
+                    "channels": hdr.get("channels"),
+                    "sample_rate": hdr.get("sample_rate"),
+                    "duration_ms": hdr.get("duration_ms"),
+                })
+            yield pd.DataFrame(rows)
+
+    from duckdb_otlp_spark.session import ensure_package_on_workers
+    ensure_package_on_workers(df.sparkSession)
+    return df.mapInPandas(run, schema=HEADER_SCHEMA)
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an embedding model: bytes -> fixed-dim
     vector from a rolling checksum. Replace with a real encoder."""
@@ -52,32 +201,57 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(df: DataFrame, dim: int = 8,
-                     strict_decode: bool = False) -> DataFrame:
+                     strict_decode: bool = False,
+                     decode_pixels: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
-    ``strict_decode=True`` marks the seam where a real media decoder
-    belongs; without libraries it raises NotImplementedError.
+    ``strict_decode=True`` parses the REAL container header of every
+    payload (:func:`sniff_media_header` — stdlib struct, no media libs)
+    and appends ``width``/``height``/``duration_ms``/``sample_rate``
+    columns from the actual bytes, raising on unrecognized containers.
+    The feature vector itself stays the deterministic byte-level fake
+    until a real encoder plugs in.  ``decode_pixels=True`` is the one
+    remaining true seam: pixel/sample decode needs PIL/ffmpeg, absent
+    from this container → NotImplementedError.
     """
+    if decode_pixels:
+        raise NotImplementedError(
+            "pixel/sample decode requires PIL/ffmpeg; not in this "
+            "container — header metadata (strict_decode=True) and the "
+            "deterministic fake features are available without them")
+
+    schema = FEATURE_SCHEMA
+    if strict_decode:
+        schema += (", width int, height int, duration_ms long, "
+                   "sample_rate int")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         for pdf in batches:
-            if strict_decode:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; not in this "
-                    "container — use the deterministic fake features")
             payloads = pdf["payload"]
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": payloads.map(len),
                 "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
                 "feature": payloads.map(lambda b: _fake_feature(b, dim)),
             })
+            if strict_decode:
+                hdrs = []
+                for mid, b in zip(pdf["media_id"], payloads):
+                    hdr = sniff_media_header(b)
+                    if hdr is None:
+                        raise ValueError(
+                            f"media_id={mid}: unrecognized container "
+                            "(strict_decode requires parseable headers)")
+                    hdrs.append(hdr)
+                for k in ("width", "height", "duration_ms", "sample_rate"):
+                    out[k] = [h.get(k) for h in hdrs]
+            yield out
 
     from duckdb_otlp_spark.session import ensure_package_on_workers
     ensure_package_on_workers(df.sparkSession)
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema=schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -175,10 +175,114 @@ def test_multimodal_features(spark):
     assert {r["media_id"]: r["digest"] for r in rows} == again
 
 
-def test_multimodal_strict_decode_raises(spark):
+def test_multimodal_strict_decode_rejects_garbage(spark):
+    # synthetic_media payloads are not real containers: strict header
+    # decode must reject them with a descriptive error
     media = multimodal.synthetic_media(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="unrecognized container"):
         multimodal.extract_features(media, strict_decode=True).collect()
+
+
+def test_multimodal_pixel_decode_is_the_remaining_seam(spark):
+    media = multimodal.synthetic_media(spark, n=4)
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        multimodal.extract_features(media, decode_pixels=True)
+
+
+# --- hand-crafted container bytes: the real header-decode seam ---
+
+def _png_bytes(w, h, bit_depth=8):
+    import struct as st
+    ihdr = st.pack(">IIBBBBB", w, h, bit_depth, 6, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR" + ihdr
+            + b"\x00\x00\x00\x00")          # CRC not validated
+
+
+def _jpeg_bytes(w, h, sof=0xC0):
+    import struct as st
+    # APP0 length 16 = 2 (length field) + 14 payload (JFIF\0, version,
+    # units, density, thumbnail dims)
+    app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof_payload = st.pack(">BHH", 8, h, w) + b"\x03" + b"\x01\x11\x00" * 3
+    sof_seg = bytes([0xFF, sof]) + st.pack(">H", 2 + len(sof_payload)) \
+        + sof_payload
+    return b"\xff\xd8" + app0 + sof_seg + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    import struct as st
+    return b"GIF89a" + st.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _wav_bytes(sample_rate=16000, channels=2, bits=16, data_size=128000):
+    import struct as st
+    byte_rate = sample_rate * channels * bits // 8
+    fmt = st.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                  channels * bits // 8, bits)
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", data_size) + b"\x00" * 16)
+    return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_sniff_media_header_exact_dims():
+    sniff = multimodal.sniff_media_header
+    assert sniff(_png_bytes(640, 360)) == {
+        "format": "png", "width": 640, "height": 360, "bit_depth": 8}
+    assert sniff(_jpeg_bytes(640, 480)) == {
+        "format": "jpeg", "width": 640, "height": 480, "bit_depth": 8}
+    # progressive JPEG (SOF2) parses identically
+    assert sniff(_jpeg_bytes(31, 17, sof=0xC2))["width"] == 31
+    assert sniff(_gif_bytes(320, 200)) == {
+        "format": "gif", "width": 320, "height": 200}
+    wav = sniff(_wav_bytes())
+    assert wav == {"format": "wav", "channels": 2, "sample_rate": 16000,
+                   "bit_depth": 16, "duration_ms": 2000}
+    # garbage / truncation never crash, they return None
+    assert sniff(b"not a media file at all") is None
+    assert sniff(b"") is None
+    assert sniff(_png_bytes(1, 1)[:12]) is None
+    assert sniff(b"\xff\xd8\xff\xd9") is None     # JPEG without SOF
+    assert sniff(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+def test_decode_headers_real_bytes(spark):
+    rows = [
+        (1, "image", "png", _png_bytes(800, 600), (None,) * 4),
+        (2, "image", "jpeg", _jpeg_bytes(1024, 768), (None,) * 4),
+        (3, "image", "gif", _gif_bytes(64, 32), (None,) * 4),
+        (4, "audio", "wav", _wav_bytes(sample_rate=44100, channels=1,
+                                       data_size=88200 * 3), (None,) * 4),
+        (5, "image", "png", b"corrupted bytes here", (None,) * 4),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.decode_headers(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (800, 600)
+    assert got[1]["sniffed_format"] == "png"
+    assert (got[2]["width"], got[2]["height"]) == (1024, 768)
+    assert (got[3]["width"], got[3]["height"]) == (64, 32)
+    assert got[4]["sample_rate"] == 44100
+    assert got[4]["channels"] == 1
+    assert got[4]["duration_ms"] == 3000
+    assert got[5]["header_ok"] is False and got[5]["width"] is None
+    # strict mode surfaces the corrupt payload instead of nulling it
+    with pytest.raises(Exception, match="media_id=5"):
+        multimodal.decode_headers(media, strict=True).collect()
+
+
+def test_extract_features_strict_decode_real_dims(spark):
+    rows = [
+        (1, "image", "png", _png_bytes(320, 240), (None,) * 4),
+        (2, "audio", "wav", _wav_bytes(), (None,) * 4),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.extract_features(media, strict_decode=True).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (320, 240)
+    assert got[2]["sample_rate"] == 16000
+    assert got[2]["duration_ms"] == 2000
+    # the fake features still ride along, unchanged by the header parse
+    assert len(got[1]["feature"]) == 8
 
 
 def test_frame_sample_plan_prunes_payload(spark):
