@@ -45,7 +45,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = ["windowed_counts", "sessionize_stateful",
            "sessionize_windowed", "dedup_stream",
            "contamination_screen_stream", "pii_scrub_stream",
-           "near_dedup_screen_stream",
+           "near_dedup_screen_stream", "BandProbe", "build_band_probe",
            "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
 
 
@@ -258,6 +258,137 @@ class ScreenCacheHandle:
         self._sides = []
 
 
+# Below this many distinct (band_idx, key) rows a BandProbe collects the
+# index ONCE at build time and probes via per-band InSet expressions —
+# pure map-only Catalyst work (no join, no broadcast-build job), so a
+# consumer like the seal pipeline keeps its single-job plan. Above it,
+# the probe falls back to the persisted-side broadcast-join regime,
+# whose memory is per-executor instead of inside every task's plan.
+LITERAL_MAX_KEYS = 100_000
+
+
+class BandProbe:
+    """One loaded probe over a persisted MinHash band index
+    (operators.dedup.save_band_index): stamps a near-duplicate-candidate
+    boolean on any DataFrame — batch or stream — with the frozen hash
+    family the batch incremental-dedup family uses (queries.py's
+    ``incr_band_key`` layout; a drifted copy would compute keys that
+    never match the index).
+
+    Two regimes, chosen by :func:`build_band_probe`:
+
+    - **literal** (index ≤ ``literal_max_keys`` distinct band keys): the
+      per-band key sets are collected once at build time and the three
+      probes compile to ``InSet`` expressions — the whole stamp is one
+      map-only projection with ZERO joins, so a seal plan that stamps
+      stays a single job. The three Column expressions are built once
+      here, not per stamp: a Column is unbound, so the 100k-literal
+      py4j transfer happens exactly once per probe lifetime.
+    - **join** (bigger indexes): per-band DISTINCT key sides are
+      ``.persist()``\\ ed once and each stamp LEFT-joins them broadcast
+      — per-executor memory instead of plan literals; the regime
+      :func:`near_dedup_screen_stream` always uses.
+
+    Both regimes return identical rows (parity pinned by
+    tests/test_streaming_operators.py)."""
+
+    def __init__(self, *, key_sets=None, sides=None):
+        from duckdb_otlp_spark.queries import INCR_BANDS
+
+        self.key_sets = key_sets
+        self.cache = ScreenCacheHandle(sides or [])
+        self._sides = list(sides or [])
+        if key_sets is not None:
+            # precompiled per-band membership tests (InSet above Spark's
+            # in-set conversion threshold: hash lookup, not a scan)
+            self._hits = [
+                (F.col(f"__bk{b}").isin(key_sets[b]) if key_sets[b]
+                 else F.lit(False))
+                for b in range(INCR_BANDS)]
+
+    @property
+    def regime(self) -> str:
+        return "literal" if self.key_sets is not None else "join"
+
+    def stamp(self, docs: DataFrame, *, text_col: str = "text",
+              mark_col: str = "near_dup_candidate") -> DataFrame:
+        """Append ``mark_col`` (true = LSH candidate vs the index) to
+        ``docs``; all other columns pass through untouched."""
+        from duckdb_otlp_spark.queries import (INCR_BANDS, _base_hashes,
+                                               _minhash_cols, _shingles,
+                                               incr_band_key)
+
+        hs = _base_hashes(_shingles(F.col(text_col)))
+        sig = docs.withColumn("__hs", hs)
+        mcols = _minhash_cols(F.col("__hs"))
+        sig = sig.select(
+            "*", *[c.alias(f"__m{i}") for i, c in enumerate(mcols)])
+        keyed = sig
+        for b in range(INCR_BANDS):
+            keyed = keyed.withColumn(
+                f"__bk{b}", incr_band_key(b, col_name=lambda i: f"__m{i}"))
+        drop = (["__hs"] + [f"__m{i}" for i in range(len(mcols))]
+                + [f"__bk{b}" for b in range(INCR_BANDS)])
+        if self.key_sets is not None:
+            hits = list(self._hits)
+        else:
+            hits = []
+            for b, side in enumerate(self._sides):
+                keyed = keyed.join(F.broadcast(side), f"__bk{b}", "left")
+                hits.append(F.coalesce(F.col(f"__hit{b}"), F.lit(False)))
+            drop += [f"__hit{b}" for b in range(INCR_BANDS)]
+        mark = hits[0]
+        for h in hits[1:]:
+            mark = mark | h
+        # sub-shingle docs have all-null minhashes whose keys render ''
+        # — the index builder never stores such keys, and this gate
+        # makes the stamp independent of that guarantee (a short doc is
+        # never a candidate; the batch family agrees: empty shingles
+        # verify false)
+        mark = (F.size("__hs") > 0) & mark
+        return keyed.withColumn(mark_col, mark).drop(*drop)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the join regime's persisted band sides; idempotent,
+        no-op in the literal regime."""
+        self.cache.unpersist(blocking)
+
+
+def build_band_probe(index: DataFrame, *,
+                     literal_max_keys: int = LITERAL_MAX_KEYS) -> BandProbe:
+    """Load a persisted band index into a reusable :class:`BandProbe`.
+
+    One bounded job against the index decides the regime: a DISTINCT
+    (band_idx, key) scan LIMITed to ``literal_max_keys + 1`` rows — if
+    the index fits, its keys ship in the probe itself (literal regime);
+    otherwise only per-band DISTINCT key sides are persisted (join
+    regime) and the index's full key set never touches the driver.
+    ``literal_max_keys=0`` forces the join regime."""
+    from duckdb_otlp_spark.queries import INCR_BANDS
+
+    if literal_max_keys > 0:
+        rows = (index.select("band_idx", "key").distinct()
+                .limit(literal_max_keys + 1).collect())
+        if len(rows) <= literal_max_keys:
+            key_sets: list[list[str]] = [[] for _ in range(INCR_BANDS)]
+            for r in rows:
+                b = r["band_idx"]
+                if 0 <= b < INCR_BANDS:
+                    key_sets[b].append(r["key"])
+            return BandProbe(key_sets=key_sets)
+    sides = []
+    for b in range(INCR_BANDS):
+        # persisted: a stream-static join re-evaluates the static side
+        # EVERY micro-batch — without this, each trigger re-scans and
+        # re-aggregates the index once per band on the ingest host
+        side = (index.filter(F.col("band_idx") == b)
+                .select(F.col("key").alias(f"__bk{b}")).distinct()
+                .withColumn(f"__hit{b}", F.lit(True))
+                .persist())
+        sides.append(side)
+    return BandProbe(sides=sides)
+
+
 def near_dedup_screen_stream(docs: DataFrame, index: DataFrame, *,
                              text_col: str = "text",
                              mark_col: str = "near_dup_candidate",
@@ -283,51 +414,16 @@ def near_dedup_screen_stream(docs: DataFrame, index: DataFrame, *,
     column (parity pinned by tests/test_streaming_operators.py).
 
     Cache lifecycle: the per-band index sides are ``.persist()``\\ ed
-    (load-bearing for a stream — see inline comment); the returned
-    DataFrame carries a :class:`ScreenCacheHandle` as ``screen_cache``
-    so the stream owner can ``unpersist()`` on stop/rebuild instead of
-    stranding three cached DataFrames per build (r8 ADVICE)."""
-    from duckdb_otlp_spark.queries import (INCR_BANDS, _base_hashes,
-                                           _minhash_cols, _shingles,
-                                           incr_band_key)
-
-    hs = _base_hashes(_shingles(F.col(text_col)))
-    sig = docs.withColumn("__hs", hs)
-    mcols = _minhash_cols(F.col("__hs"))
-    sig = sig.select(
-        "*", *[c.alias(f"__m{i}") for i, c in enumerate(mcols)])
-    keyed = sig
-    for b in range(INCR_BANDS):
-        # band-key layout shared with the batch family/index builder —
-        # a drifted copy would compute keys that never match the index
-        keyed = keyed.withColumn(
-            f"__bk{b}", incr_band_key(b, col_name=lambda i: f"__m{i}"))
-    hits = []
-    sides = []
-    for b in range(INCR_BANDS):
-        # persisted: a stream-static join re-evaluates the static side
-        # EVERY micro-batch — without this, each trigger re-scans and
-        # re-aggregates the index three times on the ingest host
-        side = (index.filter(F.col("band_idx") == b)
-                .select(F.col("key").alias(f"__bk{b}")).distinct()
-                .withColumn(f"__hit{b}", F.lit(True))
-                .persist())
-        sides.append(side)
-        keyed = keyed.join(F.broadcast(side), f"__bk{b}", "left")
-        hits.append(F.coalesce(F.col(f"__hit{b}"), F.lit(False)))
-    mark = hits[0]
-    for h in hits[1:]:
-        mark = mark | h
-    # sub-shingle docs have all-null minhashes whose keys render '' —
-    # the index builder never stores such keys, and this gate makes the
-    # screen independent of that guarantee (a short doc is never a
-    # candidate; the batch family agrees: empty shingles verify false)
-    mark = (F.size("__hs") > 0) & mark
-    drop = (["__hs"] + [f"__m{i}" for i in range(len(mcols))]
-            + [f"__bk{b}" for b in range(INCR_BANDS)]
-            + [f"__hit{b}" for b in range(INCR_BANDS)])
-    out = keyed.withColumn(mark_col, mark).drop(*drop)
-    out.screen_cache = ScreenCacheHandle(sides)
+    (load-bearing for a stream — see :func:`build_band_probe`); the
+    returned DataFrame carries a :class:`ScreenCacheHandle` as
+    ``screen_cache`` so the stream owner can ``unpersist()`` on
+    stop/rebuild instead of stranding three cached DataFrames per
+    build (r8 ADVICE). Implemented as a one-build :class:`BandProbe`
+    in the join regime (the stream-side default: index size unknown,
+    per-executor memory beats a plan literal)."""
+    probe = build_band_probe(index, literal_max_keys=0)
+    out = probe.stamp(docs, text_col=text_col, mark_col=mark_col)
+    out.screen_cache = probe.cache
     return out
 
 

@@ -103,7 +103,8 @@ class OtlpSparkServer:
                  accept_workers: int = 2,
                  create_tables: bool = True,
                  transport: str = "http",
-                 scrub_body_pii: bool = False):
+                 scrub_body_pii: bool = False,
+                 flag_near_dups: str | None = None):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
@@ -127,6 +128,17 @@ class OtlpSparkServer:
         # corpus. Zero extra jobs/shuffles — just more columns in the
         # existing projection.
         self.scrub_body_pii = bool(scrub_body_pii)
+        # opt-in at-seal near-duplicate flagging (beyond-reference, the
+        # server integration of the C41 screen): the value names a
+        # persisted band index (operators.dedup.save_band_index) and
+        # every sealed log row gets a near_dup_candidate boolean stamped
+        # against it. The probe is built ONCE in start(); small indexes
+        # compile to InSet literals so the seal plan stays a single
+        # map-only job (pinned by tests/test_streaming_ingest.py),
+        # larger ones fall back to persisted broadcast-join sides that
+        # stop() releases.
+        self.flag_near_dups = flag_near_dups
+        self._near_dup_probe: Any = None
         if sink not in ("parquet", "catalog"):
             raise ValueError(f"unknown sink {sink!r}; use 'parquet' or 'catalog'")
         self.sink = sink
@@ -589,6 +601,10 @@ class OtlpSparkServer:
                 if self.scrub_body_pii and signal == "logs":
                     from duckdb_otlp_spark.operators.text import pii_scrub
                     df = df.withColumn("body", pii_scrub(F.col("body")))
+                if self._near_dup_probe is not None and signal == "logs":
+                    # literal regime: map-only InSet columns in the same
+                    # projection — the seal stays ONE job (pinned)
+                    df = self._near_dup_probe.stamp(df, text_col="body")
                 if self.catalog is not None:
                     self._seal_catalog([(table, df)], batch_id)
                 else:
@@ -716,6 +732,14 @@ class OtlpSparkServer:
 
     def start(self) -> None:
         self._ensure_target_tables()
+        if self.flag_near_dups:
+            from duckdb_otlp_spark.operators.dedup import load_band_index
+            from duckdb_otlp_spark.streaming.operators import build_band_probe
+            self._near_dup_probe = build_band_probe(
+                load_band_index(self.spark, self.flag_near_dups))
+            self._log_event(
+                f"near-dup flagging enabled: index={self.flag_near_dups} "
+                f"regime={self._near_dup_probe.regime}")
         if self.warm_start:
             self._warm_seal_plans()
         self.receiver.start()
@@ -831,6 +855,11 @@ class OtlpSparkServer:
         for q in self.queries.values():
             try:
                 q.stop()
+            except Exception:  # noqa: BLE001 — JVM may already be gone at exit
+                pass
+        if self._near_dup_probe is not None:
+            try:
+                self._near_dup_probe.unpersist()
             except Exception:  # noqa: BLE001 — JVM may already be gone at exit
                 pass
         return {"status": "ok", "dropped_bytes": dropped}

@@ -602,6 +602,76 @@ def test_near_dedup_screen_cache_lifecycle(spark):
     assert n_persistent() == base
 
 
+def test_band_probe_regimes_parity_and_plan(spark):
+    """BandProbe's two regimes return identical rows on the same docs,
+    and the literal regime's stamp is a ZERO-join ZERO-exchange map-only
+    projection (the property that keeps the seal single-job), while the
+    join regime plans exactly one broadcast join per band."""
+    from duckdb_otlp_spark.plans import audit
+    from duckdb_otlp_spark.queries import (INCR_BANDS, _base_hashes,
+                                           _incr_bands_from_sig,
+                                           _minhash_cols, _shingles)
+    from duckdb_otlp_spark.streaming.operators import BandProbe, build_band_probe
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog and then naps "
+               "in the warm afternoon sun by the old barn door"),
+         (101, "completely different indexed document about glaciers and "
+               "volcanic rock formations across the northern ranges")],
+        "doc_id long, text string")
+    sig = (corpus.select(
+        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", *_minhash_cols(F.col("hs"))))
+    index = _incr_bands_from_sig(sig).select("band_idx", "key")
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and then naps "
+             "in the warm afternoon sun by the old barn door"),
+         (2, "unrelated words forming their very own tiny document here "
+             "with zero overlap against anything indexed before now"),
+         (3, "short")],
+        "doc_id long, text string")
+
+    lit_probe = build_band_probe(index)
+    assert lit_probe.regime == "literal"
+    join_probe = build_band_probe(index, literal_max_keys=0)
+    assert join_probe.regime == "join"
+    try:
+        lit_rows = {r["doc_id"]: r["near_dup_candidate"]
+                    for r in lit_probe.stamp(docs).collect()}
+        join_rows = {r["doc_id"]: r["near_dup_candidate"]
+                     for r in join_probe.stamp(docs).collect()}
+        assert lit_rows == join_rows == {1: True, 2: False, 3: False}
+
+        rep = audit(lit_probe.stamp(docs))
+        assert rep.broadcast_joins == rep.sort_merge_joins == 0
+        assert rep.shuffled_hash_joins == rep.nested_loop_joins == 0
+        assert rep.exchanges == 0
+        assert not rep.has_python_eval
+        rep_j = audit(join_probe.stamp(docs))
+        assert rep_j.broadcast_joins >= INCR_BANDS
+        assert rep_j.sort_merge_joins == rep_j.shuffled_hash_joins == 0
+
+        # threshold crossing: an index bigger than literal_max_keys must
+        # fall back to the join regime instead of truncating the key set
+        small = build_band_probe(index, literal_max_keys=2)
+        assert small.regime == "join"
+        assert {r["doc_id"]: r["near_dup_candidate"]
+                for r in small.stamp(docs).collect()} == lit_rows
+        small.unpersist(blocking=True)
+
+        # empty index: every doc passes, both regimes
+        empty = spark.createDataFrame([], "band_idx int, key string")
+        p_empty = build_band_probe(empty)
+        assert p_empty.regime == "literal"
+        assert all(not r["near_dup_candidate"]
+                   for r in p_empty.stamp(docs).collect())
+        assert isinstance(p_empty, BandProbe)
+    finally:
+        join_probe.unpersist(blocking=True)
+
+
 def test_dedup_stream_unbounded_and_key_mode(spark, tmp_path):
     """bounded=False (exact-forever state) collapses a duplicate that
     arrives AFTER the watermark horizon — the pair bounded=True keeps —
