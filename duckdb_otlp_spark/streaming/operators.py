@@ -56,12 +56,67 @@ __all__ = ["windowed_counts", "sessionize_stateful",
 # Benchmark-suite-sized eval sets (the common case) stay JVM-side.
 LITERAL_MAX_GRAMS = 100_000
 
+# The broadcast-variable regime's ceiling: the gram set materializes on
+# the DRIVER (collect + pickle) before broadcasting. Measured: a Python
+# frozenset of ~30-char grams costs ~120 bytes/gram resident — 10M grams
+# = 1.2 GiB driver RSS (this box), so the default caps the driver cost
+# at ~2.5 GiB. Above it the screen needs the gram-STORE regime: the set
+# stays in a parquet dataset that each Arrow worker loads DIRECTLY
+# (process-global cache, one read per worker) — the driver never holds
+# a single gram. Memory is then per-worker, so size
+# spark.sql.execution.arrow.maxRecordsPerBatch / python worker count to
+# the host; beyond per-worker memory the batch equi-join
+# (pipeline.contamination_screen) over the sealed table is the tool.
+BROADCAST_MAX_GRAMS = 20_000_000
+
+# per-Python-worker gram-store cache: workers are reused across batches
+# and stages, so each worker process pays the parquet read ONCE per path
+_GRAM_STORE_CACHE: dict[str, frozenset] = {}
+
+
+def _load_gram_store(path: str) -> frozenset:
+    """Executor-side: load the distinct-gram parquet dataset at ``path``
+    into a process-global frozenset. Runs inside the Python worker —
+    pyarrow reads local, NFS, or object-store URIs directly, so the
+    driver is never in the data path."""
+    ev = _GRAM_STORE_CACHE.get(path)
+    if ev is None:
+        import pyarrow.dataset as ds
+        tbl = ds.dataset(path, format="parquet").to_table()
+        ev = frozenset(tbl.column(0).to_pylist())
+        _GRAM_STORE_CACHE[path] = ev
+    return ev
+
+
+def _screen_batches(batches: Iterable[pd.DataFrame], ev, text_col: str,
+                    gram_n: int, max_overlap: float):
+    """Shared Arrow-batch screen body for the broadcast and gram-store
+    regimes: same gram semantics as the JVM literal path (whitespace
+    tokens, distinct grams, sub-gram docs survive)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        keep = []
+        for txt in pdf[text_col]:
+            words = (txt or "").strip().split()
+            if len(words) < gram_n:
+                keep.append(True)       # no grams -> survives
+                continue
+            grams = {" ".join(words[i:i + gram_n])
+                     for i in range(len(words) - gram_n + 1)}
+            keep.append(len(grams & ev) / len(grams) <= max_overlap)
+        out = pdf[keep]
+        if len(out):
+            yield out
+
 
 def contamination_screen_stream(docs: DataFrame, eval_grams, *,
                                 text_col: str = "text", gram_n: int = 5,
                                 max_overlap: float = 0.5,
                                 use_pandas: bool = False,
                                 literal_max_grams: int = LITERAL_MAX_GRAMS,
+                                broadcast_max_grams: int = BROADCAST_MAX_GRAMS,
+                                gram_store_path: str | None = None,
                                 ) -> DataFrame:
     """Streaming benchmark-leakage screen: drop documents whose distinct
     word n-gram overlap with the (static) eval corpus exceeds
@@ -82,47 +137,76 @@ def contamination_screen_stream(docs: DataFrame, eval_grams, *,
     tokens, distinct grams, docs below gram_n words survive), identical
     on streaming and batch inputs.
 
-    The JVM literal path is for eval sets up to ``literal_max_grams``
-    distinct grams; above that the screen switches AUTOMATICALLY to the
-    Arrow-batched mapInPandas path, where the gram set travels as a
-    Spark broadcast variable (one copy per executor) instead of a plan
-    literal (one copy per serialized task plan + resident in the driver's
-    Catalyst tree) — the scale cliff a multi-million-gram eval corpus
-    would otherwise hit. Both regimes keep identical rows (pinned by
-    tests/test_streaming_operators.py, including a threshold-crossing
-    case). ``use_pandas=True`` forces the Arrow path explicitly — also
-    the escape hatch for gram functions a Catalyst expression can't
-    express (custom tokenizers, normalization).
+    Three regimes, a scale ladder chosen automatically by eval-set size
+    (all return identical rows — parity pinned by
+    tests/test_streaming_operators.py, including threshold crossings):
 
-    Neither path is the batch hot path: the batch screen stays a
+    1. **JVM literal** (≤ ``literal_max_grams`` distinct grams): the set
+       inlines as a Catalyst array literal; the whole screen is
+       whole-stage-codegen-able column math, no Python worker.
+    2. **Broadcast variable** (≤ ``broadcast_max_grams``): Arrow-batched
+       mapInPandas; the set ships to each executor ONCE as a Spark
+       broadcast instead of living in every serialized task plan. The
+       ceiling is the DRIVER, which must materialize the set to pickle
+       it — measured ~120 bytes/gram resident (10M grams = 1.2 GiB), so
+       the default cap spends ~2.5 GiB there.
+    3. **Gram store** (unbounded eval sets): ``eval_grams`` is a PATH to
+       a parquet dataset of distinct grams (one string column), or a
+       DataFrame above ``broadcast_max_grams`` spilled to
+       ``gram_store_path``. Each Arrow worker loads the store DIRECTLY
+       (pyarrow, process-global cache, one read per worker process);
+       the driver never holds a single gram. Memory is per-worker —
+       beyond that, screen post-hoc with the batch equi-join
+       (pipeline.contamination_screen), which never materializes the
+       set anywhere.
+
+    ``use_pandas=True`` forces the Arrow path explicitly — also the
+    escape hatch for gram functions a Catalyst expression can't express
+    (custom tokenizers, normalization).
+
+    None of these is the batch hot path: the batch screen stays a
     JVM-side gram equi-join (pipeline.contamination_screen); streaming
-    trades that shuffle for a broadcast-style literal because a
+    trades that shuffle for a broadcast-style membership test because a
     stream-static join + per-doc aggregation would need a watermarked
     stateful rollup for an inherently per-row-complete computation
     (each document arrives whole)."""
-    if not isinstance(eval_grams, (set, frozenset)):
-        eval_grams = {r[0] for r in eval_grams.collect()}
+    store_path: str | None = None
+    if isinstance(eval_grams, str):
+        store_path = eval_grams
+    elif not isinstance(eval_grams, (set, frozenset)):
+        # DataFrame: count first — a set above the broadcast ceiling
+        # must never be collect()ed onto the driver
+        distinct = eval_grams.distinct()
+        n = distinct.count()
+        if n > broadcast_max_grams:
+            if gram_store_path is None:
+                raise ValueError(
+                    f"eval gram set has {n} distinct grams, above the "
+                    f"driver-broadcast ceiling ({broadcast_max_grams}); "
+                    f"pass gram_store_path= to spill it to a parquet "
+                    f"gram store (shared storage on a cluster), or pass "
+                    f"the store path directly as eval_grams")
+            # executor-side write: the set goes storage->storage,
+            # never through the driver
+            distinct.write.mode("overwrite").parquet(gram_store_path)
+            store_path = gram_store_path
+        else:
+            eval_grams = {r[0] for r in distinct.collect()}
+
+    if store_path is not None:
+        def screen_store(batches: Iterable[pd.DataFrame]):
+            ev = _load_gram_store(store_path)
+            yield from _screen_batches(batches, ev, text_col, gram_n,
+                                       max_overlap)
+
+        return docs.mapInPandas(screen_store, docs.schema)
 
     if use_pandas or len(eval_grams) > literal_max_grams:
         bc = docs.sparkSession.sparkContext.broadcast(frozenset(eval_grams))
 
         def screen(batches: Iterable[pd.DataFrame]):
-            ev = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                keep = []
-                for txt in pdf[text_col]:
-                    words = (txt or "").strip().split()
-                    if len(words) < gram_n:
-                        keep.append(True)       # no grams -> survives
-                        continue
-                    grams = {" ".join(words[i:i + gram_n])
-                             for i in range(len(words) - gram_n + 1)}
-                    keep.append(len(grams & ev) / len(grams) <= max_overlap)
-                out = pdf[keep]
-                if len(out):
-                    yield out
+            yield from _screen_batches(batches, bc.value, text_col, gram_n,
+                                       max_overlap)
 
         return docs.mapInPandas(screen, docs.schema)
 

@@ -483,6 +483,75 @@ def test_pii_scrub_stream_matches_batch_and_is_stateless(spark, tmp_path):
         q.stop()
 
 
+def test_contamination_screen_gram_store_regime(spark, tmp_path):
+    """The third contamination rung: the eval gram set lives in a
+    parquet GRAM STORE each Arrow worker loads directly — the driver
+    never materializes a gram. Parity vs the literal regime on the same
+    docs (batch and live stream), automatic spill for a DataFrame above
+    the broadcast ceiling, and a descriptive error when the spill has
+    nowhere to go."""
+    import pytest
+
+    from duckdb_otlp_spark.streaming import contamination_screen_stream
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    contaminated = "the quick brown fox jumps over the lazy dog today"
+    docs = [
+        (1, contaminated),
+        (2, "completely unrelated words forming their own five gram run"),
+        (3, "tiny"),
+        (4, "the quick brown fox jumps but then diverges wildly away here"),
+    ]
+    batch = spark.createDataFrame(docs, doc_schema)
+    grams = {" ".join(contaminated.split()[i:i + 5]) for i in range(6)}
+    want = sorted(r.doc_id for r in contamination_screen_stream(
+        batch, grams, max_overlap=0.5).collect())
+
+    store = str(tmp_path / "gram_store")
+    spark.createDataFrame([(g,) for g in sorted(grams)], "gram string") \
+        .write.parquet(store)
+
+    # regime 3 by path
+    got_store = sorted(r.doc_id for r in contamination_screen_stream(
+        batch, store, max_overlap=0.5).collect())
+    assert got_store == want
+
+    # DataFrame above the broadcast ceiling: auto-spill to the store
+    eval_df = spark.createDataFrame([(g,) for g in sorted(grams)],
+                                    "gram string")
+    spill = str(tmp_path / "spill_store")
+    got_spill = sorted(r.doc_id for r in contamination_screen_stream(
+        batch, eval_df, max_overlap=0.5, broadcast_max_grams=2,
+        gram_store_path=spill).collect())
+    assert got_spill == want
+    assert spark.read.parquet(spill).count() == len(grams)
+
+    # ...and a descriptive error when no spill path is given
+    with pytest.raises(ValueError, match="gram_store_path"):
+        contamination_screen_stream(batch, eval_df, broadcast_max_grams=2)
+
+    # live stream through the gram store
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs[:2], doc_schema).coalesce(1) \
+        .write.parquet(f"{path}/slice=0", mode="overwrite")
+    stream = (spark.readStream.schema(doc_schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{path}/slice=*"))
+    q, name = _run(contamination_screen_stream(
+        stream, store, max_overlap=0.5), "append")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(docs[2:], doc_schema).coalesce(1) \
+            .write.parquet(f"{path}/slice=1", mode="overwrite")
+        q.processAllAvailable()
+        got_stream = sorted(r.doc_id for r in spark.table(name).collect())
+        assert got_stream == want
+    finally:
+        q.stop()
+
+
 def test_near_dedup_screen_stream_vs_index(spark, tmp_path):
     """At-ingest near-dup screen vs a persisted band index: an exact
     duplicate of an indexed doc MUST flag (identical signatures share
