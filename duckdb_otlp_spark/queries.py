@@ -2640,6 +2640,116 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the classic keyword/topic
+    signal a curation pipeline attaches before clustering or routing
+    documents (the BM25 ranking's document-side dual).
+
+    Scale shape: one (doc_id, token) explode -> (doc_id, token)
+    partial-agg groupBy for tf; df is a second partial-agg over the
+    ALREADY-reduced tf rows (O(vocab), never the corpus); the document
+    count joins as a 1-row broadcast (bm25's corpus-stats pattern);
+    ranking re-shuffles only the reduced (doc_id, term, score) rows.
+    Raw text never shuffles. Ties rank deterministically (score desc,
+    term asc) so results are engine-stable."""
+    docs = _docs_parallel(spark, sf_dir)
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                         r"\s+")).alias("term"))
+           .filter(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.col("tf") * F.log((F.col("n") + 1.0)
+                                              / (F.col("df") + 1.0))))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                    F.round("score", 4).alias("tfidf"),
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("doc_id", "rank"))
+
+
+SQL_TFIDF_TOPK = """
+WITH tok AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+    WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT doc_id, term, tf,
+           tf * ln((n + 1.0) / (df + 1.0)) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+    SELECT doc_id, term, tf, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rank
+    FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       round(score, 4) AS tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split exact-duplicate leakage audit: for every non-train
+    split of the deterministic 98/1/1 assignment (q_split_assign's
+    md5 buckets), how many documents' content digests also appear in
+    train — the eval-integrity check a pipeline runs after splitting,
+    since leaked duplicates inflate eval scores.
+
+    Scale shape: map-only digest+split, then ONE digest-keyed shuffle:
+    the train side reduces to DISTINCT digests (keys only, no text)
+    and the eval side left-joins it by digest. Neither side
+    broadcasts — train digests are ~the corpus, so the equi-join
+    hash-partitions both sides on the digest key; only 32-char
+    digests ever move."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _md5int(F.col("doc_id").cast("string")) % 1000
+    split = (F.when(bucket < 980, "train")
+             .when(bucket < 990, "val").otherwise("test"))
+    d = docs.select(split.alias("split"),
+                    F.md5(F.lower(F.trim(F.col("text")))).alias("digest"))
+    train = (d.filter(F.col("split") == "train")
+             .select("digest").distinct()
+             .withColumn("__in_train", F.lit(True)))
+    return (d.filter(F.col("split") != "train")
+            .join(train, "digest", "left")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("__in_train"), 1).otherwise(0))
+                 .cast("long").alias("n_leaked"),
+                 F.round(F.avg(F.when(F.col("__in_train"), 1.0)
+                               .otherwise(0.0)), 4).alias("leak_rate"))
+            .orderBy("split"))
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH d AS (
+    SELECT CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val'
+                ELSE 'test' END AS split,
+           md5(lower(trim(text))) AS digest
+    FROM (SELECT {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 1000 AS b, text
+          FROM documents)),
+train AS (SELECT DISTINCT digest FROM d WHERE split = 'train')
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN t.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaked,
+       round(avg(CASE WHEN t.digest IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+           AS leak_rate
+FROM d LEFT JOIN train t ON d.digest = t.digest
+WHERE d.split <> 'train'
+GROUP BY split ORDER BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2782,6 +2892,10 @@ QUERIES.update({
     "corpus_shuffle": q_corpus_shuffle,
     "source_mix_weights": q_source_mix_weights,
     "length_buckets": q_length_buckets,
+    # r9 additions (past-window like every new non-reader entry; pytest
+    # DuckDB oracle differential certifies them like the rest)
+    "tfidf_topk": q_tfidf_topk,
+    "split_leakage": q_split_leakage,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -2853,6 +2967,8 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "length_buckets": SQL_LENGTH_BUCKETS,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
     "token_offsets": SQL_TOKEN_OFFSETS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
 }

@@ -566,3 +566,29 @@ def test_pii_scrub_matches_duckdb_regex(spark):
             params += [pat, rep]
         want = con.execute(f"SELECT {expr}", params).fetchone()[0]
         assert got[i] == want, (i, got[i], want)
+
+
+def test_split_leakage_detects_planted_cross_split_dup(spark, tmp_path):
+    """q_split_leakage must count a test-split document whose content
+    digest also appears in train (doc_ids chosen so the md5 bucket
+    assignment lands them in the right splits), and not flag unique
+    eval docs. Digest is content-based (lower/trim), so a
+    case/whitespace variant still leaks."""
+    from duckdb_otlp_spark.queries import q_split_leakage
+
+    # buckets: 0,1,2 -> train; 78,151 -> val; 179 -> test
+    rows = [
+        (0, "the shared leaked document body appears twice", "en", "web", 1),
+        (1, "a train only document body", "en", "web", 1),
+        (2, "another train only document body", "en", "web", 1),
+        (78, "  THE SHARED LEAKED DOCUMENT BODY APPEARS TWICE ", "en", "web", 1),
+        (151, "a unique validation document", "en", "web", 1),
+        (179, "a unique test document", "en", "web", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"), mode="overwrite")
+    got = {r["split"]: (r["n_docs"], r["n_leaked"], r["leak_rate"])
+           for r in q_split_leakage(spark, str(tmp_path)).collect()}
+    assert got["val"] == (2, 1, 0.5), got
+    assert got["test"] == (1, 0, 0.0), got
