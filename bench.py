@@ -264,6 +264,34 @@ def _cpu_probe_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _cpu_probe_parallel_ms(workers: int | None = None) -> float:
+    """MULTI-core calibration: wall time for every core to run the same
+    5M-iteration loop at once (one warmed spawn process per core; the
+    loop lives in the dependency-free duckdb_otlp_spark._cpuprobe so
+    workers never pay a pyspark import inside the timed window).
+    Uncontended, wall ≈ the single-thread probe (this box, idle:
+    ~290 ms for 32 procs vs ~165 ms single = ~18 effective cores); a
+    higher ratio means the host's PARALLEL throughput is down (neighbor
+    VMs, changed placement after a reboot) — contention the
+    single-thread probe is blind to.  Motivated by r9: a
+    freshly-placed VM ran the headline queries ~1.4× slower than the
+    r8 record on identical code while the single-thread probe was
+    FASTER ([165,160] vs [215,209] ms) — only shuffle/parallel-heavy
+    queries carried the slowdown, exactly the signature this probe
+    exists to record."""
+    from duckdb_otlp_spark._cpuprobe import probe_loop
+
+    n = workers or (os.cpu_count() or 4)
+    with _warmed_pool(n) as pool:
+        # warm pass: spawn workers import the (tiny) probe module here,
+        # outside the timed window
+        pool.map(probe_loop, range(n))
+        t0 = time.perf_counter()
+        pool.map(probe_loop, range(n))
+        wall = time.perf_counter() - t0
+    return round(wall * 1000, 1)
+
+
 def run_sustained_ingest(spark, rate: int = 175_000, seconds: int = 20,
                          batch: int = 1000, workers: int = 6,
                          warmup: int = 0, attempts: int = 2) -> dict:
@@ -688,6 +716,7 @@ def main() -> None:
     # min-of-2 reports the engine; the probe bracket around the section
     # is the contention evidence when even the min drifts.
     probe_q_before = _cpu_probe_ms()
+    probe_par_before = _cpu_probe_parallel_ms(args.cpus)
     timings: dict[str, float] = {}
     raws: dict[str, list[float]] = {}
     for name in names:
@@ -708,6 +737,7 @@ def main() -> None:
         raws[name] = runs
         timings[name] = min(runs)
     probe_q_after = _cpu_probe_ms()
+    probe_par_after = _cpu_probe_parallel_ms(args.cpus)
 
     total = round(sum(timings.values()), 4)
     m = re.search(r"sf([\d.]+)", args.sf_dir)
@@ -719,6 +749,7 @@ def main() -> None:
         "queries": timings,
         "queries_raw": raws,
         "queries_cpu_probe_ms": [probe_q_before, probe_q_after],
+        "queries_cpu_probe_parallel_ms": [probe_par_before, probe_par_after],
         "sf": sf,
         "cpus": args.cpus,
     }
