@@ -380,10 +380,35 @@ def main() -> None:
                   f"{r['warm_ms_median']} ms", flush=True)
     probe_after = _cpu_probe_ms()
 
+    # Split-tuning addendum: a window pruned to ONE ~119 MB file is a
+    # single scan task at the default 128 MiB maxPartitionBytes, so a
+    # CPU-bound predicate (body ILIKE) underutilizes the executor. The
+    # knob that closes the inversion without giving up pruning is split
+    # size — parquet files are splittable, so smaller splits re-
+    # parallelize the one pruned file.
+    tuned = []
+    spec = next(s for s in query_specs(win) if s["id"] == "L6_body_1h")
+    for split_mb in (128, 16):
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(split_mb * 1024 * 1024))
+        spark.read.parquet(variants["baseline"]["path"]) \
+            .createOrReplaceTempView("v")
+        samples = [0.0] * args.repeats
+        for r in range(args.repeats):
+            t0 = time.perf_counter()
+            spark.sql(spec["sql"]).collect()
+            samples[r] = (time.perf_counter() - t0) * 1000
+        tuned.append({"query": "L6_body_1h", "split_mb": split_mb,
+                      "warm_ms_median": round(statistics.median(samples), 1)})
+        print(f"L6_body_1h split={split_mb}MB "
+              f"{tuned[-1]['warm_ms_median']} ms", flush=True)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(128 * 1024 * 1024))
+
     doc = {"rows": args.rows, "span_hours": args.span_hours,
            "n_files": n_files, "generate_s": gen_s, "sanity": sanity,
            "variants": variants, "cpu_probe_ms": [probe_before, probe_after],
-           "results": results}
+           "split_tuning": tuned, "results": results}
     Path(__file__).with_name("PROBE_REF_SCALE.json").write_text(
         json.dumps(doc, indent=1, default=str))
     print(json.dumps({"metric": "probe_ref_scale_queries",
