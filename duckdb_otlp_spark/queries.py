@@ -2750,6 +2750,91 @@ GROUP BY split ORDER BY split
 """
 
 
+_DIVERSITY_K = 6
+
+
+def q_diversity_sample(spark, sf_dir):
+    """Greedy farthest-point (k-center) diversity sample over the
+    embedding column: start from the smallest vec_id, then repeatedly
+    add the vector whose nearest already-selected neighbor is farthest
+    (cosine distance) — the classic coreset/diversity-selection pass a
+    training pipeline runs to pick maximally-dissimilar exemplars
+    (dedup's complement: keep the spread, not drop the close).
+
+    Scale shape: the algorithm is INHERENTLY k sequential rounds (each
+    choice depends on all previous ones); each round is one
+    embarrassingly-parallel scan — the k selected vectors broadcast as
+    plan literals (k is small by construction) and the round reduces to
+    a global top-1, so the driver holds exactly k vectors, never the
+    corpus. O(k·n) total work, the standard k-center bound. Ties break
+    on vec_id, so selection is engine-deterministic; the DuckDB twin
+    replays the same recurrence as a recursive CTE carrying the
+    selected list in one accumulator row (the sequence_pack oracle
+    pattern)."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    sel = [(1, int(first["vec_id"]), None, list(first["v"]))]
+
+    def cos_dist(vec):
+        lv = F.lit(vec)
+        return 1 - _vec_dot(F.col("v"), lv) / (_vec_norm(F.col("v"))
+                                               * _vec_norm(lv))
+
+    for rank in range(2, _DIVERSITY_K + 1):
+        chosen_ids = [s[1] for s in sel]
+        dists = [cos_dist(s[3]) for s in sel]
+        min_dist = dists[0] if len(dists) == 1 else F.least(*dists)
+        nxt = (emb.filter(~F.col("vec_id").isin(chosen_ids))
+               .select("vec_id", "v", min_dist.alias("d"))
+               .orderBy(F.desc("d"), F.asc("vec_id"))
+               .limit(1).collect()[0])
+        sel.append((rank, int(nxt["vec_id"]), float(nxt["d"]),
+                    list(nxt["v"])))
+    return spark.createDataFrame(
+        [(r, i, round(d, 6) if d is not None else None)
+         for r, i, d, _ in sel],
+        "rank int, vec_id long, min_dist double").orderBy("rank")
+
+
+def _vec_dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _vec_norm(a):
+    return F.sqrt(_vec_dot(a, a))
+
+
+SQL_DIVERSITY_SAMPLE = f"""
+WITH RECURSIVE corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+fp AS (
+    SELECT 1 AS rank,
+           [(SELECT min(vec_id) FROM corpus)] AS sel_ids,
+           [(SELECT v FROM corpus ORDER BY vec_id LIMIT 1)] AS sel_vecs,
+           CAST(NULL AS DOUBLE) AS min_dist
+    UNION ALL
+    SELECT rank + 1,
+           list_append(sel_ids, nxt.vec_id),
+           list_append(sel_vecs, nxt.v),
+           nxt.d
+    FROM fp, LATERAL (
+        SELECT c.vec_id, c.v,
+               list_min(list_transform(fp.sel_vecs, s ->
+                   1 - list_dot_product(c.v, s)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(s, s))))) AS d
+        FROM corpus c
+        WHERE NOT list_contains(fp.sel_ids, c.vec_id)
+        ORDER BY d DESC, c.vec_id LIMIT 1) nxt
+    WHERE rank < {_DIVERSITY_K})
+SELECT rank, sel_ids[rank] AS vec_id, round(min_dist, 6) AS min_dist
+FROM fp ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2896,6 +2981,7 @@ QUERIES.update({
     # DuckDB oracle differential certifies them like the rest)
     "tfidf_topk": q_tfidf_topk,
     "split_leakage": q_split_leakage,
+    "diversity_sample": q_diversity_sample,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -2969,6 +3055,7 @@ ORACLE_SQL: dict[str, str] = {
     "length_buckets": SQL_LENGTH_BUCKETS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "split_leakage": SQL_SPLIT_LEAKAGE,
+    "diversity_sample": SQL_DIVERSITY_SAMPLE,
     "token_offsets": SQL_TOKEN_OFFSETS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
 }
