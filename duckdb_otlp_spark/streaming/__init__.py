@@ -1,4 +1,6 @@
 from duckdb_otlp_spark.streaming.operators import (  # noqa: F401
+    BandProbe,
+    build_band_probe,
     contamination_screen_stream,
     dedup_stream,
     near_dedup_screen_stream,
