@@ -87,9 +87,13 @@ def test_dropped_connections_are_retried_not_fatal(flaky_server):
     assert ok + faults == n
     assert statuses == {}           # drops are NOT server rejections
     # retries recover most drops (a retry can itself hit the every-3rd
-    # drop, so a few faults remain; without retry ok would be ~2n/3)
-    assert faults <= n // 6, (ok, faults)
-    assert ok >= n - n // 6
+    # drop, so a few faults remain; without retry ok would be ~2n/3 = 20,
+    # well under the 23 floor). The bound is deliberately loose: the drop
+    # pattern is positional over a 4-thread interleaving, so under a
+    # loaded host (full-suite run) retries land on drop positions more
+    # often than the ~1/3 a quiet box shows.
+    assert faults <= n // 4, (ok, faults)
+    assert ok >= n - n // 4
     # every slot whose first send dropped but whose retry got a response
     # is counted — the at-least-once double-delivery bound for the gate
     assert retried >= ok - (n - n // 3)   # at least the recovered drops
