@@ -104,7 +104,8 @@ class OtlpSparkServer:
                  create_tables: bool = True,
                  transport: str = "http",
                  scrub_body_pii: bool = False,
-                 flag_near_dups: str | None = None):
+                 flag_near_dups: str | None = None,
+                 near_dup_literal_max_keys: int | None = None):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
@@ -138,6 +139,11 @@ class OtlpSparkServer:
         # larger ones fall back to persisted broadcast-join sides that
         # stop() releases.
         self.flag_near_dups = flag_near_dups
+        # regime override: None = the probe's own threshold; 0 forces the
+        # broadcast-join regime (useful when the index is known to grow
+        # past the literal size between restarts, so the seal plan shape
+        # stays stable)
+        self.near_dup_literal_max_keys = near_dup_literal_max_keys
         self._near_dup_probe: Any = None
         if sink not in ("parquet", "catalog"):
             raise ValueError(f"unknown sink {sink!r}; use 'parquet' or 'catalog'")
@@ -603,7 +609,11 @@ class OtlpSparkServer:
                     df = df.withColumn("body", pii_scrub(F.col("body")))
                 if self._near_dup_probe is not None and signal == "logs":
                     # literal regime: map-only InSet columns in the same
-                    # projection — the seal stays ONE job (pinned)
+                    # projection — the seal stays ONE job (pinned).
+                    # Ordering contract: the stamp runs AFTER the PII
+                    # scrub, so signatures are computed on the text that
+                    # actually lands in the corpus — build the band index
+                    # from scrubbed text for the keys to match
                     df = self._near_dup_probe.stamp(df, text_col="body")
                 if self.catalog is not None:
                     self._seal_catalog([(table, df)], batch_id)
@@ -734,9 +744,13 @@ class OtlpSparkServer:
         self._ensure_target_tables()
         if self.flag_near_dups:
             from duckdb_otlp_spark.operators.dedup import load_band_index
-            from duckdb_otlp_spark.streaming.operators import build_band_probe
+            from duckdb_otlp_spark.streaming.operators import (
+                LITERAL_MAX_KEYS, build_band_probe)
             self._near_dup_probe = build_band_probe(
-                load_band_index(self.spark, self.flag_near_dups))
+                load_band_index(self.spark, self.flag_near_dups),
+                literal_max_keys=(LITERAL_MAX_KEYS
+                                  if self.near_dup_literal_max_keys is None
+                                  else self.near_dup_literal_max_keys))
             self._log_event(
                 f"near-dup flagging enabled: index={self.flag_near_dups} "
                 f"regime={self._near_dup_probe.regime}")

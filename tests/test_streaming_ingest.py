@@ -211,6 +211,67 @@ def test_flag_near_dups_at_seal(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS test_seal_band_idx")
 
 
+def test_flag_near_dups_catalog_sink_join_regime(spark, tmp_path_factory):
+    """The at-seal near-dup flag through BOTH remaining axes at once:
+    the catalog sink (the stamped column must widen the validated table
+    schema via the promotion path) and the forced broadcast-join regime
+    (near_dup_literal_max_keys=0 — the shape a beyond-literal-size index
+    uses), whose persisted band sides otlp_stop must release."""
+    from tests.fixtures import BASE_NS, _kv, _log_env
+
+    from duckdb_otlp_spark.operators.dedup import save_band_index
+    from duckdb_otlp_spark.queries import (_base_hashes, _incr_bands_from_sig,
+                                           _minhash_cols, _shingles)
+
+    corpus_text = ("the quick brown fox jumps over the lazy dog and then "
+                   "naps in the warm afternoon sun by the old barn door")
+    corpus = spark.createDataFrame([(100, corpus_text)],
+                                   "doc_id long, text string")
+    sig = (corpus.select(
+        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", *_minhash_cols(F.col("hs"))))
+    bands = _incr_bands_from_sig(sig).select(
+        "band_idx", "key", F.col("doc_id").alias("corpus_doc"))
+    work = tmp_path_factory.mktemp("neardup_cat")
+    spark.sql("DROP TABLE IF EXISTS test_seal_band_idx_cat")
+    save_band_index(bands, str(work / "idx"), "test_seal_band_idx_cat",
+                    num_buckets=4)
+
+    row = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(work / "srv"),
+                     disable_auth=True, seal_max_age_ms=500, sink="catalog",
+                     iceberg_export=False,
+                     flag_near_dups="test_seal_band_idx_cat",
+                     near_dup_literal_max_keys=0)
+    info = row.collect()[0]
+    from duckdb_otlp_spark.streaming.server import _get
+    srv = _get(info["uri"])
+    try:
+        assert srv._near_dup_probe.regime == "join"
+        assert srv._near_dup_probe.cache.active == 3
+        env = _log_env([
+            {"timeUnixNano": str(BASE_NS), "severityNumber": 9,
+             "severityText": "INFO", "body": {"stringValue": corpus_text},
+             "attributes": [_kv("k", "dup")]},
+            {"timeUnixNano": str(BASE_NS + 1), "severityNumber": 9,
+             "severityText": "INFO",
+             "body": {"stringValue": "unrelated words forming their very "
+                      "own tiny document with zero overlap against the "
+                      "indexed corpus right here"},
+             "attributes": [_kv("k", "fresh")]}])
+        assert _post(srv.uri.url, "/v1/logs", env, token=None)[0] == 202
+        otlp_flush(spark, srv.uri.canonical).collect()
+        sealed = srv.read_table("otlp_logs")
+        got = {r["body"]: r["near_dup_candidate"]
+               for r in sealed.select("body", "near_dup_candidate").collect()}
+        assert got[corpus_text] is True
+        assert sum(1 for v in got.values() if not v) == 1
+    finally:
+        otlp_stop(spark, srv.uri.canonical)
+        assert srv._near_dup_probe.cache.active == 0
+        spark.sql("DROP TABLE IF EXISTS test_seal_band_idx_cat")
+
+
 def test_auth_and_content_negotiation(server):
     url = server.uri.url
     env = LOGS_SIMPLE[0]
