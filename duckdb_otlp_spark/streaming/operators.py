@@ -46,6 +46,7 @@ __all__ = ["windowed_counts", "sessionize_stateful",
            "sessionize_windowed", "dedup_stream",
            "contamination_screen_stream", "pii_scrub_stream",
            "near_dedup_screen_stream", "BandProbe", "build_band_probe",
+           "contamination_mark",
            "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
 
 
@@ -210,7 +211,19 @@ def contamination_screen_stream(docs: DataFrame, eval_grams, *,
 
         return docs.mapInPandas(screen, docs.schema)
 
-    tokens = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+    return docs.filter(~contamination_mark(
+        F.col(text_col), eval_grams, gram_n=gram_n, max_overlap=max_overlap))
+
+
+def contamination_mark(text_col, eval_grams, *, gram_n: int = 5,
+                       max_overlap: float = 0.5):
+    """The JVM-literal contamination test as a reusable boolean COLUMN
+    (true = contaminated): distinct word n-gram overlap with the inlined
+    eval gram set exceeds ``max_overlap``; sub-gram docs are never
+    contaminated. Pure Catalyst expressions (codegen-able, no Python),
+    which is what lets the seal pipeline stamp it without adding a job —
+    the column twin of the literal regime above, shared by it."""
+    tokens = F.filter(F.split(F.trim(text_col), r"\s+"),
                       lambda x: x != F.lit(""))
     # clamped upper bound: the CASE below never reads grams for short
     # docs, but sequence(0, negative) would build a descending range
@@ -220,9 +233,8 @@ def contamination_screen_stream(docs: DataFrame, eval_grams, *,
     ev_lit = (F.lit(sorted(eval_grams)) if eval_grams
               else F.array().cast("array<string>"))
     overlap = F.size(F.array_intersect(grams, ev_lit)) / F.size(grams)
-    keep = F.when(F.size(tokens) < gram_n, F.lit(True)) \
-            .otherwise(overlap <= max_overlap)
-    return docs.filter(keep)
+    return F.when(F.size(tokens) < gram_n, F.lit(False)) \
+            .otherwise(overlap > max_overlap)
 
 
 def dedup_stream(events: DataFrame, *, key_cols: Iterable[str] = ("digest",),

@@ -105,7 +105,9 @@ class OtlpSparkServer:
                  transport: str = "http",
                  scrub_body_pii: bool = False,
                  flag_near_dups: str | None = None,
-                 near_dup_literal_max_keys: int | None = None):
+                 near_dup_literal_max_keys: int | None = None,
+                 flag_contamination_grams=None,
+                 contamination_max_overlap: float = 0.5):
         self.spark = spark
         # port 0 = OS-assigned; resolved to the bound port in start()
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
@@ -145,6 +147,27 @@ class OtlpSparkServer:
         # stays stable)
         self.near_dup_literal_max_keys = near_dup_literal_max_keys
         self._near_dup_probe: Any = None
+        # opt-in at-seal benchmark-contamination flagging (C28's server
+        # integration): a set/frozenset of distinct eval n-grams (the
+        # eval suite, small by construction) stamps a `contaminated`
+        # boolean on every sealed log row via the same JVM-literal
+        # column math as contamination_screen_stream's literal regime —
+        # map-only, so the seal stays single-job. Sets beyond the
+        # literal scale belong to the post-hoc batch equi-join over the
+        # sealed table (pipeline.contamination_screen), not the seal
+        # hot path — enforced below.
+        if flag_contamination_grams is not None:
+            from duckdb_otlp_spark.streaming.operators import LITERAL_MAX_GRAMS
+            flag_contamination_grams = frozenset(flag_contamination_grams)
+            if len(flag_contamination_grams) > LITERAL_MAX_GRAMS:
+                raise ValueError(
+                    f"flag_contamination_grams has "
+                    f"{len(flag_contamination_grams)} grams, above the "
+                    f"seal-plan literal ceiling ({LITERAL_MAX_GRAMS}); "
+                    f"screen post-hoc with the batch equi-join "
+                    f"(operators.pipeline.contamination_screen) instead")
+        self.flag_contamination_grams = flag_contamination_grams
+        self.contamination_max_overlap = contamination_max_overlap
         if sink not in ("parquet", "catalog"):
             raise ValueError(f"unknown sink {sink!r}; use 'parquet' or 'catalog'")
         self.sink = sink
@@ -615,6 +638,15 @@ class OtlpSparkServer:
                     # actually lands in the corpus — build the band index
                     # from scrubbed text for the keys to match
                     df = self._near_dup_probe.stamp(df, text_col="body")
+                if (self.flag_contamination_grams is not None
+                        and signal == "logs"):
+                    from duckdb_otlp_spark.streaming.operators import (
+                        contamination_mark)
+                    # same projection, zero extra jobs (stamps the
+                    # scrubbed text, like the near-dup stamp above)
+                    df = df.withColumn("contaminated", contamination_mark(
+                        F.col("body"), self.flag_contamination_grams,
+                        max_overlap=self.contamination_max_overlap))
                 if self.catalog is not None:
                     self._seal_catalog([(table, df)], batch_id)
                 else:

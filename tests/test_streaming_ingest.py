@@ -272,6 +272,59 @@ def test_flag_near_dups_catalog_sink_join_regime(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS test_seal_band_idx_cat")
 
 
+def test_flag_contamination_at_seal(spark, tmp_path_factory):
+    """otlp_serve(flag_contamination_grams=<eval gram set>): a log body
+    overlapping the eval suite beyond max_overlap is stamped
+    contaminated=true at seal, clean bodies false — C28's server
+    integration, same single-job contract as the other stamps. An
+    over-ceiling gram set is rejected at construction with a pointer to
+    the batch screen."""
+    import pytest
+
+    from tests.fixtures import BASE_NS, _kv, _log_env
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    grams = {" ".join(eval_text.split()[i:i + 5]) for i in range(6)}
+
+    work = tmp_path_factory.mktemp("contam")
+    row = otlp_serve(spark, "otlp://127.0.0.1:0", work_dir=str(work),
+                     disable_auth=True, seal_max_age_ms=500,
+                     flag_contamination_grams=grams)
+    info = row.collect()[0]
+    from duckdb_otlp_spark.streaming.server import _get
+    srv = _get(info["uri"])
+    try:
+        env = _log_env([
+            {"timeUnixNano": str(BASE_NS), "severityNumber": 9,
+             "severityText": "INFO", "body": {"stringValue": eval_text},
+             "attributes": [_kv("k", "leak")]},
+            {"timeUnixNano": str(BASE_NS + 1), "severityNumber": 9,
+             "severityText": "INFO",
+             "body": {"stringValue": "an entirely unrelated log body with "
+                      "no overlap against the evaluation suite"},
+             "attributes": [_kv("k", "clean")]},
+            {"timeUnixNano": str(BASE_NS + 2), "severityNumber": 9,
+             "severityText": "INFO", "body": {"stringValue": "short"},
+             "attributes": [_kv("k", "subgram")]}])
+        assert _post(srv.uri.url, "/v1/logs", env, token=None)[0] == 202
+        otlp_flush(spark, srv.uri.canonical).collect()
+        got = {r["body"]: r["contaminated"]
+               for r in spark.read.parquet(str(srv.export_root / "otlp_logs"))
+               .select("body", "contaminated").collect()}
+        assert got[eval_text] is True
+        assert got["short"] is False
+        assert sum(1 for v in got.values() if v) == 1
+    finally:
+        otlp_stop(spark, srv.uri.canonical)
+
+    with pytest.raises(ValueError, match="literal ceiling"):
+        from duckdb_otlp_spark.streaming.server import OtlpSparkServer
+        OtlpSparkServer(spark, "otlp://127.0.0.1:0",
+                        work_dir=str(work / "x"), disable_auth=True,
+                        flag_contamination_grams={str(i) for i in
+                                                  range(100_001)})
+
+
 def test_auth_and_content_negotiation(server):
     url = server.uri.url
     env = LOGS_SIMPLE[0]
