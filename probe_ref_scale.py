@@ -334,7 +334,7 @@ def main() -> None:
 
     import sys
     sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from bench import _cpu_probe_ms
+    from bench import _cpu_probe_ms, _cpu_probe_parallel_ms
     from duckdb_otlp_spark.session import get_spark
 
     spark = get_spark("probe_ref_scale", cpus=args.cpus)
@@ -356,6 +356,7 @@ def main() -> None:
 
     win = windows(args.span_hours)
     probe_before = _cpu_probe_ms()
+    probe_par_before = _cpu_probe_parallel_ms(args.cpus)
     results = []
     for spec in query_specs(win):
         for vname in spec["variants"]:
@@ -379,6 +380,7 @@ def main() -> None:
                   f"{r['mb_scanned']}/{r['mb_total']} MB "
                   f"{r['warm_ms_median']} ms", flush=True)
     probe_after = _cpu_probe_ms()
+    probe_par_after = _cpu_probe_parallel_ms(args.cpus)
 
     # Split-tuning addendum: a window pruned to ONE ~119 MB file is a
     # single scan task at the default 128 MiB maxPartitionBytes, so a
@@ -408,6 +410,7 @@ def main() -> None:
     doc = {"rows": args.rows, "span_hours": args.span_hours,
            "n_files": n_files, "generate_s": gen_s, "sanity": sanity,
            "variants": variants, "cpu_probe_ms": [probe_before, probe_after],
+           "cpu_probe_parallel_ms": [probe_par_before, probe_par_after],
            "split_tuning": tuned, "results": results}
     Path(__file__).with_name("PROBE_REF_SCALE.json").write_text(
         json.dumps(doc, indent=1, default=str))
