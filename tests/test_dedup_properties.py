@@ -186,3 +186,59 @@ def test_embedding_near_dup_sound_and_dup_complete_vs_duckdb(
             df, "id", "v", threshold=ETHRESH, planes=8,
             persist=False).collect()}
         assert {(r.id_a, r.id_b) for r in pairs} <= unguarded
+
+
+@settings(max_examples=8, deadline=None)
+@given(RANDOM_DOCS, DUP_GROUP)
+def test_band_probe_regimes_agree_and_flag_exact_dups(spark, docs, n_dup):
+    """BandProbe property contract on hypothesis-random corpora: the
+    literal (InSet) and join (persisted broadcast sides) regimes return
+    IDENTICAL stamps for every doc, an exact duplicate of an indexed
+    doc ALWAYS flags (identical signatures share every band — the
+    one-sided LSH guarantee the at-seal screen leans on), and
+    sub-shingle docs never flag."""
+    from pyspark.sql import functions as F
+
+    from duckdb_otlp_spark.queries import (_base_hashes, _incr_bands_from_sig,
+                                           _minhash_cols, _shingles)
+    from duckdb_otlp_spark.streaming.operators import build_band_probe
+
+    corpus_rows = [(100 + i, DUP_TEXT) for i in range(n_dup)] + \
+        [(200 + i, t) for i, t in enumerate(docs)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    sig = (corpus.select(
+        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", *_minhash_cols(F.col("hs"))))
+    index = _incr_bands_from_sig(sig).select("band_idx", "key")
+
+    batch_rows = ([(1, DUP_TEXT)]                       # exact dup
+                  + [(2, "hi")]                          # sub-shingle
+                  + [(10 + i, t) for i, t in enumerate(docs)])
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    lit_probe = build_band_probe(index)
+    join_probe = build_band_probe(index, literal_max_keys=0)
+    try:
+        got_lit = {r["doc_id"]: r["near_dup_candidate"]
+                   for r in lit_probe.stamp(batch).collect()}
+        got_join = {r["doc_id"]: r["near_dup_candidate"]
+                    for r in join_probe.stamp(batch).collect()}
+        assert got_lit == got_join                       # regime parity
+        assert got_lit[1] is True                        # exact dup flags
+        assert got_lit[2] is False                       # sub-shingle never
+        # soundness direction: a flagged random doc must share >= 1 band
+        # key with the index (re-derived independently per doc)
+        batch_bands = _incr_bands_from_sig(
+            batch.select(
+                "doc_id",
+                _base_hashes(_shingles(F.col("text"))).alias("hs"))
+            .filter(F.size("hs") > 0)
+            .select("doc_id", *_minhash_cols(F.col("hs")))
+        ).select("doc_id", "band_idx", "key")
+        shared = {r["doc_id"] for r in batch_bands.join(
+            index, ["band_idx", "key"], "left_semi").collect()}
+        for doc_id, flagged in got_lit.items():
+            assert flagged == (doc_id in shared), (doc_id, flagged)
+    finally:
+        join_probe.unpersist(blocking=True)
