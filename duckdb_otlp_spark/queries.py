@@ -2750,6 +2750,37 @@ GROUP BY split ORDER BY split
 """
 
 
+def q_latency_quantiles(spark, sf_dir):
+    """Per-event-type p50/p95/p99 of the value column — the P99-latency
+    rollup every observability dashboard runs against span durations
+    (the query-probe family's missing percentile shape; the reference
+    delegates it to DuckDB's quantile_cont, here it is Spark's EXACT
+    interpolating `percentile`, which computes the same linear
+    interpolation so the DuckDB twin is value-identical).
+
+    Scale shape: ONE low-cardinality groupBy; exact percentile holds the
+    per-group value multiset, so at true 100 TB scale swap in
+    percentile_approx (t-digest, bounded memory, mergeable partial
+    aggregation) — the query shape is unchanged, which is why the exact
+    variant is the oracle-twinned entry."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 *[F.round(F.expr(f"percentile(value, {q})"), 6)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.5, 0.95, 0.99)])
+            .orderBy("event_type"))
+
+
+SQL_LATENCY_QUANTILES = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 _DIVERSITY_K = 6
 
 
@@ -2982,6 +3013,7 @@ QUERIES.update({
     "tfidf_topk": q_tfidf_topk,
     "split_leakage": q_split_leakage,
     "diversity_sample": q_diversity_sample,
+    "latency_quantiles": q_latency_quantiles,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -3056,6 +3088,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "diversity_sample": SQL_DIVERSITY_SAMPLE,
+    "latency_quantiles": SQL_LATENCY_QUANTILES,
     "token_offsets": SQL_TOKEN_OFFSETS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
 }
