@@ -529,3 +529,37 @@ def test_dedup_incremental_no_nlj(spark):
     rep = _rep(spark, "dedup_incremental")
     assert rep.nested_loop_joins == 0
     assert not rep.has_python_eval
+
+
+def test_r9_operator_plan_shapes(spark):
+    """Scale-shape pins for the r9 registry additions (each docstring's
+    claim, made testable):
+
+    - tfidf_topk: the ONLY nested-loop join is the 1-row corpus-stats
+      broadcast (bm25's pattern); everything else equi-joins; no Python.
+    - split_leakage: one digest equi-join (broadcast/SMJ/SHJ — never a
+      cartesian), no Python.
+    - latency_quantiles: a single aggregation — zero joins of any kind,
+      no Python.
+
+    diversity_sample has no single plan to audit (k sequential top-1
+    scans by design); its per-round scan reuses ann_cosine_topk's
+    broadcast-literal shape, pinned there."""
+    tf = _rep(spark, "tfidf_topk")
+    # formatted explain lists each join ~2x (tree + detail): <=2 pins
+    # exactly ONE real NLJ — the 1-row corpus-stats broadcast
+    assert tf.nested_loop_joins <= 2, tf.nested_loop_joins
+    assert tf.broadcast_joins + tf.sort_merge_joins \
+        + tf.shuffled_hash_joins >= 1
+    assert not tf.has_python_eval
+
+    sl = _rep(spark, "split_leakage")
+    assert sl.nested_loop_joins == 0
+    assert sl.broadcast_joins + sl.sort_merge_joins \
+        + sl.shuffled_hash_joins >= 1
+    assert not sl.has_python_eval
+
+    lq = _rep(spark, "latency_quantiles")
+    assert (lq.broadcast_joins + lq.sort_merge_joins
+            + lq.shuffled_hash_joins + lq.nested_loop_joins) == 0
+    assert not lq.has_python_eval
