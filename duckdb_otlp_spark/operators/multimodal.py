@@ -77,6 +77,11 @@ def sniff_media_header(payload: bytes) -> dict | None:
         if len(b) < 26 or b[12:16] != b"IHDR":
             return None
         w, h = struct.unpack_from(">II", b, 16)
+        # the PNG spec caps dimensions at 2^31-1; a larger value is a
+        # corrupt header, and letting it through would also overflow the
+        # int32 width/height columns and kill the whole Arrow task
+        if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+            return None
         return {"format": "png", "width": w, "height": h,
                 "bit_depth": b[24]}
     # ---- JPEG: SOI then a marker walk; each non-standalone segment is
@@ -124,9 +129,16 @@ def sniff_media_header(payload: bytes) -> dict | None:
         while i + 8 <= len(b):
             cid = b[i:i + 4]
             (csize,) = struct.unpack_from("<I", b, i + 8 - 4)
-            if cid == b"fmt " and i + 8 + 16 <= len(b):
+            # csize >= 16: a shorter declared fmt chunk would make the
+            # 16-byte read span into the NEXT chunk's id/size bytes and
+            # report that garbage as real metadata; sample_rate is
+            # unsigned, so also reject values that would overflow the
+            # int32 column (no real audio samples above 2^31-1 Hz)
+            if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= len(b):
                 (_afmt, channels, sample_rate, byte_rate, _balign,
                  bits) = struct.unpack_from("<HHIIHH", b, i + 8)
+                if sample_rate > 0x7FFFFFFF:
+                    return None
                 out.update({"channels": channels,
                             "sample_rate": sample_rate,
                             "bit_depth": bits})

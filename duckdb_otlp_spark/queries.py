@@ -2823,8 +2823,16 @@ def q_diversity_sample(spark, sf_dir):
                .limit(1).collect()[0])
         sel.append((rank, int(nxt["vec_id"]), float(nxt["d"]),
                     list(nxt["v"])))
+    # round half-AWAY-from-zero like DuckDB's round() (and F.round),
+    # not Python's banker's rounding — an exact .5 tie at the sixth
+    # decimal would otherwise flake the oracle differential
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(d):
+        return float(Decimal(repr(d)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
     return spark.createDataFrame(
-        [(r, i, round(d, 6) if d is not None else None)
+        [(r, i, r6(d) if d is not None else None)
          for r, i, d, _ in sel],
         "rank int, vec_id long, min_dist double").orderBy("rank")
 

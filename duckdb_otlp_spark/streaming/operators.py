@@ -71,21 +71,49 @@ LITERAL_MAX_GRAMS = 100_000
 BROADCAST_MAX_GRAMS = 20_000_000
 
 # per-Python-worker gram-store cache: workers are reused across batches
-# and stages, so each worker process pays the parquet read ONCE per path
-_GRAM_STORE_CACHE: dict[str, frozenset] = {}
+# and stages, so each worker process pays the parquet read ONCE per
+# (path, content fingerprint). The fingerprint is load-bearing: keyed by
+# path alone, a store REFRESHED in place between screen builds would
+# keep screening against the stale set in every reused worker — silent
+# wrong results, no error.
+_GRAM_STORE_CACHE: dict[tuple[str, str], frozenset] = {}
 
 
-def _load_gram_store(path: str) -> frozenset:
+def _gram_store_fingerprint(path: str) -> str:
+    """Driver-side content identity for a gram store: a hash of the
+    dataset's (file path, size, mtime) listing. Computed once per screen
+    BUILD, shipped in the closure, and used as part of the worker cache
+    key — so rebuilding a screen against a refreshed store at the same
+    path always reloads."""
+    import hashlib
+
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(path, format="parquet")
+    h = hashlib.md5()
+    for f in sorted(d.files):
+        info = d.filesystem.get_file_info(f)
+        h.update(f"{f}:{info.size}:{info.mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def _load_gram_store(path: str, fingerprint: str) -> frozenset:
     """Executor-side: load the distinct-gram parquet dataset at ``path``
     into a process-global frozenset. Runs inside the Python worker —
     pyarrow reads local, NFS, or object-store URIs directly, so the
     driver is never in the data path."""
-    ev = _GRAM_STORE_CACHE.get(path)
+    key = (path, fingerprint)
+    ev = _GRAM_STORE_CACHE.get(key)
     if ev is None:
         import pyarrow.dataset as ds
         tbl = ds.dataset(path, format="parquet").to_table()
         ev = frozenset(tbl.column(0).to_pylist())
-        _GRAM_STORE_CACHE[path] = ev
+        # bounded: stale fingerprints of refreshed stores must not
+        # accumulate, but concurrent screens against TWO live stores
+        # must both stay cached (clearing would thrash-reload per batch)
+        while len(_GRAM_STORE_CACHE) >= 2:
+            _GRAM_STORE_CACHE.pop(next(iter(_GRAM_STORE_CACHE)))
+        _GRAM_STORE_CACHE[key] = ev
     return ev
 
 
@@ -175,28 +203,33 @@ def contamination_screen_stream(docs: DataFrame, eval_grams, *,
     if isinstance(eval_grams, str):
         store_path = eval_grams
     elif not isinstance(eval_grams, (set, frozenset)):
-        # DataFrame: count first — a set above the broadcast ceiling
-        # must never be collect()ed onto the driver
+        # DataFrame: ONE bounded job decides the regime — a LIMITed
+        # collect of ceiling+1 rows either yields the whole set or
+        # proves it exceeds the ceiling without ever materializing an
+        # over-ceiling set on the driver (a separate count() would run
+        # the distinct aggregation twice)
         distinct = eval_grams.distinct()
-        n = distinct.count()
-        if n > broadcast_max_grams:
+        rows = distinct.limit(broadcast_max_grams + 1).collect()
+        if len(rows) > broadcast_max_grams:
             if gram_store_path is None:
                 raise ValueError(
-                    f"eval gram set has {n} distinct grams, above the "
-                    f"driver-broadcast ceiling ({broadcast_max_grams}); "
-                    f"pass gram_store_path= to spill it to a parquet "
-                    f"gram store (shared storage on a cluster), or pass "
-                    f"the store path directly as eval_grams")
+                    f"eval gram set exceeds the driver-broadcast ceiling "
+                    f"({broadcast_max_grams} distinct grams); pass "
+                    f"gram_store_path= to spill it to a parquet gram "
+                    f"store (shared storage on a cluster), or pass the "
+                    f"store path directly as eval_grams")
             # executor-side write: the set goes storage->storage,
             # never through the driver
             distinct.write.mode("overwrite").parquet(gram_store_path)
             store_path = gram_store_path
         else:
-            eval_grams = {r[0] for r in distinct.collect()}
+            eval_grams = {r[0] for r in rows}
 
     if store_path is not None:
+        fingerprint = _gram_store_fingerprint(store_path)
+
         def screen_store(batches: Iterable[pd.DataFrame]):
-            ev = _load_gram_store(store_path)
+            ev = _load_gram_store(store_path, fingerprint)
             yield from _screen_batches(batches, ev, text_col, gram_n,
                                        max_overlap)
 
@@ -392,8 +425,11 @@ class BandProbe:
         from duckdb_otlp_spark.queries import INCR_BANDS
 
         self.key_sets = key_sets
+        # the handle is the ONLY owner of the persisted sides: a second
+        # copy here would let stamp() keep joining sides the handle
+        # already released — silently re-aggregating the full index per
+        # micro-batch, the exact cost the persist exists to prevent
         self.cache = ScreenCacheHandle(sides or [])
-        self._sides = list(sides or [])
         if key_sets is not None:
             # precompiled per-band membership tests (InSet above Spark's
             # in-set conversion threshold: hash lookup, not a scan)
@@ -428,8 +464,13 @@ class BandProbe:
         if self.key_sets is not None:
             hits = list(self._hits)
         else:
+            if not self.cache._sides:
+                raise RuntimeError(
+                    "BandProbe was released (unpersist called): a stamp "
+                    "after release would re-aggregate the full index per "
+                    "batch — rebuild the probe with build_band_probe")
             hits = []
-            for b, side in enumerate(self._sides):
+            for b, side in enumerate(self.cache._sides):
                 keyed = keyed.join(F.broadcast(side), f"__bk{b}", "left")
                 hits.append(F.coalesce(F.col(f"__hit{b}"), F.lit(False)))
             drop += [f"__hit{b}" for b in range(INCR_BANDS)]

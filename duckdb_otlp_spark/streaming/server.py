@@ -156,8 +156,10 @@ class OtlpSparkServer:
         # literal scale belong to the post-hoc batch equi-join over the
         # sealed table (pipeline.contamination_screen), not the seal
         # hot path — enforced below.
+        self._contamination_col = None
         if flag_contamination_grams is not None:
-            from duckdb_otlp_spark.streaming.operators import LITERAL_MAX_GRAMS
+            from duckdb_otlp_spark.streaming.operators import (
+                LITERAL_MAX_GRAMS, contamination_mark)
             flag_contamination_grams = frozenset(flag_contamination_grams)
             if len(flag_contamination_grams) > LITERAL_MAX_GRAMS:
                 raise ValueError(
@@ -166,6 +168,12 @@ class OtlpSparkServer:
                     f"seal-plan literal ceiling ({LITERAL_MAX_GRAMS}); "
                     f"screen post-hoc with the batch equi-join "
                     f"(operators.pipeline.contamination_screen) instead")
+            # precompiled ONCE: a Column is unbound, so the sorted-gram
+            # py4j literal transfer happens here, not on every seal of
+            # every micro-batch (the BandProbe does the same)
+            self._contamination_col = contamination_mark(
+                F.col("body"), flag_contamination_grams,
+                max_overlap=contamination_max_overlap)
         self.flag_contamination_grams = flag_contamination_grams
         self.contamination_max_overlap = contamination_max_overlap
         if sink not in ("parquet", "catalog"):
@@ -638,15 +646,12 @@ class OtlpSparkServer:
                     # actually lands in the corpus — build the band index
                     # from scrubbed text for the keys to match
                     df = self._near_dup_probe.stamp(df, text_col="body")
-                if (self.flag_contamination_grams is not None
-                        and signal == "logs"):
-                    from duckdb_otlp_spark.streaming.operators import (
-                        contamination_mark)
+                if self._contamination_col is not None and signal == "logs":
                     # same projection, zero extra jobs (stamps the
-                    # scrubbed text, like the near-dup stamp above)
-                    df = df.withColumn("contaminated", contamination_mark(
-                        F.col("body"), self.flag_contamination_grams,
-                        max_overlap=self.contamination_max_overlap))
+                    # scrubbed text, like the near-dup stamp above);
+                    # the column was precompiled once in __init__
+                    df = df.withColumn("contaminated",
+                                       self._contamination_col)
                 if self.catalog is not None:
                     self._seal_catalog([(table, df)], batch_id)
                 else:

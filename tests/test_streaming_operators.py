@@ -533,6 +533,23 @@ def test_contamination_screen_gram_store_regime(spark, tmp_path):
     with pytest.raises(ValueError, match="gram_store_path"):
         contamination_screen_stream(batch, eval_df, broadcast_max_grams=2)
 
+    # refresh-in-place: rebuilding the screen against a REWRITTEN store
+    # (same file name) must reload, not serve the reused worker's cached
+    # set — the fingerprint includes size/mtime (r9 review finding)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    store2 = tmp_path / "gram_store2"
+    store2.mkdir()
+    f2 = store2 / "grams.parquet"
+    pq.write_table(pa.table({"gram": sorted(grams)}), f2)
+    assert sorted(r.doc_id for r in contamination_screen_stream(
+        batch, str(store2), max_overlap=0.5).collect()) == want
+    pq.write_table(pa.table({"gram": ["no such gram here at all"]}), f2)
+    refreshed = sorted(r.doc_id for r in contamination_screen_stream(
+        batch, str(store2), max_overlap=0.5).collect())
+    assert refreshed == sorted(d[0] for d in docs)   # nothing contaminated
+
     # live stream through the gram store
     path = str(tmp_path / "docs")
     spark.createDataFrame(docs[:2], doc_schema).coalesce(1) \
