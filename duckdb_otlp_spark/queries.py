@@ -2895,8 +2895,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_bucket": q_time_bucket,
     "multimodal_features": q_multimodal_features,
     "dedup_embedding": q_dedup_embedding,
-    "agg_stats": q_agg_stats,
-    "percentile": q_percentile,
+    # agg_stats / percentile rotated past the window in round 10 to admit
+    # tfidf_topk / latency_quantiles to the driver hard gate (r9 VERDICT
+    # #2): percentile's exact-percentile aggregate family is strictly
+    # subsumed by latency_quantiles (same `percentile` physical aggregate,
+    # three quantiles per group instead of one), and agg_stats'
+    # count/avg/sum groupBy family stays in-window via tpch_q1.  Overlap
+    # pinned by the window-coverage gate (tests/test_plans.py); both keep
+    # their pytest DuckDB oracle differential.
+    "tfidf_topk": q_tfidf_topk,
+    "latency_quantiles": q_latency_quantiles,
     "join_multi": q_join_multi,
     "correlated_subquery": q_correlated_subquery,
     "except_all": q_except,
@@ -2909,7 +2917,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
     "dedup_exact": q_dedup_exact,
-    "minhash_signature": q_minhash_signature,
+    # minhash_signature rotated past the window in round 10 to admit
+    # split_leakage (r9 VERDICT #2): the signature computation runs
+    # verbatim inside the in-window minhash_lsh_pairs plan (same
+    # shingle → murmur-permutation → array_min pipeline, which then
+    # continues into banding), so the eviction trades redundancy only.
+    # split_leakage adds a distinct shape the window lacked: a digest
+    # equi-join where the build side is a DISTINCT'd train split.
+    "split_leakage": q_split_leakage,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "embedding_bucket_ann": q_embedding_bucket_ann,
@@ -2927,7 +2942,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_surprisal": q_unigram_surprisal,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,       # fully oracle-checked (see SQL twin)
-    "embedding_group_stats": q_embedding_group_stats,
+    # embedding_group_stats rotated past the window in round 10 to admit
+    # diversity_sample (r9 VERDICT #2): its per-group aggregate family
+    # stays in-window via tpch_q1/dedup_embedding and its embedding
+    # array expressions via ann_cosine_topk.  diversity_sample adds the
+    # k-center greedy scan-with-literal-exemplars shape (recursive-CTE
+    # oracle) the window lacked.
+    "diversity_sample": q_diversity_sample,
     "sessionize": q_sessionize,
     "stratified_sample": q_stratified_sample,
     "dedup_cluster": q_dedup_cluster,
@@ -3016,12 +3037,21 @@ QUERIES.update({
     "corpus_shuffle": q_corpus_shuffle,
     "source_mix_weights": q_source_mix_weights,
     "length_buckets": q_length_buckets,
-    # r9 additions (past-window like every new non-reader entry; pytest
-    # DuckDB oracle differential certifies them like the rest)
-    "tfidf_topk": q_tfidf_topk,
-    "split_leakage": q_split_leakage,
-    "diversity_sample": q_diversity_sample,
-    "latency_quantiles": q_latency_quantiles,
+    # agg_stats / percentile / minhash_signature / embedding_group_stats
+    # rotated past the window in round 10 to admit the four r9 operators
+    # tfidf_topk / split_leakage / diversity_sample / latency_quantiles
+    # to the driver hard gate (r9 VERDICT #2).  In-window family coverage:
+    # percentile's exact-percentile aggregate is strictly subsumed by
+    # latency_quantiles; agg_stats' count/avg/sum groupBy by tpch_q1;
+    # minhash_signature runs verbatim inside minhash_lsh_pairs; and
+    # embedding_group_stats' agg + embedding-array expressions by
+    # tpch_q1/dedup_embedding/ann_cosine_topk.  Overlap pinned by the
+    # window-coverage gate (tests/test_plans.py); all four keep their
+    # pytest DuckDB oracle differential.
+    "agg_stats": q_agg_stats,
+    "percentile": q_percentile,
+    "minhash_signature": q_minhash_signature,
+    "embedding_group_stats": q_embedding_group_stats,
 })
 
 ORACLE_SQL: dict[str, str] = {

@@ -345,7 +345,10 @@ def test_window_swap_family_coverage(spark):
     join_inner, token_count, topn_groups, window_running_sum evicted to
     admit the six OTAP signals; text_quality, doc_fingerprint, lang_id,
     ngram_jaccard evicted in r9 to admit the four flagship LLM operators
-    dedup_incremental / pii_scrub / token_offsets / unigram_surprisal):
+    dedup_incremental / pii_scrub / token_offsets / unigram_surprisal;
+    agg_stats / percentile / minhash_signature / embedding_group_stats
+    evicted in r10 to admit tfidf_topk / latency_quantiles /
+    split_leakage / diversity_sample):
     each evicted entry's physical-operator / expression family must keep an
     in-window representative, so the swap trades certification
     *redundancy*, never certification *coverage* (r6 ADVICE)."""
@@ -358,7 +361,9 @@ def test_window_swap_family_coverage(spark):
     window = set(list(Q)[:50])
     for evicted in ("unnest_struct", "join_inner", "token_count",
                     "topn_groups", "window_running_sum", "text_quality",
-                    "doc_fingerprint", "lang_id", "ngram_jaccard"):
+                    "doc_fingerprint", "lang_id", "ngram_jaccard",
+                    "agg_stats", "percentile", "minhash_signature",
+                    "embedding_group_stats"):
         assert evicted in Q and evicted not in window
     for rep_name in ("join_multi", "tpch_q3", "asof_join",
                      "repetition_ratio", "pii_scrub", "vocab_topk",
@@ -368,7 +373,10 @@ def test_window_swap_family_coverage(spark):
                      "read_otap_metrics_exp_histogram",
                      "window_topk_per_group", "sessionize",
                      "dedup_incremental", "token_offsets",
-                     "unigram_surprisal"):
+                     "unigram_surprisal", "tfidf_topk", "latency_quantiles",
+                     "split_leakage", "diversity_sample", "tpch_q1",
+                     "dedup_embedding", "ann_cosine_topk",
+                     "minhash_lsh_pairs"):
         assert rep_name in window, rep_name
 
     # join family: whichever equi-join strategy join_inner plans must
@@ -437,6 +445,39 @@ def test_window_swap_family_coverage(spark):
     rs = _rep(spark, "window_running_sum")
     assert "unboundedpreceding$()" in rs.text.lower()
     assert "unboundedpreceding$()" in _rep(spark, "sessionize").text.lower()
+
+    # r10 evictions — four donors traded for the four r9 LLM operators:
+    # percentile's exact interpolating `percentile` aggregate is strictly
+    # subsumed by latency_quantiles (same physical aggregate function,
+    # three quantiles per group instead of one)
+    pc = _rep(spark, "percentile")
+    lq = _rep(spark, "latency_quantiles")
+    assert "percentile(" in pc.text
+    assert pc.text.count("percentile(") <= lq.text.count("percentile(")
+    # agg_stats' count/avg/sum/min/max/stddev groupBy family stays
+    # in-window via tpch_q1 (same lineitem multi-aggregate rollup)
+    ag = _rep(spark, "agg_stats")
+    q1 = _rep(spark, "tpch_q1")
+    agg_covered = _node_types(q1) | _node_types(lq) \
+        | _node_types(_rep(spark, "tail_topk"))
+    assert not _node_types(ag) - agg_covered, _node_types(ag) - agg_covered
+    # minhash_signature's shingle → base-hash → array_min(transform(...))
+    # pipeline runs VERBATIM inside the in-window minhash_lsh_pairs plan
+    # (which continues it into banding), so the eviction is pure redundancy
+    ms = _rep(spark, "minhash_signature")
+    ml = _rep(spark, "minhash_lsh_pairs")
+    assert "array_min(transform(" in ms.text
+    assert "array_min(transform(" in ml.text
+    assert not _node_types(ms) - (_node_types(ml) | agg_covered), \
+        _node_types(ms) - (_node_types(ml) | agg_covered)
+    # embedding_group_stats: per-group aggregate family via tpch_q1,
+    # embedding-array element access via dedup_embedding/ann_cosine_topk
+    eg = _rep(spark, "embedding_group_stats")
+    emb_covered = agg_covered | _node_types(_rep(spark, "dedup_embedding")) \
+        | _node_types(_rep(spark, "ann_cosine_topk"))
+    assert not _node_types(eg) - emb_covered, _node_types(eg) - emb_covered
+    for ev_rep in (pc, ag, ms, eg):
+        assert not ev_rep.has_python_eval
 
 
 def test_source_cap_text_never_scanned(spark):
