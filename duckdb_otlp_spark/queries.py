@@ -2802,11 +2802,18 @@ def q_diversity_sample(spark, sf_dir):
     replays the same recurrence as a recursive CTE carrying the
     selected list in one accumulator row (the sequence_pack oracle
     pattern)."""
+    result_schema = "rank int, vec_id long, min_dist double"
     emb = (_t(spark, sf_dir, "embeddings")
            .select("vec_id", F.col("embedding").cast("array<double>")
                    .alias("v")))
-    first = emb.orderBy("vec_id").limit(1).collect()[0]
-    sel = [(1, int(first["vec_id"]), None, list(first["v"]))]
+    seed = emb.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        # degenerate empty corpus: zero exemplars (the recursive-CTE
+        # twin's anchor technically emits one all-NULL row here — a
+        # shape no real corpus produces; every non-empty input is
+        # parity-exact, pinned by tests/test_queries_oracle.py)
+        return spark.createDataFrame([], result_schema)
+    sel = [(1, int(seed[0]["vec_id"]), None, list(seed[0]["v"]))]
 
     def cos_dist(vec):
         lv = F.lit(vec)
@@ -2817,10 +2824,17 @@ def q_diversity_sample(spark, sf_dir):
         chosen_ids = [s[1] for s in sel]
         dists = [cos_dist(s[3]) for s in sel]
         min_dist = dists[0] if len(dists) == 1 else F.least(*dists)
-        nxt = (emb.filter(~F.col("vec_id").isin(chosen_ids))
-               .select("vec_id", "v", min_dist.alias("d"))
-               .orderBy(F.desc("d"), F.asc("vec_id"))
-               .limit(1).collect()[0])
+        rows = (emb.filter(~F.col("vec_id").isin(chosen_ids))
+                .select("vec_id", "v", min_dist.alias("d"))
+                .orderBy(F.desc("d"), F.asc("vec_id"))
+                .limit(1).collect())
+        if not rows:
+            # corpus smaller than _DIVERSITY_K: emit however many
+            # exemplars exist — the recursive CTE terminates the same
+            # way when its LATERAL finds no unchosen row (r9 ADVICE:
+            # this used to IndexError instead)
+            break
+        nxt = rows[0]
         sel.append((rank, int(nxt["vec_id"]), float(nxt["d"]),
                     list(nxt["v"])))
     # round half-AWAY-from-zero like DuckDB's round() (and F.round),
@@ -2834,7 +2848,7 @@ def q_diversity_sample(spark, sf_dir):
     return spark.createDataFrame(
         [(r, i, r6(d) if d is not None else None)
          for r, i, d, _ in sel],
-        "rank int, vec_id long, min_dist double").orderBy("rank")
+        result_schema).orderBy("rank")
 
 
 def _vec_dot(a, b):

@@ -76,6 +76,17 @@ BROADCAST_MAX_GRAMS = 20_000_000
 # path alone, a store REFRESHED in place between screen builds would
 # keep screening against the stale set in every reused worker — silent
 # wrong results, no error.
+#
+# Eviction policy (r9 ADVICE): LRU — a hit re-inserts the key at the
+# tail, so a worker screening against N concurrently live stores never
+# evicts the store it is actively using as long as N <= the cap. Stale
+# fingerprints of a refreshed store (same path, different fingerprint)
+# are evicted FIRST regardless of recency — they can never be hit
+# again. Raise the cap before running 3+ concurrent screens in one
+# application; an eviction of a live (distinct-path) entry logs a
+# warning because every reused worker will re-read a multi-GB parquet
+# store per batch from then on.
+GRAM_STORE_CACHE_MAX = 2
 _GRAM_STORE_CACHE: dict[tuple[str, str], frozenset] = {}
 
 
@@ -103,17 +114,29 @@ def _load_gram_store(path: str, fingerprint: str) -> frozenset:
     pyarrow reads local, NFS, or object-store URIs directly, so the
     driver is never in the data path."""
     key = (path, fingerprint)
-    ev = _GRAM_STORE_CACHE.get(key)
+    ev = _GRAM_STORE_CACHE.pop(key, None)
     if ev is None:
         import pyarrow.dataset as ds
         tbl = ds.dataset(path, format="parquet").to_table()
         ev = frozenset(tbl.column(0).to_pylist())
-        # bounded: stale fingerprints of refreshed stores must not
-        # accumulate, but concurrent screens against TWO live stores
-        # must both stay cached (clearing would thrash-reload per batch)
-        while len(_GRAM_STORE_CACHE) >= 2:
-            _GRAM_STORE_CACHE.pop(next(iter(_GRAM_STORE_CACHE)))
-        _GRAM_STORE_CACHE[key] = ev
+        # stale fingerprints of THIS path (the store was refreshed in
+        # place) can never be hit again — drop them before anything else
+        for stale in [k for k in _GRAM_STORE_CACHE if k[0] == path]:
+            del _GRAM_STORE_CACHE[stale]
+        while len(_GRAM_STORE_CACHE) >= GRAM_STORE_CACHE_MAX:
+            evicted = next(iter(_GRAM_STORE_CACHE))
+            del _GRAM_STORE_CACHE[evicted]
+            import logging
+            logging.getLogger(__name__).warning(
+                "gram-store cache evicted live store %s (cap %d); with "
+                "%d+ concurrent screens per worker this re-reads the "
+                "store every batch — raise "
+                "duckdb_otlp_spark.streaming.operators."
+                "GRAM_STORE_CACHE_MAX", evicted[0],
+                GRAM_STORE_CACHE_MAX, GRAM_STORE_CACHE_MAX + 1)
+    # (re-)insert at the tail: dict preserves insertion order, so the
+    # head is always the least-recently-USED entry (LRU, not FIFO)
+    _GRAM_STORE_CACHE[key] = ev
     return ev
 
 
@@ -203,27 +226,40 @@ def contamination_screen_stream(docs: DataFrame, eval_grams, *,
     if isinstance(eval_grams, str):
         store_path = eval_grams
     elif not isinstance(eval_grams, (set, frozenset)):
-        # DataFrame: ONE bounded job decides the regime — a LIMITed
-        # collect of ceiling+1 rows either yields the whole set or
-        # proves it exceeds the ceiling without ever materializing an
-        # over-ceiling set on the driver (a separate count() would run
-        # the distinct aggregation twice)
-        distinct = eval_grams.distinct()
-        rows = distinct.limit(broadcast_max_grams + 1).collect()
-        if len(rows) > broadcast_max_grams:
-            if gram_store_path is None:
-                raise ValueError(
-                    f"eval gram set exceeds the driver-broadcast ceiling "
-                    f"({broadcast_max_grams} distinct grams); pass "
-                    f"gram_store_path= to spill it to a parquet gram "
-                    f"store (shared storage on a cluster), or pass the "
-                    f"store path directly as eval_grams")
-            # executor-side write: the set goes storage->storage,
-            # never through the driver
-            distinct.write.mode("overwrite").parquet(gram_store_path)
-            store_path = gram_store_path
-        else:
-            eval_grams = {r[0] for r in rows}
+        # DataFrame: the regime is decided by a SCALAR — count of a
+        # ceiling+1-LIMITed distinct — so the driver never materializes
+        # an over-ceiling set even transiently (r9 ADVICE: collecting
+        # ceiling+1 pyspark Rows costs far more than the ~120 B/gram
+        # frozenset estimate and could OOM the driver on exactly the
+        # path the gram store exists to protect). The distinct is
+        # persisted across the decide/consume pair so the aggregation
+        # runs once, not twice.
+        from pyspark.storagelevel import StorageLevel
+
+        distinct = eval_grams.distinct().persist(
+            StorageLevel.MEMORY_AND_DISK)
+        try:
+            if distinct.limit(broadcast_max_grams + 1).count() \
+                    > broadcast_max_grams:
+                if gram_store_path is None:
+                    raise ValueError(
+                        f"eval gram set exceeds the driver-broadcast "
+                        f"ceiling ({broadcast_max_grams} distinct "
+                        f"grams); pass gram_store_path= to spill it to "
+                        f"a parquet gram store (shared storage on a "
+                        f"cluster), or pass the store path directly as "
+                        f"eval_grams")
+                # executor-side write: the set goes storage->storage,
+                # never through the driver
+                distinct.write.mode("overwrite").parquet(gram_store_path)
+                store_path = gram_store_path
+            else:
+                # under-ceiling collect rides Arrow (toPandas), not Row
+                # objects — the driver peak is the frozenset plus one
+                # Arrow column, not ceiling-many Row wrappers
+                eval_grams = set(distinct.toPandas().iloc[:, 0])
+        finally:
+            distinct.unpersist()
 
     if store_path is not None:
         fingerprint = _gram_store_fingerprint(store_path)
@@ -529,6 +565,7 @@ def build_band_probe(index: DataFrame, *,
 def near_dedup_screen_stream(docs: DataFrame, index: DataFrame, *,
                              text_col: str = "text",
                              mark_col: str = "near_dup_candidate",
+                             cache_registry: list | None = None,
                              ) -> DataFrame:
     """At-ingest near-duplicate screen against a PERSISTED band index
     (operators.dedup.save_band_index / queries.build_incremental_band
@@ -552,14 +589,25 @@ def near_dedup_screen_stream(docs: DataFrame, index: DataFrame, *,
 
     Cache lifecycle: the per-band index sides are ``.persist()``\\ ed
     (load-bearing for a stream — see :func:`build_band_probe`); the
-    returned DataFrame carries a :class:`ScreenCacheHandle` as
-    ``screen_cache`` so the stream owner can ``unpersist()`` on
-    stop/rebuild instead of stranding three cached DataFrames per
-    build (r8 ADVICE). Implemented as a one-build :class:`BandProbe`
-    in the join regime (the stream-side default: index size unknown,
-    per-executor memory beats a plan literal)."""
+    stream owner must ``unpersist()`` the build's
+    :class:`ScreenCacheHandle` on stop/rebuild instead of stranding
+    three cached DataFrames per build (r8 ADVICE). Pass
+    ``cache_registry=`` (any list) to receive the handle DURABLY —
+    it is appended before return and survives every downstream
+    transformation. The handle is also attached to the returned
+    DataFrame as ``screen_cache``, but that attribute is a
+    CONVENIENCE SHIM only: any transformation (``select``,
+    ``withColumn``, ``writeStream`` plumbing) returns a NEW DataFrame
+    without it (r9 VERDICT), so a caller that transforms before
+    saving the attribute has silently lost the only release object —
+    use the registry in anything long-lived. Implemented as a
+    one-build :class:`BandProbe` in the join regime (the stream-side
+    default: index size unknown, per-executor memory beats a plan
+    literal)."""
     probe = build_band_probe(index, literal_max_keys=0)
     out = probe.stamp(docs, text_col=text_col, mark_col=mark_col)
+    if cache_registry is not None:
+        cache_registry.append(probe.cache)
     out.screen_cache = probe.cache
     return out
 

@@ -132,3 +132,52 @@ def test_sequence_pack_nostraddle_invariants(spark, sf_dir):
     for key, sizes in members.items():
         if any(n > 2048 for n in sizes):
             assert len(sizes) == 1, (key, sizes)            # alone
+
+
+def test_diversity_sample_small_and_empty_corpus(spark, tmp_path):
+    """r9 ADVICE: a corpus smaller than _DIVERSITY_K used to IndexError
+    on the first exhausted round while the DuckDB recursive-CTE twin
+    terminated gracefully. Pin the fix: n=3 (< K=6) stays PARITY-exact
+    against the oracle (3 rows, same exemplars), and an empty corpus
+    returns zero rows with the stable schema instead of crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_otlp_spark.queries import (_DIVERSITY_K,
+                                           SQL_DIVERSITY_SAMPLE,
+                                           q_diversity_sample)
+
+    assert _DIVERSITY_K > 3
+    vecs = [(10, [1.0, 0.0, 0.0]),
+            (20, [0.0, 1.0, 0.0]),
+            (30, [0.6, 0.8, 0.0])]
+    small = tmp_path / "small"
+    small.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array([v[1] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(["a", "b", "c"]),
+    }), small / "embeddings.parquet")
+
+    df = q_diversity_sample(spark, str(small))
+    got = _rows_to_set([tuple(r) for r in df.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{small}/embeddings.parquet'")
+    want = _rows_to_set(con.execute(SQL_DIVERSITY_SAMPLE).fetchall())
+    con.close()
+    assert len(got) == 3
+    assert got == want
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.string()),
+    }), empty / "embeddings.parquet")
+    edf = q_diversity_sample(spark, str(empty))
+    assert edf.columns == ["rank", "vec_id", "min_dist"]
+    assert edf.count() == 0

@@ -688,6 +688,115 @@ def test_near_dedup_screen_cache_lifecycle(spark):
     assert n_persistent() == base
 
 
+def test_near_dedup_screen_cache_registry_survives_transforms(spark):
+    """The screen_cache ATTRIBUTE is lost on any DataFrame
+    transformation (a new DataFrame object is returned) — the r9
+    VERDICT fragility — so cache_registry= must deliver the handle
+    durably: transform the screened frame, release via the registry,
+    and assert zero stranded persisted RDDs."""
+    from duckdb_otlp_spark.streaming import near_dedup_screen_stream
+    from duckdb_otlp_spark.streaming.operators import ScreenCacheHandle
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    idx = spark.createDataFrame(
+        [(b, f"k{b}") for b in range(3)], "band_idx int, key string")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+
+    spark.catalog.clearCache()
+    base = n_persistent()
+
+    registry: list = []
+    screened = near_dedup_screen_stream(docs, idx, cache_registry=registry)
+    # downstream plumbing a stream owner would do: the attribute dies here
+    shaped = screened.withColumn("flag_i",
+                                 F.col("near_dup_candidate").cast("int")) \
+                     .select("doc_id", "flag_i")
+    assert not hasattr(shaped, "screen_cache")
+    shaped.collect()  # materialize the band-side caches
+    assert n_persistent() >= base + 3
+
+    assert len(registry) == 1 and isinstance(registry[0], ScreenCacheHandle)
+    registry[0].unpersist(blocking=True)
+    assert registry[0].active == 0
+    assert n_persistent() == base
+
+
+def test_gram_store_worker_cache_lru(tmp_path, monkeypatch):
+    """Worker gram-store cache policy (r9 ADVICE): LRU with re-insert
+    on hit (a hit refreshes recency, so an actively-used store is never
+    the eviction victim), stale fingerprints of a refreshed path are
+    evicted first, and GRAM_STORE_CACHE_MAX is the documented knob for
+    3+ concurrent screens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_otlp_spark.streaming import operators as sops
+
+    loads = []
+    real_dataset = __import__("pyarrow.dataset", fromlist=["dataset"]).dataset
+
+    def counting_dataset(path, **kw):
+        loads.append(path)
+        return real_dataset(path, **kw)
+
+    import pyarrow.dataset as pads
+    monkeypatch.setattr(pads, "dataset", counting_dataset)
+    monkeypatch.setattr(sops, "_GRAM_STORE_CACHE", {})
+
+    def mk_store(name, grams):
+        d = tmp_path / name
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({"gram": list(grams)}), d / "part0.parquet")
+        return str(d)
+
+    a = mk_store("a", ["a gram one", "a gram two"])
+    b = mk_store("b", ["b gram"])
+    c = mk_store("c", ["c gram"])
+
+    def load(path, fp):
+        before = len(loads)
+        ev = sops._load_gram_store(path, fp)
+        return ev, len(loads) - before
+
+    # fill to cap (2): A, B
+    ev_a, n = load(a, "fp_a")
+    assert n == 1 and ev_a == frozenset(["a gram one", "a gram two"])
+    _, n = load(b, "fp_b")
+    assert n == 1
+    # hit A -> refreshes recency (no reload)
+    _, n = load(a, "fp_a")
+    assert n == 0
+    # load C -> evicts B (least recently USED), not A
+    _, n = load(c, "fp_c")
+    assert n == 1
+    _, n = load(a, "fp_a")
+    assert n == 0, "LRU victim must be B, not the just-hit A"
+    _, n = load(b, "fp_b")
+    assert n == 1, "B was evicted and must reload"
+
+    # refresh-in-place: same path, new fingerprint -> stale entry of
+    # that path is dropped first (it can never be hit again)
+    _, n = load(b, "fp_b2")
+    assert n == 1
+    assert ("b", "fp_b") not in {(k[0].rsplit("/", 1)[-1], k[1])
+                                 for k in sops._GRAM_STORE_CACHE}
+    keys = {(k[0].rsplit("/", 1)[-1], k[1]) for k in sops._GRAM_STORE_CACHE}
+    assert ("b", "fp_b2") in keys and ("a", "fp_a") in keys
+
+    # the documented knob: cap 3 keeps three live stores resident
+    monkeypatch.setattr(sops, "GRAM_STORE_CACHE_MAX", 3)
+    load(c, "fp_c")
+    loads.clear()
+    for path, fp in ((a, "fp_a"), (b, "fp_b2"), (c, "fp_c")):
+        _, n = load(path, fp)
+        assert n == 0, (path, "should be cached at cap 3")
+    assert not loads
+
+
 def test_band_probe_regimes_parity_and_plan(spark):
     """BandProbe's two regimes return identical rows on the same docs,
     and the literal regime's stamp is a ZERO-join ZERO-exchange map-only
