@@ -7,9 +7,13 @@ The *container-header* half of the decode seam is REAL: PNG IHDR, JPEG
 SOF, GIF logical-screen, and WAV fmt/data headers are parsed with
 stdlib ``struct`` only (:func:`sniff_media_header` /
 :func:`decode_headers`), so width/height/duration/sample-rate come from
-the actual bytes.  Only true PIXEL/SAMPLE decode (the step that needs
-PIL/ffmpeg, absent from this container) remains behind
-``decode_pixels=True`` → NotImplementedError.
+the actual bytes.  TRUE pixel/sample decode is also real for the two
+stdlib-decodable containers: non-interlaced 8-bit PNG (zlib inflate +
+per-row unfilter, :func:`decode_png_pixels`) and integer-PCM WAV
+(:func:`decode_wav_samples`), feeding real signal features (mean luma /
+RMS amplitude) through ``extract_features(decode_pixels=True)``.  Only
+the codecs that genuinely need PIL/ffmpeg (JPEG, GIF, compressed
+audio, palette/interlaced/16-bit PNG) remain NotImplementedError.
 
 Scale notes: payloads stay in the executor as Arrow binary buffers;
 mapInPandas streams record batches so one task never materializes more
@@ -203,6 +207,192 @@ def decode_headers(df: DataFrame, *, strict: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=HEADER_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# True pixel/sample decode — stdlib only (r9 VERDICT #4)
+#
+# PNG pixel data is zlib (stdlib) + the five per-row filters; WAV PCM
+# samples are plain struct arrays. Decoding those two containers closes
+# most of the remaining media seam without PIL/ffmpeg; JPEG/GIF pixel
+# decode genuinely needs a codec library and stays NotImplementedError.
+# ---------------------------------------------------------------------------
+
+# channels per PNG color type (palette — type 3 — needs the PLTE
+# indirection and stays out of scope with interlace and 16-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a non-interlaced 8-bit PNG to raw samples with stdlib
+    ``zlib`` + ``struct`` only: walk the chunks (CRC-checked),
+    concatenate IDAT, inflate, and undo the per-scanline filter
+    (None/Sub/Up/Average/Paeth — PNG spec §9). Returns
+    ``(width, height, channels, samples)`` where ``samples`` is
+    ``height*width*channels`` bytes in scanline order.
+
+    Raises ``ValueError`` on corrupt containers and
+    ``NotImplementedError`` for the shapes that need more than stdlib
+    (palette color, 16-bit depth, Adam7 interlace).
+    """
+    import zlib
+
+    b = payload
+    if b is None or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    hdr = sniff_media_header(b)
+    if hdr is None:
+        raise ValueError("corrupt PNG header")
+    # chunk walk: length(4BE) type(4) data crc(4BE, over type+data)
+    i = 8
+    idat = bytearray()
+    color_type = interlace = None
+    w = h = depth = None
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, i)
+        ctype = b[i + 4:i + 8]
+        data_end = i + 8 + clen
+        if data_end + 4 > len(b):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = b[i + 8:data_end]
+        (crc,) = struct.unpack_from(">I", b, data_end)
+        if zlib.crc32(b[i + 4:data_end]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = \
+                struct.unpack_from(">IIBBBBB", data, 0)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i = data_end + 4
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG needs a full "
+                                  "codec; stdlib decode covers "
+                                  "non-interlaced images")
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={depth} color_type={color_type} needs a "
+            f"codec library; stdlib decode covers 8-bit gray/RGB/"
+            f"gray-alpha/RGBA")
+    nch = _PNG_CHANNELS[color_type]
+    stride = w * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(f"PNG pixel stream is {len(raw)} bytes, "
+                         f"expected {(stride + 1) * h}")
+    out = bytearray(stride * h)
+    prev_off = -stride
+    for row in range(h):
+        f_type = raw[row * (stride + 1)]
+        line = raw[row * (stride + 1) + 1:(row + 1) * (stride + 1)]
+        off = row * stride
+        if f_type == 0:                               # None
+            out[off:off + stride] = line
+        elif f_type == 1:                             # Sub
+            for x in range(stride):
+                left = out[off + x - nch] if x >= nch else 0
+                out[off + x] = (line[x] + left) & 0xFF
+        elif f_type == 2:                             # Up
+            if row == 0:
+                out[off:off + stride] = line
+            else:
+                for x in range(stride):
+                    out[off + x] = (line[x] + out[prev_off + off + x]) & 0xFF
+        elif f_type == 3:                             # Average
+            for x in range(stride):
+                left = out[off + x - nch] if x >= nch else 0
+                up = out[prev_off + off + x] if row else 0
+                out[off + x] = (line[x] + (left + up) // 2) & 0xFF
+        elif f_type == 4:                             # Paeth
+            for x in range(stride):
+                a = out[off + x - nch] if x >= nch else 0
+                c_up = out[prev_off + off + x] if row else 0
+                c_ul = (out[prev_off + off + x - nch]
+                        if row and x >= nch else 0)
+                p = a + c_up - c_ul
+                pa, pb, pc = abs(p - a), abs(p - c_up), abs(p - c_ul)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = c_up
+                else:
+                    pred = c_ul
+                out[off + x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG row {row}: unknown filter {f_type}")
+    return w, h, nch, out
+
+
+def png_mean_luma(payload: bytes) -> float:
+    """Real pixel-level feature from a stdlib PNG decode: mean Rec.601
+    luma (0.299R + 0.587G + 0.114B, the gray value itself for grayscale)
+    over all pixels, in [0, 255]."""
+    w, h, nch, px = decode_png_pixels(payload)
+    n = w * h
+    if nch in (1, 2):        # gray / gray+alpha: luma IS the gray sample
+        return sum(px[0::nch]) / n
+    r = sum(px[0::nch])
+    g = sum(px[1::nch])
+    bl = sum(px[2::nch])
+    return (0.299 * r + 0.587 * g + 0.114 * bl) / n
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode integer-PCM WAV samples with stdlib ``struct`` only.
+    Returns ``(sample_rate, channels, samples)`` with samples
+    interleaved and normalized to [-1.0, 1.0] (8-bit unsigned, 16/32-bit
+    signed little-endian). Raises ``NotImplementedError`` for
+    compressed/float formats (they need a codec library)."""
+    b = payload
+    if b is None or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i = 12
+    afmt = channels = rate = bits = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        (csize,) = struct.unpack_from("<I", b, i + 4)
+        if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= len(b):
+            afmt, channels, rate, _brate, _balign, bits = \
+                struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if afmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if afmt != 1:
+        raise NotImplementedError(
+            f"WAV audio format {afmt} (non-PCM) needs a codec library; "
+            f"stdlib decode covers integer PCM")
+    if bits == 8:                                     # unsigned
+        samples = [(s - 128) / 128.0 for s in data]
+    elif bits == 16:
+        n = len(data) // 2
+        samples = [s / 32768.0
+                   for s in struct.unpack(f"<{n}h", data[:n * 2])]
+    elif bits == 32:
+        n = len(data) // 4
+        samples = [s / 2147483648.0
+                   for s in struct.unpack(f"<{n}i", data[:n * 4])]
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits} needs a codec "
+                                  f"library; stdlib decode covers "
+                                  f"8/16/32-bit integer PCM")
+    return rate, channels, samples
+
+
+def wav_rms_amplitude(payload: bytes) -> float:
+    """Real sample-level feature from a stdlib WAV decode: RMS amplitude
+    of the normalized PCM stream, in [0, 1]."""
+    import math
+
+    _rate, _ch, samples = decode_wav_samples(payload)
+    if not samples:
+        return 0.0
+    return math.sqrt(sum(s * s for s in samples) / len(samples))
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an embedding model: bytes -> fixed-dim
     vector from a rolling checksum. Replace with a real encoder."""
@@ -222,20 +412,24 @@ def extract_features(df: DataFrame, dim: int = 8,
     and appends ``width``/``height``/``duration_ms``/``sample_rate``
     columns from the actual bytes, raising on unrecognized containers.
     The feature vector itself stays the deterministic byte-level fake
-    until a real encoder plugs in.  ``decode_pixels=True`` is the one
-    remaining true seam: pixel/sample decode needs PIL/ffmpeg, absent
-    from this container → NotImplementedError.
-    """
-    if decode_pixels:
-        raise NotImplementedError(
-            "pixel/sample decode requires PIL/ffmpeg; not in this "
-            "container — header metadata (strict_decode=True) and the "
-            "deterministic fake features are available without them")
+    until a real encoder plugs in.
 
+    ``decode_pixels=True`` runs the TRUE pixel/sample decode for the
+    two stdlib-decodable containers and appends real signal-level
+    features: ``mean_luma`` for PNG (:func:`png_mean_luma` — zlib
+    inflate + per-row unfilter) and ``rms_amplitude`` for integer-PCM
+    WAV (:func:`wav_rms_amplitude`), null for the other container's
+    column. JPEG and GIF pixel decode genuinely needs a codec library
+    (PIL/ffmpeg, absent from this container) → NotImplementedError,
+    as do the PNG/WAV shapes beyond stdlib (palette/interlace/16-bit
+    PNG, non-PCM WAV). Unrecognized containers raise ValueError.
+    """
     schema = FEATURE_SCHEMA
     if strict_decode:
         schema += (", width int, height int, duration_ms long, "
                    "sample_rate int")
+    if decode_pixels:
+        schema += ", mean_luma double, rms_amplitude double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -259,6 +453,28 @@ def extract_features(df: DataFrame, dim: int = 8,
                     hdrs.append(hdr)
                 for k in ("width", "height", "duration_ms", "sample_rate"):
                     out[k] = [h.get(k) for h in hdrs]
+            if decode_pixels:
+                lumas, rmss = [], []
+                for mid, b in zip(pdf["media_id"], payloads):
+                    fmt = (sniff_media_header(b) or {}).get("format")
+                    if fmt == "png":
+                        lumas.append(png_mean_luma(b))
+                        rmss.append(None)
+                    elif fmt == "wav":
+                        lumas.append(None)
+                        rmss.append(wav_rms_amplitude(b))
+                    elif fmt in ("jpeg", "gif"):
+                        raise NotImplementedError(
+                            f"media_id={mid}: {fmt} pixel decode needs "
+                            f"a codec library (PIL/ffmpeg), absent from "
+                            f"this container; stdlib pixel decode "
+                            f"covers PNG and integer-PCM WAV")
+                    else:
+                        raise ValueError(
+                            f"media_id={mid}: unrecognized container "
+                            "(decode_pixels requires PNG or WAV)")
+                out["mean_luma"] = pd.array(lumas, dtype="float64")
+                out["rms_amplitude"] = pd.array(rmss, dtype="float64")
             yield out
 
     from duckdb_otlp_spark.session import ensure_package_on_workers

@@ -183,10 +183,165 @@ def test_multimodal_strict_decode_rejects_garbage(spark):
         multimodal.extract_features(media, strict_decode=True).collect()
 
 
-def test_multimodal_pixel_decode_is_the_remaining_seam(spark):
-    media = multimodal.synthetic_media(spark, n=4)
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
-        multimodal.extract_features(media, decode_pixels=True)
+def _full_png(raw_rows, color_type, *, filters=None, bit_depth=8,
+              interlace=0, corrupt_crc=False):
+    """Craft a COMPLETE valid PNG (CRCs included) from raw pixel rows,
+    applying the requested per-row filter forward — the decoder must
+    invert every filter type exactly."""
+    import struct as st
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h = len(raw_rows)
+    w = len(raw_rows[0]) // nch if h else 0
+    filters = filters or [0] * h
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        if corrupt_crc:
+            crc ^= 1
+        return st.pack(">I", len(data)) + ctype + data + st.pack(">I", crc)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    stream = bytearray()
+    prev = bytes(len(raw_rows[0])) if h else b""
+    for row, ftype in zip(raw_rows, filters):
+        stream.append(ftype)
+        for x, v in enumerate(row):
+            left = row[x - nch] if x >= nch else 0
+            up = prev[x]
+            ul = prev[x - nch] if x >= nch else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                    4: paeth(left, up, ul)}[ftype]
+            stream.append((v - pred) & 0xFF)
+        prev = row
+    ihdr = st.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
+def _pcm_wav(samples_raw, *, bits=16, rate=8000, channels=1, afmt=1):
+    """Craft a complete integer-PCM WAV around raw sample values."""
+    import struct as st
+    if bits == 8:
+        data = bytes(samples_raw)
+    else:
+        data = st.pack(f"<{len(samples_raw)}{'h' if bits == 16 else 'i'}",
+                       *samples_raw)
+    byte_rate = rate * channels * bits // 8
+    fmt = st.pack("<HHIIHH", afmt, channels, rate, byte_rate,
+                  channels * bits // 8, bits)
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_png_pixels_all_filters_exact():
+    """5x3 RGB image, one row per PNG filter type (None/Sub/Up/Average/
+    Paeth): the stdlib decoder must invert each filter to the exact raw
+    samples it was crafted from."""
+    rows = [bytes([(r * 50 + c * 17 + ch * 7) % 256
+                   for c in range(3) for ch in range(3)])
+            for r in range(5)]
+    payload = _full_png(rows, color_type=2, filters=[0, 1, 2, 3, 4])
+    w, h, nch, px = multimodal.decode_png_pixels(payload)
+    assert (w, h, nch) == (3, 5, 3)
+    assert bytes(px) == b"".join(rows)
+
+    # grayscale and RGBA round-trip too (Sub+Paeth filters)
+    grows = [bytes([10, 200, 30]), bytes([250, 0, 128])]
+    _, _, n1, gpx = multimodal.decode_png_pixels(
+        _full_png(grows, color_type=0, filters=[1, 4]))
+    assert n1 == 1 and bytes(gpx) == b"".join(grows)
+    arows = [bytes(range(16)), bytes(range(100, 116))]
+    _, _, n4, apx = multimodal.decode_png_pixels(
+        _full_png(arows, color_type=6, filters=[2, 3]))
+    assert n4 == 4 and bytes(apx) == b"".join(arows)
+
+
+def test_png_mean_luma_exact():
+    # uniform RGB (200, 100, 50): luma = .299*200 + .587*100 + .114*50
+    rows = [bytes([200, 100, 50] * 4)] * 3
+    luma = multimodal.png_mean_luma(_full_png(rows, color_type=2))
+    assert abs(luma - (0.299 * 200 + 0.587 * 100 + 0.114 * 50)) < 1e-9
+    # grayscale mean is the plain pixel mean
+    g = multimodal.png_mean_luma(
+        _full_png([bytes([0, 100]), bytes([200, 100])], color_type=0))
+    assert abs(g - 100.0) < 1e-9
+
+
+def test_decode_png_pixels_error_contracts():
+    rows = [bytes([1, 2, 3])]
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png_pixels(
+            _full_png(rows, color_type=0, corrupt_crc=True))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_png_pixels(
+            _full_png(rows, color_type=0, interlace=1))
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        multimodal.decode_png_pixels(_full_png(rows, color_type=3))
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png_pixels(b"garbage")
+
+
+def test_decode_wav_samples_exact_and_rms():
+    import math
+
+    # 16-bit: full-scale square wave -> known normalized values and RMS
+    sq = [16384, -16384, 16384, -16384]
+    rate, ch, samples = multimodal.decode_wav_samples(_pcm_wav(sq))
+    assert (rate, ch) == (8000, 1)
+    assert samples == [0.5, -0.5, 0.5, -0.5]
+    assert abs(multimodal.wav_rms_amplitude(_pcm_wav(sq)) - 0.5) < 1e-12
+    # 8-bit unsigned: 128 is silence, 255/0 near full scale
+    _, _, s8 = multimodal.decode_wav_samples(
+        _pcm_wav([128, 0, 255], bits=8))
+    assert s8 == [0.0, -1.0, 127 / 128]
+    # 32-bit signed
+    _, _, s32 = multimodal.decode_wav_samples(
+        _pcm_wav([2**30, -(2**30)], bits=32))
+    assert s32 == [0.5, -0.5]
+    # RMS of a known mixed stream
+    vals = [8192, 0, -8192, 16384]
+    want = math.sqrt(sum((v / 32768) ** 2 for v in vals) / 4)
+    assert abs(multimodal.wav_rms_amplitude(_pcm_wav(vals)) - want) < 1e-12
+    # non-PCM and exotic depths need codecs
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        multimodal.decode_wav_samples(_pcm_wav(sq, afmt=3))
+    with pytest.raises(ValueError, match="not a WAV"):
+        multimodal.decode_wav_samples(b"garbage")
+
+
+def test_extract_features_decode_pixels_real_signal(spark):
+    """decode_pixels=True computes REAL pixel/sample features through
+    the Arrow batch path: exact mean luma for PNG, exact RMS for WAV,
+    and the codec-needed containers (JPEG/GIF) raise with the
+    library-needed message."""
+    png = _full_png([bytes([200, 100, 50] * 2)] * 2, color_type=2)
+    wav = _pcm_wav([16384, -16384, 16384, -16384])
+    media = spark.createDataFrame(
+        [(1, "image", "png", png, (None,) * 4),
+         (2, "audio", "wav", wav, (None,) * 4)],
+        multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.extract_features(media, decode_pixels=True).collect()}
+    want_luma = 0.299 * 200 + 0.587 * 100 + 0.114 * 50
+    assert abs(got[1]["mean_luma"] - want_luma) < 1e-9
+    assert got[1]["rms_amplitude"] is None
+    assert abs(got[2]["rms_amplitude"] - 0.5) < 1e-12
+    assert got[2]["mean_luma"] is None
+
+    jpeg_media = spark.createDataFrame(
+        [(3, "image", "jpeg", _jpeg_bytes(8, 8), (None,) * 4)],
+        multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.extract_features(jpeg_media, decode_pixels=True).collect()
 
 
 # --- hand-crafted container bytes: the real header-decode seam ---
