@@ -39,11 +39,16 @@ def shingles(text: Column, n: int = 3) -> Column:
     other at jaccard 1.0 (caught by tests/test_dedup_properties.py).
     Empty sets keep short docs out of the pair stream entirely, matching
     the SQL oracle's `range(1, len(words) - 1)` comprehension."""
-    w = tokens(text)
-    return F.when(F.size(w) < n, F.array().cast("array<string>")) \
+    from duckdb_otlp_spark.operators.text import bind1
+
+    # tokens bound once per row (bind1 docstring: an inlined split
+    # re-evaluates per gram — O(words^2) per document)
+    return bind1(tokens(text), lambda w: F.when(
+        F.size(w) < n, F.array().cast("array<string>"))
         .otherwise(F.array_distinct(F.transform(
             F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]))))
+            lambda i: F.concat_ws(" ", *[F.get(w, i + j)
+                                         for j in range(n)])))))
 
 
 # ---------------------------------------------------------------------------
@@ -329,16 +334,24 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     # deterministic hyperplane component h[p][i] from xxhash64(seed,p,i),
     # generated inside the row expression from the element index
     def sign_bit(p: int) -> Column:
-        idx = F.sequence(F.lit(0), F.size(v) - F.lit(1))
-        # pmod, not %: xxhash64 is signed, and a signed % biases the
-        # component toward negative — with enough bias every sketch
-        # collapses to the all-zeros bucket and the within-bucket join
-        # degenerates toward O(n^2) (caught by test_dedup_properties)
-        terms = F.transform(idx, lambda i: F.get(v, i) * (
-            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(10007))
-            .cast("double") / 10007.0 - 0.5))
-        proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+        from duckdb_otlp_spark.operators.text import bind1
+
+        # the cast array is bound once per plane (bind1 docstring:
+        # referencing `v` from the per-element lambda re-casts the
+        # WHOLE array for every element — O(d^2) per plane per row)
+        def body(vv):
+            idx = F.sequence(F.lit(0), F.size(vv) - F.lit(1))
+            # pmod, not %: xxhash64 is signed, and a signed % biases the
+            # component toward negative — with enough bias every sketch
+            # collapses to the all-zeros bucket and the within-bucket
+            # join degenerates toward O(n^2) (test_dedup_properties)
+            terms = F.transform(idx, lambda i: F.get(vv, i) * (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(10007))
+                .cast("double") / 10007.0 - 0.5))
+            proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+            return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+        return bind1(v, body)
 
     sketch = F.concat(*[sign_bit(p) for p in range(planes)])
     norm = F.sqrt(_dot(v, v))

@@ -28,6 +28,21 @@ def tokenize_ws(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def bind1(col: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``col`` ONCE per row
+    and reference it any number of times inside ``body`` as a lambda
+    variable.
+
+    Load-bearing at scale (r10 probe finding): higher-order-function
+    lambdas are interpreted (CodegenFallback) and get NO common-
+    subexpression elimination, so an O(len) Column like ``split(text)``
+    inlined into a per-element gram lambda re-evaluates the full split
+    for EVERY gram — O(words^2) per document, ~20x slower than the
+    bound form on a 2M-doc corpus. ``transform`` over a one-element
+    array binds the value to a real lambda variable instead."""
+    return F.transform(F.array(col), body)[0]
+
+
 def tokenize_bpe_ish(text: Column) -> Column:
     """BPE-ish subword segmentation via regex: splits words, numbers,
     punctuation runs — a deterministic stand-in for a learned tokenizer
@@ -43,14 +58,16 @@ def word_ngrams(text: Column, n: int, distinct: bool = True) -> Column:
     n words. The single source of truth for the pipeline's gram
     construction (repetition, contamination) — the oracle-gated query
     twins in queries.py keep their own frozen copies by design."""
-    words = tokenize_ws(text)
-    g = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", *[words[i + j] for j in range(n)]))
-    if distinct:
-        g = F.array_distinct(g)
-    return F.when(F.size(words) >= n, g).otherwise(
-        F.array().cast("array<string>"))
+    def build(words):
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[words[i + j] for j in range(n)]))
+        if distinct:
+            g = F.array_distinct(g)
+        return F.when(F.size(words) >= n, g).otherwise(
+            F.array().cast("array<string>"))
+
+    return bind1(tokenize_ws(text), build)   # split once, not per gram
 
 
 def token_count(text: Column, tokenizer: str = "ws") -> Column:
@@ -129,12 +146,17 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min xxhash64 over rolling
     character n-grams of the normalized text, as a hex string. Robust to
     local edits, unlike a whole-document digest."""
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
-    n = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
-        lambda i: norm.substr(i, F.lit(window)))
-    return F.lower(F.hex(F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))))
+    # normalized text bound once per row (bind1 docstring: an inlined
+    # regexp_replace re-runs per character gram — O(chars^2) per doc)
+    return bind1(
+        F.regexp_replace(F.lower(text), r"\s+", " "),
+        lambda norm: F.lower(F.hex(F.array_min(F.transform(
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.length(norm) - window + 1,
+                                      F.lit(1))),
+                lambda i: norm.substr(i, F.lit(window))),
+            lambda g: F.xxhash64(g))))))
 
 
 def profile_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -968,13 +968,33 @@ def _md5int(c):
 _SQL_MD5INT = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
 
+def _bind1(col, body):
+    """Let-binding for Column expressions: evaluate ``col`` ONCE per row
+    and reference it any number of times inside ``body`` as a lambda
+    variable.
+
+    Load-bearing at scale (r10 probe finding): higher-order-function
+    lambdas are interpreted (CodegenFallback) and get NO common-
+    subexpression elimination, so a Column like ``split(text)`` inlined
+    into a per-element gram lambda re-evaluates the full split for
+    EVERY gram — O(words^2) per document. Invisible on the 5k-doc test
+    tables; at 2M generated docs it made the MinHash shingle pass
+    ~20x slower than the bound form. ``transform`` over a one-element
+    array binds the value to a real lambda variable instead."""
+    return F.transform(F.array(col), body)[0]
+
+
 def _shingles(text_col):
     """Distinct word 3-gram shingles; empty array below 3 words."""
-    words = F.split(F.trim(text_col), r"\s+")
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2])))
-    return F.when(F.size(words) >= 3, sh).otherwise(F.array().cast("array<string>"))
+    return _bind1(
+        F.split(F.trim(text_col), r"\s+"),
+        lambda words: F.when(
+            F.size(words) >= 3,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size(words) - 3),
+                lambda i: F.concat_ws(" ", words[i], words[i + 1],
+                                      words[i + 2])))
+        ).otherwise(F.array().cast("array<string>")))
 
 
 _SQL_SHINGLES = """
@@ -1685,14 +1705,18 @@ ORDER BY p.event_id
 
 
 def _grams5(text_col):
-    """Distinct word 5-gram shingles; empty array below 5 words."""
-    words = F.split(F.trim(text_col), r"\s+")
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(words) - 5),
-        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2],
-                              words[i + 3], words[i + 4])))
-    return F.when(F.size(words) >= 5, sh).otherwise(
-        F.array().cast("array<string>"))
+    """Distinct word 5-gram shingles; empty array below 5 words.
+    split() bound once via _bind1 — see its docstring (O(L^2) trap)."""
+    return _bind1(
+        F.split(F.trim(text_col), r"\s+"),
+        lambda words: F.when(
+            F.size(words) >= 5,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size(words) - 5),
+                lambda i: F.concat_ws(" ", words[i], words[i + 1],
+                                      words[i + 2], words[i + 3],
+                                      words[i + 4])))
+        ).otherwise(F.array().cast("array<string>")))
 
 
 def q_contamination_overlap(spark, sf_dir):
@@ -1768,12 +1792,19 @@ def q_repetition_ratio(spark, sf_dir):
     one-file-one-split case must still fan out across cores."""
     docs = _docs_parallel(spark, sf_dir)
     words = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]))
-    n = F.size(grams)
-    n_dup = n - F.size(F.array_distinct(grams))
+    # split bound once per gram build (_bind1 docstring: the inlined
+    # form re-evaluates split per gram — O(L^2) per doc), and the gram
+    # array materialized through a PROJECTION boundary so the three
+    # consumers read one computed column instead of re-running the
+    # build per output expression (CollapseProject keeps the boundary:
+    # the alias is expensive and referenced more than once)
+    grams = _bind1(words, lambda w: F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2])))
+    n = F.size(F.col("grams"))
+    n_dup = n - F.size(F.array_distinct("grams"))
     return (docs.filter(F.size(words) >= 3)
+            .select("doc_id", grams.alias("grams"))
             .select("doc_id", n.alias("n_grams"), n_dup.alias("n_dup"),
                     F.round(n_dup / n, 4).alias("dup_frac"))
             .orderBy("doc_id"))

@@ -292,18 +292,28 @@ def contamination_mark(text_col, eval_grams, *, gram_n: int = 5,
     contaminated. Pure Catalyst expressions (codegen-able, no Python),
     which is what lets the seal pipeline stamp it without adding a job —
     the column twin of the literal regime above, shared by it."""
-    tokens = F.filter(F.split(F.trim(text_col), r"\s+"),
-                      lambda x: x != F.lit(""))
-    # clamped upper bound: the CASE below never reads grams for short
-    # docs, but sequence(0, negative) would build a descending range
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - gram_n, F.lit(0))),
-        lambda i: F.array_join(F.slice(tokens, i + 1, gram_n), " ")))
+    from duckdb_otlp_spark.operators.text import bind1
+
     ev_lit = (F.lit(sorted(eval_grams)) if eval_grams
               else F.array().cast("array<string>"))
-    overlap = F.size(F.array_intersect(grams, ev_lit)) / F.size(grams)
-    return F.when(F.size(tokens) < gram_n, F.lit(False)) \
-            .otherwise(overlap > max_overlap)
+
+    # tokens and grams are each bound ONCE per row (bind1 docstring:
+    # referencing the split/gram expressions from inside the per-gram
+    # lambda re-evaluates them per element — O(L^2) per doc)
+    def mark(tokens):
+        # clamped upper bound: the CASE below never reads grams for
+        # short docs, but sequence(0, negative) builds a descending range
+        grams = F.array_distinct(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(tokens) - gram_n, F.lit(0))),
+            lambda i: F.array_join(F.slice(tokens, i + 1, gram_n), " ")))
+        overlap = bind1(grams, lambda g:
+                        F.size(F.array_intersect(g, ev_lit)) / F.size(g))
+        return F.when(F.size(tokens) < gram_n, F.lit(False)) \
+                .otherwise(overlap > max_overlap)
+
+    return bind1(F.filter(F.split(F.trim(text_col), r"\s+"),
+                          lambda x: x != F.lit("")), mark)
 
 
 def dedup_stream(events: DataFrame, *, key_cols: Iterable[str] = ("digest",),

@@ -604,3 +604,50 @@ def test_r9_operator_plan_shapes(spark):
     assert (lq.broadcast_joins + lq.sort_merge_joins
             + lq.shuffled_hash_joins + lq.nested_loop_joins) == 0
     assert not lq.has_python_eval
+
+
+def test_gram_builders_bind_split_once(spark):
+    """r10 scale-probe regression pin: higher-order-function lambdas are
+    interpreted (CodegenFallback) with NO common-subexpression
+    elimination, so a tokenization inlined into the per-gram lambda
+    re-evaluates split() for EVERY gram — O(words^2) per document
+    (measured 4-12x slower per operator on a 2M-doc corpus; invisible
+    on the 5k-doc test tables). Every gram builder must LET-BIND the
+    token array (operators.text.bind1 / queries._bind1) so the plan
+    carries at most a small constant number of split evaluations."""
+    from pyspark.sql import functions as F
+
+    from duckdb_otlp_spark.operators import dedup as dd
+    from duckdb_otlp_spark.operators import text as to
+    from duckdb_otlp_spark.queries import QUERIES
+    from duckdb_otlp_spark.streaming.operators import contamination_mark
+
+    def splits(df):
+        return audit(df).text.count("split(trim(")
+
+    # query-level: the corpus-wide gram pipelines evaluate split ONCE
+    # per row (repetition_ratio: +1 for its length filter)
+    assert splits(QUERIES["minhash_signature"](spark, SF)) == 1
+    assert splits(QUERIES["minhash_lsh_pairs"](spark, SF)) == 1
+    assert splits(QUERIES["contamination_overlap"](spark, SF)) == 1
+    assert splits(QUERIES["dedup_incremental"](spark, SF)) == 1
+    assert splits(QUERIES["repetition_ratio"](spark, SF)) <= 2
+
+    # operator-level: the shared builders bind their tokenization
+    doc = spark.createDataFrame([(1, "a b c d e f g")],
+                                "id long, text string")
+    assert splits(doc.select(to.word_ngrams(F.col("text"), 3))) <= 2
+    assert splits(doc.select(dd.shingles(F.col("text")))) <= 2
+    assert splits(doc.select(
+        contamination_mark(F.col("text"), {"x y z a b"}))) <= 2
+    assert audit(doc.select(to.rolling_fingerprint(F.col("text")))) \
+        .text.count("regexp_replace") <= 2
+
+    # mutation control: the pre-fix INLINED shape is what the counter
+    # catches — words referenced from inside the lambda lands one
+    # split() copy per reference in the plan
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    inlined = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]))
+    assert splits(doc.select(inlined.alias("g"))) >= 4
