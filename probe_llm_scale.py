@@ -143,8 +143,13 @@ def write_corpus(spark, out: Path, n_docs: int, rows_per_file: int) -> dict:
     """Crawl-ordered layout: range-partitioned on doc_id, one contiguous
     id slice per file — the shape an accumulating crawl naturally
     produces and the one dedup_incremental's corpus/batch split assumes
-    nothing about."""
-    n_files = max(8, n_docs // rows_per_file)
+    nothing about.
+
+    The 32-file floor keeps scan splits >= local[32]'s cores at EVERY
+    tier: below it, _docs_parallel's conditional repartition fires at
+    the small tier but not the big one, and the asymmetric corpus
+    shuffle pollutes the 10x wall ratio the probe exists to measure."""
+    n_files = max(32, n_docs // rows_per_file)
     t0 = time.perf_counter()
     (generate_docs(spark, n_docs)
      .repartitionByRange(n_files, "doc_id")
@@ -301,6 +306,11 @@ def main() -> None:
     ap.add_argument("--base-docs", type=int, default=2_000_000)
     ap.add_argument("--rows-per-file", type=int, default=312_500)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats-10x", type=int, default=1,
+                    help="repeats at the 10x tier (the heavy ops run "
+                         "minutes each there; the CPU-probe brackets "
+                         "around the tier are the contention evidence "
+                         "a second sample would buy)")
     ap.add_argument("--out", default="/tmp/probe_llm_scale")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--ops", default="", help="comma-separated subset")
@@ -341,8 +351,9 @@ def main() -> None:
         probes[label] = {"cpu_probe_ms": [_cpu_probe_ms()],
                          "cpu_probe_parallel_ms":
                              [_cpu_probe_parallel_ms(args.cpus)]}
+        reps = args.repeats if label == "base" else args.repeats_10x
         for name, fn in ops.items():
-            samples = time_op(spark, fn, str(path), args.repeats)
+            samples = time_op(spark, fn, str(path), reps)
             results[name][label] = {"wall_s": min(samples),
                                     "all_s": samples}
             print(f"{name:28s} {label:5s} {min(samples):8.2f} s "
