@@ -46,8 +46,17 @@ the 10x wall ratio. Plan-shape spot checks (no Python eval; exactly
 one SinglePartition exchange in the token_offsets/corpus_shuffle radix
 cumsum) are recorded at the 10x scale.
 
-Run: python probe_llm_scale.py [--docs 20000000] [--base-docs 2000000]
+Run:  SPARK_DRIVER_MEMORY=64g python probe_llm_scale.py \
+          [--docs 20000000] [--base-docs 2000000]
 Emits PROBE_LLM_SCALE.json (and a one-line JSON summary to stdout).
+
+Memory: the session default (16g local-mode heap) OOMs at the 20M tier
+— 32 concurrent tasks each materializing ~60-element shingle-array rows
+plus the persisted signature blocks need real executor memory, exactly
+as they would on a cluster (where 20M docs would get tens of executors'
+worth of heap, not one 16g JVM). SPARK_DRIVER_MEMORY=64g sizes the
+single local JVM like the ~4 mid-size executors this corpus slice
+would occupy in production.
 """
 
 from __future__ import annotations
@@ -368,8 +377,11 @@ def main() -> None:
 
     shapes = plan_shapes(spark, str(scales["10x"][0]))
 
+    import os
     doc = {"docs_10x": args.docs, "docs_base": args.base_docs,
-           "repeats": args.repeats, "generate": gen,
+           "repeats": args.repeats, "repeats_10x": args.repeats_10x,
+           "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+           "generate": gen,
            "detection_base": detection, "probes": probes,
            "plan_shapes_10x": shapes, "results": results}
     Path(__file__).with_name("PROBE_LLM_SCALE.json").write_text(
