@@ -1727,10 +1727,23 @@ def q_contamination_overlap(spark, sf_dir):
 
     Scale shape: the eval side reduces to a DISTINCT gram set (a small
     fraction of the corpus' distinct grams), and the train side joins
-    against it on the gram string — an equi-join AQE can broadcast when
-    the eval set is small, a plain hash join otherwise. The per-doc
-    rollup is a partial-aggregated groupBy on doc_id. The shingle
-    projection persists so eval and train branches shingle once."""
+    against it — an equi-join AQE can broadcast when the eval set is
+    small, a plain hash join otherwise. The per-doc rollup is a
+    partial-aggregated groupBy on doc_id. The shingle projection
+    persists so eval and train branches shingle once.
+
+    The join key is the md5-derived 60-bit HASH of the gram, not the
+    gram string (r10 scale probe): the shuffle moves O(corpus gram
+    instances) rows, and hashing cuts each from ~38 B (doc_id + ~29-char
+    gram) to 16 B of fixed-width longs — at 20M docs that is the
+    difference between ~45 GB and ~18 GB of shuffle, which decided
+    whether the op fit this box's spill disk at all. Both engines
+    compute the IDENTICAL hash (the _SQL_MD5INT pattern every minhash
+    twin already uses), so any hash collision produces the same
+    (deterministic) count on both sides and the oracle stays
+    value-exact; a collision inflates one n_hit by 1 with probability
+    ~2^-60 per (train-gram, eval-gram) pair — noise far below any
+    contamination threshold."""
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs_parallel(spark, sf_dir)
@@ -1738,12 +1751,14 @@ def q_contamination_overlap(spark, sf_dir):
           .persist(StorageLevel.MEMORY_AND_DISK))
     is_eval = F.col("doc_id") % 17 == 0
     eval_grams = (sh.filter(is_eval)
-                  .select(F.explode("grams").alias("g")).distinct())
+                  .select(F.explode("grams").alias("g"))
+                  .select(_md5int(F.col("g")).alias("gh")).distinct())
     train = sh.filter(~is_eval)
     totals = (train.select("doc_id", F.size("grams").alias("n_grams"))
               .filter(F.col("n_grams") > 0))
     hits = (train.select("doc_id", F.explode("grams").alias("g"))
-            .join(eval_grams, "g")
+            .select("doc_id", _md5int(F.col("g")).alias("gh"))
+            .join(eval_grams, "gh")
             .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
     return (totals.join(hits, "doc_id", "left")
             .select("doc_id", "n_grams",
@@ -1754,7 +1769,7 @@ def q_contamination_overlap(spark, sf_dir):
             .limit(25))
 
 
-SQL_CONTAMINATION_OVERLAP = """
+SQL_CONTAMINATION_OVERLAP = f"""
 WITH sh AS (
     SELECT doc_id,
            list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
@@ -1763,11 +1778,15 @@ WITH sh AS (
     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
           FROM documents)),
 eval_grams AS (
-    SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 17 = 0),
-train AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 17 <> 0),
+    SELECT DISTINCT {_SQL_MD5INT % 'g'} AS gh
+    FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 17 = 0)),
+train AS (
+    SELECT doc_id, {_SQL_MD5INT % 'g'} AS gh
+    FROM (SELECT doc_id, unnest(grams) AS g FROM sh
+          WHERE doc_id % 17 <> 0)),
 hits AS (
     SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit
-    FROM train t JOIN eval_grams e ON t.g = e.g GROUP BY t.doc_id),
+    FROM train t JOIN eval_grams e ON t.gh = e.gh GROUP BY t.doc_id),
 totals AS (
     SELECT doc_id, len(grams) AS n_grams FROM sh
     WHERE doc_id % 17 <> 0 AND len(grams) > 0)

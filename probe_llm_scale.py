@@ -354,8 +354,24 @@ def main() -> None:
     if args.ops:
         ops = {k: v for k, v in ops.items() if k in args.ops.split(",")}
 
+    import os
     results: dict[str, dict] = {n: {} for n in ops}
     probes = {}
+    out_json = Path(__file__).with_name("PROBE_LLM_SCALE.json")
+
+    def dump(**extra):
+        # incremental: a 40+ minute run must not lose every wall to one
+        # late failure (the r10 first attempt died on spill disk at the
+        # second-to-last op with nothing on disk)
+        doc = {"docs_10x": args.docs, "docs_base": args.base_docs,
+               "repeats": args.repeats, "repeats_10x": args.repeats_10x,
+               "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY",
+                                               "16g"),
+               "generate": gen, "detection_base": detection,
+               "probes": probes, "results": results, **extra}
+        out_json.write_text(json.dumps(doc, indent=1, default=str))
+        return doc
+
     for label, (path, n) in scales.items():
         probes[label] = {"cpu_probe_ms": [_cpu_probe_ms()],
                          "cpu_probe_parallel_ms":
@@ -367,6 +383,7 @@ def main() -> None:
                                     "all_s": samples}
             print(f"{name:28s} {label:5s} {min(samples):8.2f} s "
                   f"{samples}", flush=True)
+            dump(partial=True)
         probes[label]["cpu_probe_ms"].append(_cpu_probe_ms())
         probes[label]["cpu_probe_parallel_ms"].append(
             _cpu_probe_parallel_ms(args.cpus))
@@ -376,16 +393,7 @@ def main() -> None:
                                    / max(r["base"]["wall_s"], 1e-9), 2)
 
     shapes = plan_shapes(spark, str(scales["10x"][0]))
-
-    import os
-    doc = {"docs_10x": args.docs, "docs_base": args.base_docs,
-           "repeats": args.repeats, "repeats_10x": args.repeats_10x,
-           "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
-           "generate": gen,
-           "detection_base": detection, "probes": probes,
-           "plan_shapes_10x": shapes, "results": results}
-    Path(__file__).with_name("PROBE_LLM_SCALE.json").write_text(
-        json.dumps(doc, indent=1, default=str))
+    dump(plan_shapes_10x=shapes, partial=False)
     print(json.dumps({
         "metric": "probe_llm_scale_ratio_10x",
         "value": {n: r.get("ratio_10x") for n, r in results.items()},
