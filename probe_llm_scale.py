@@ -256,9 +256,23 @@ def _ops() -> dict:
     from duckdb_otlp_spark.queries import QUERIES
 
     def emb_near_dup(spark, sf_dir):
+        import math
+
+        import pyarrow.parquet as pq
+        from pathlib import Path as _P
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # planes scale with the corpus — the operator's own 100 TB rule
+        # (expected occupancy n/2^planes stays O(1)): a fixed plane
+        # count at 10x the vectors multiplies bucket occupancy 10x and
+        # the candidate self-join quadratically (the first probe run
+        # filled the spill disk exactly this way at 2M vectors)
+        n_vec = sum(pq.ParquetFile(str(f)).metadata.num_rows
+                    for f in _P(f"{sf_dir}/embeddings.parquet")
+                    .glob("*.parquet"))
+        planes = max(16, math.ceil(math.log2(max(n_vec, 2))))
         return embedding_near_dup_pairs(emb, "vec_id", "embedding",
-                                        threshold=0.95, planes=18,
+                                        threshold=0.95, planes=planes,
                                         max_bucket_size=256)
 
     names = ["dedup_exact", "minhash_lsh_pairs", "dedup_cluster",
@@ -358,6 +372,20 @@ def main() -> None:
     results: dict[str, dict] = {n: {} for n in ops}
     probes = {}
     out_json = Path(__file__).with_name("PROBE_LLM_SCALE.json")
+    # a subset rerun (--ops) folds into the existing artifact instead of
+    # overwriting it: prior ops' walls survive, this run's CPU-probe
+    # brackets land under "<label>_rerun:<ops>" so every wall stays
+    # attributable to the brackets recorded around it
+    if args.ops and out_json.exists():
+        prev = json.loads(out_json.read_text())
+        results = {**prev.get("results", {}), **results}
+        probes = prev.get("probes", {})
+        if detection is None:
+            detection = prev.get("detection_base")
+        gen = {**prev.get("generate", {}), **gen}
+
+    probe_key = (lambda label: f"{label}_rerun:{args.ops}"
+                 if args.ops else label)
 
     def dump(**extra):
         # incremental: a 40+ minute run must not lose every wall to one
@@ -373,19 +401,20 @@ def main() -> None:
         return doc
 
     for label, (path, n) in scales.items():
-        probes[label] = {"cpu_probe_ms": [_cpu_probe_ms()],
-                         "cpu_probe_parallel_ms":
-                             [_cpu_probe_parallel_ms(args.cpus)]}
+        pk = probe_key(label)
+        probes[pk] = {"cpu_probe_ms": [_cpu_probe_ms()],
+                      "cpu_probe_parallel_ms":
+                          [_cpu_probe_parallel_ms(args.cpus)]}
         reps = args.repeats if label == "base" else args.repeats_10x
         for name, fn in ops.items():
             samples = time_op(spark, fn, str(path), reps)
-            results[name][label] = {"wall_s": min(samples),
-                                    "all_s": samples}
+            results.setdefault(name, {})[label] = {"wall_s": min(samples),
+                                                   "all_s": samples}
             print(f"{name:28s} {label:5s} {min(samples):8.2f} s "
                   f"{samples}", flush=True)
             dump(partial=True)
-        probes[label]["cpu_probe_ms"].append(_cpu_probe_ms())
-        probes[label]["cpu_probe_parallel_ms"].append(
+        probes[pk]["cpu_probe_ms"].append(_cpu_probe_ms())
+        probes[pk]["cpu_probe_parallel_ms"].append(
             _cpu_probe_parallel_ms(args.cpus))
     for name, r in results.items():
         if "base" in r and "10x" in r:
