@@ -286,9 +286,12 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     Candidates from random-hyperplane LSH (sign sketch over `planes`
     deterministic pseudo-random hyperplanes), verified with exact cosine.
-    High-cosine pairs agree on most plane signs, so bucketing on the full
-    sign sketch plus each one-bit-flipped variant catches near-dups
-    without a cross join.
+    High-cosine pairs agree on most plane signs, so ONE-SIDED
+    multi-probing — each vector indexed under its exact sketch, probes
+    exploded to the sketch plus each one-bit-flipped variant — catches
+    every pair within Hamming distance 1 without a cross join (equal
+    sketches meet on the exact key; a distance-1 pair meets where the
+    prober flips the differing bit).
 
     The hyperplane projection runs per-row over the array with
     ``transform``/``aggregate``, so the plan is independent of the
@@ -372,41 +375,58 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             for p in range(planes)
         ])
 
+    # ONE-SIDED multi-probe (r10 scale probe finding): each vector is
+    # INDEXED once under its exact sketch, and only the PROBE side
+    # explodes the radius-1 flips. Every pair within Hamming distance
+    # <= 1 still collides — equal sketches meet on the exact key, and a
+    # distance-1 pair meets where the prober flips the differing bit —
+    # which is precisely the radius-1 contract above. The previous
+    # both-sided form (flips exploded on BOTH join sides) silently
+    # bought radius-2 recall at (planes+1)x the candidate volume: at 2M
+    # vectors / 21 planes it emitted ~1e9 candidate rows and overflowed
+    # a 75 GB spill disk; one-sided probing is the shape that survives
+    # 100 TB (candidates O(n * (planes+1) * occupancy), not
+    # O(n * (planes+1)^2 * occupancy)).
+    indexed = base.select(F.col("__id").alias("__ri"),
+                          F.col("__sk").alias("bucket"))
     probed = base.select("__id",
                          F.explode(flips(F.col("__sk"))).alias("bucket"))
+
+    def norm_pairs(pairs):
+        # probe->index hits arrive in both orientations; canonicalize
+        # so distinct() collapses them
+        return (pairs.filter(F.col("__id") != F.col("__ri"))
+                .select(F.least("__id", "__ri").alias("id_a"),
+                        F.greatest("__id", "__ri").alias("id_b")))
+
     if max_bucket_size is not None:
-        sizes = (probed.groupBy("bucket")
-                 .agg(F.count("*").alias("__bn"), F.min("__id").alias("__rep")))
-        entries = probed.join(sizes, "bucket")
-        ok = entries.filter(F.col("__bn") <= max_bucket_size)
-        cand_small = (ok.alias("l").join(ok.alias("r"), "bucket")
-                      .filter(F.col("l.__id") < F.col("r.__id"))
-                      .select(F.col("l.__id").alias("id_a"),
-                              F.col("r.__id").alias("id_b")))
+        # skew guard on the INDEXED occupancy (exact sketches): d
+        # identical embeddings land in one index bucket; over-capacity
+        # buckets expose only star_probes smallest-id representatives
+        # to the probe stream
+        sizes = (indexed.groupBy("bucket")
+                 .agg(F.count("*").alias("__bn"),
+                      F.min("__ri").alias("__rep")))
+        idx = indexed.join(sizes, "bucket")
+        ok = idx.filter(F.col("__bn") <= max_bucket_size) \
+                .select("__ri", "bucket")
+        cand_small = norm_pairs(probed.join(ok, "bucket"))
+        big = idx.filter(F.col("__bn") > max_bucket_size)
         if star_probes > 1:
             from pyspark.sql import Window as W
 
-            big = entries.filter(F.col("__bn") > max_bucket_size)
-            rk = F.row_number().over(W.partitionBy("bucket").orderBy("__id"))
+            rk = F.row_number().over(W.partitionBy("bucket")
+                                     .orderBy("__ri"))
             reps = (big.withColumn("__rk", rk)
                     .filter(F.col("__rk") <= star_probes)
-                    .select("bucket", F.col("__id").alias("id_a")))
-            cand_star = (reps.join(big, "bucket")
-                         .filter(F.col("id_a") < F.col("__id"))
-                         .select("id_a", F.col("__id").alias("id_b")))
+                    .select("__ri", "bucket"))
         else:
-            cand_star = (entries.filter((F.col("__bn") > max_bucket_size)
-                                        & (F.col("__id") != F.col("__rep")))
-                         .select(F.col("__rep").alias("id_a"),
-                                 F.col("__id").alias("id_b")))
+            reps = big.filter(F.col("__ri") == F.col("__rep")) \
+                      .select("__ri", "bucket")
+        cand_star = norm_pairs(probed.join(reps, "bucket"))
         cand = cand_small.union(cand_star).distinct()
     else:
-        left, right = probed.alias("l"), probed.alias("r")
-        cand = (left.join(right, "bucket")
-                .filter(F.col("l.__id") < F.col("r.__id"))
-                .select(F.col("l.__id").alias("id_a"),
-                        F.col("r.__id").alias("id_b"))
-                .distinct())
+        cand = norm_pairs(probed.join(indexed, "bucket")).distinct()
 
     side = base.select("__id", "__v", "__n")
     verified = (cand
