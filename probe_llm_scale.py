@@ -337,6 +337,9 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/probe_llm_scale")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--ops", default="", help="comma-separated subset")
+    ap.add_argument("--tiers", default="base,10x",
+                    help="comma-separated tier subset (base,10x) — with "
+                         "--ops, re-measures just those walls and merges")
     ap.add_argument("--skip-generate", action="store_true",
                     help="reuse an existing --out tree")
     ap.add_argument("--skip-detection", action="store_true",
@@ -376,16 +379,21 @@ def main() -> None:
     # overwriting it: prior ops' walls survive, this run's CPU-probe
     # brackets land under "<label>_rerun:<ops>" so every wall stays
     # attributable to the brackets recorded around it
-    if args.ops and out_json.exists():
+    if (args.ops or args.tiers != "base,10x") and out_json.exists():
         prev = json.loads(out_json.read_text())
-        results = {**prev.get("results", {}), **results}
+        # deep-merge per op: a rerun of one tier must not drop the
+        # other tier's recorded wall
+        prev_res = prev.get("results", {})
+        results = {name: {**prev_res.get(name, {}),
+                          **results.get(name, {})}
+                   for name in set(prev_res) | set(results)}
         probes = prev.get("probes", {})
         if detection is None:
             detection = prev.get("detection_base")
         gen = {**prev.get("generate", {}), **gen}
 
-    probe_key = (lambda label: f"{label}_rerun:{args.ops}"
-                 if args.ops else label)
+    probe_key = (lambda label: f"{label}_rerun:{args.ops or 'all'}"
+                 if (args.ops or args.tiers != "base,10x") else label)
 
     def dump(**extra):
         # incremental: a 40+ minute run must not lose every wall to one
@@ -400,7 +408,10 @@ def main() -> None:
         out_json.write_text(json.dumps(doc, indent=1, default=str))
         return doc
 
+    tiers = args.tiers.split(",")
     for label, (path, n) in scales.items():
+        if label not in tiers:
+            continue
         pk = probe_key(label)
         probes[pk] = {"cpu_probe_ms": [_cpu_probe_ms()],
                       "cpu_probe_parallel_ms":
