@@ -2938,6 +2938,349 @@ FROM fp ORDER BY rank
 """
 
 
+_SEMDEDUP_K = 8          # clusters (oracle-expressibility scale; see docstring)
+_SEMDEDUP_ITERS = 2      # assignment rounds (1 Lloyd mean update between them)
+_SEMDEDUP_TAU = 0.45     # within-cluster cosine dup threshold (in-corpus range)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, then inside each cluster drop every
+    vector that has an earlier (lower vec_id) cluster-mate with cosine
+    >= tau — pairwise similarity is only ever computed WITHIN a
+    cluster, which is the whole trick that makes semantic dedup
+    tractable at corpus scale (vs the all-pairs cross join).
+
+    Determinism/parity: centroids init as the K smallest vec_ids'
+    vectors; each Lloyd round assigns by squared-L2 rounded to 6dp with
+    ties to the lower centroid id, and recomputed centroid means are
+    rounded to 6dp per dimension — so both engines walk the identical
+    quantized recurrence (the DuckDB twin unrolls the same K/iters).
+
+    Scale shape: every assignment round is MAP-ONLY — the K centroids
+    travel as plan literals (K*d doubles), so the corpus scan never
+    shuffles for assignment; the mean update is one K-group partial
+    agg (K rows to the driver, never vectors). The within-cluster pair
+    scan shuffles by cluster id — an equi-join, no NLJ (plan-pinned).
+    K=8 here is an oracle-expressibility artifact: real SemDeDup runs
+    K ~ n/1000 (so expected cluster size stays O(1000) and the
+    within-cluster quadratic term is bounded); the assignment plan is
+    K-independent map work and the literal centroids would move to a
+    broadcast table at that K."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    seeds = (emb.orderBy("vec_id").limit(_SEMDEDUP_K).collect())
+    # (cid, vector) pairs, K x d doubles — bounded driver state
+    cents = [(cid, list(r["v"])) for cid, r in enumerate(seeds)]
+
+    def assign(df, cents):
+        dists = []
+        for cid, c in cents:
+            d = F.aggregate(
+                F.zip_with(F.col("v"), F.lit(c),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            dists.append(F.struct(F.round(d, 6).alias("d"),
+                                  F.lit(cid).alias("cid")))
+        return df.withColumn("cid", F.array_min(F.array(*dists))["cid"])
+
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(_SEMDEDUP_ITERS - 1):
+        assigned = assign(emb, cents)
+        means = (assigned.groupBy("cid")
+                 .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+        # an emptied cluster disappears, exactly like the twin's mean
+        # CTE (GROUP BY cid has no row for it) — surviving cids keep
+        # their ORIGINAL ids so both engines' cluster labels agree
+        cents = sorted(
+            ((r["cid"], [r[f"m{i}"] for i in range(dim)]) for r in means),
+            key=lambda t: t[0])
+    a = assign(emb, cents).select("vec_id", "v", "cid")
+    b = a.select(F.col("vec_id").alias("b_vec_id"),
+                 F.col("v").alias("b_v"), F.col("cid").alias("b_cid"))
+    cos = _vec_dot(F.col("v"), F.col("b_v")) / (
+        _vec_norm(F.col("v")) * _vec_norm(F.col("b_v")))
+    dups = (a.join(b, (F.col("cid") == F.col("b_cid"))
+                   & (F.col("vec_id") < F.col("b_vec_id")))
+            .filter(F.round(cos, 6) >= _SEMDEDUP_TAU)
+            .select(F.col("b_vec_id").alias("vec_id")).distinct()
+            .withColumn("dup", F.lit(True)))
+    return (a.join(dups, "vec_id", "left")
+            .select("vec_id", F.col("cid").cast("int").alias("cluster_id"),
+                    F.coalesce(~F.col("dup"), F.lit(True)).alias("is_kept"))
+            .orderBy("vec_id"))
+
+
+def _semdedup_sql():
+    """Unrolled k-means twin: same init, same 6dp-quantized recurrence."""
+    k, tau = _SEMDEDUP_K, _SEMDEDUP_TAU
+    dist = ("round(list_sum(list_transform(range(1, len(e.v) + 1), "
+            "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)")
+    assign = """
+a{n} AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN c{n} c) WHERE rn = 1)"""
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM e ORDER BY vec_id LIMIT {k})"""]
+    for it in range(_SEMDEDUP_ITERS - 1):
+        parts.append(assign.format(n=it, dist=dist) + f""",
+c{it + 1} AS (SELECT cid, list(mv ORDER BY i) AS v FROM (
+    SELECT cid, i, round(avg(v[i]), 6) AS mv FROM (
+        SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM a{it})
+    GROUP BY cid, i) GROUP BY cid)""")
+    last = _SEMDEDUP_ITERS - 1
+    parts.append(assign.format(n=last, dist=dist) + f""",
+dup AS (SELECT DISTINCT b.vec_id FROM a{last} a JOIN a{last} b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau})
+SELECT a{last}.vec_id, CAST(cid AS INTEGER) AS cluster_id,
+       dup.vec_id IS NULL AS is_kept
+FROM a{last} LEFT JOIN dup ON a{last}.vec_id = dup.vec_id
+ORDER BY a{last}.vec_id""")
+    return ",".join(parts)
+
+
+SQL_SEMDEDUP = _semdedup_sql()
+
+
+_WINNOW_K = 4      # tokens per k-gram
+_WINNOW_W = 5      # winnowing window (guarantee: matches >= k+w-1 tokens)
+_WINNOW_MIN_SHARED = 3
+
+
+def q_winnowing_pairs(spark, sf_dir):
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken 2003) overlap detection:
+    per document, hash every word 4-gram, slide a w=5 window over the
+    hash sequence selecting each window's minimum (rightmost on ties —
+    the robust-winnowing rule), dedup the selected fingerprints per
+    doc, then self-join fingerprints across documents and report pairs
+    sharing >= 3 — the guarantee-bearing local fingerprinting scheme
+    (any shared run of k+w-1 = 8 tokens is provably caught) that
+    plagiarism/overlap detectors use instead of random MinHash
+    sampling.
+
+    Determinism/parity: the rightmost-min tie-break is encoded in the
+    window key itself — hash || zero-padded (1e8 - pos) — so a plain
+    MIN over the frame is the selection rule in both engines; the hash
+    is md5 (identical both sides).
+
+    Scale shape: k-gram hashing is map-only array work on the split
+    array (no explode of raw text across the wire — only 12-byte
+    hashes + positions shuffle, ONE doc_id exchange for the frame);
+    fingerprint density is ~2/(w+1) of k-grams, so the cross-doc join
+    input is ~1/3 the token count, keyed by hash (equi-join, AQE
+    skew-splittable); the >= MIN_SHARED count is a partial agg over
+    pair keys. A corpus-frequency stop-list on hot fingerprints (the
+    standard MOSS refinement) would bolt on as one broadcast anti-join
+    before the pair join."""
+    k, w = _WINNOW_K, _WINNOW_W
+    docs = _docs_parallel(spark, sf_dir)
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", arr.alias("arr"))
+    n = F.size("arr")
+    kg = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("arr"), i, k))),
+                1, 12))).alias("p0", "h"))
+    keyed = (kg.select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+             .withColumn("k", F.concat(
+                 F.col("h"),
+                 F.lpad((F.lit(100000000) - F.col("pos")).cast("string"),
+                        9, "0"))))
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    m = F.count("*").over(W.partitionBy("doc_id"))
+    sel = (keyed
+           .withColumn("m", m)
+           .withColumn("s", F.min("k").over(dw.rowsBetween(0, w - 1)))
+           .filter(F.col("pos") <= F.greatest(F.col("m") - (w - 1),
+                                              F.lit(1))))
+    fp = sel.select("doc_id", F.substring("s", 1, 12).alias("h")).distinct()
+    fb = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    return (fp.join(fb, "h")
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+            .agg(F.count("*").cast("long").alias("shared_fingerprints"))
+            .filter(F.col("shared_fingerprints") >= _WINNOW_MIN_SHARED)
+            .orderBy("doc_a", "doc_b"))
+
+
+SQL_WINNOWING_PAIRS = f"""
+WITH toks AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+              FROM documents),
+pg AS (SELECT doc_id, arr,
+              unnest(range(1, greatest(len(arr) - {_WINNOW_K - 2},
+                                       2))) AS pos
+       FROM toks),
+kg AS (SELECT doc_id, pos,
+              substr(md5(array_to_string(
+                  list_slice(arr, pos, pos + {_WINNOW_K - 1}), ' ')),
+                  1, 12) AS h
+       FROM pg),
+keyed AS (SELECT doc_id, pos,
+              h || lpad(CAST(100000000 - pos AS VARCHAR), 9, '0') AS k,
+              count(*) OVER (PARTITION BY doc_id) AS m
+          FROM kg),
+sel AS (SELECT doc_id, pos, m,
+              min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_WINNOW_W - 1} FOLLOWING) AS s
+        FROM keyed),
+fp AS (SELECT DISTINCT doc_id, substr(s, 1, 12) AS h
+       FROM sel WHERE pos <= greatest(m - {_WINNOW_W - 1}, 1))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information —
+    PMI(x,y) = log2(P(xy) / (P(x)P(y))) with a min-count floor — the
+    classic corpus-statistics pass (Church & Hanks 1990) a curation
+    pipeline runs to find multiword expressions / boilerplate phrases
+    worth treating as units (tokenizer merges, stop-phrase lists).
+
+    Scale shape: adjacent-pair extraction is ONE doc_id-partitioned
+    lead() window (only (doc_id, pos, token) rows shuffle — raw text
+    never does); bigram and unigram counts are token-keyed partial
+    aggs (O(vocab) / O(vocab^2-observed) rows); the two corpus totals
+    ride along as a 1-row broadcast (bm25's corpus-stats pattern);
+    the final top-20 sorts only the >= min-count survivors. Ranking
+    orders by the ROUNDED pmi (then bigram text), so engine-side FP
+    noise below 1e-4 cannot reorder the cut."""
+    docs = _docs_parallel(spark, sf_dir)
+    tok = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))),
+                             r"\s+")).alias("pos", "w"))
+        .filter(F.col("w") != ""))
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    bg = (tok.select("doc_id", "pos", F.col("w").alias("w1"),
+                     F.lead("w").over(dw).alias("w2"))
+          .filter(F.col("w2").isNotNull()))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = (uc.agg(F.sum("c").alias("n_uni"))
+           .crossJoin(bc.agg(F.sum("c_xy").alias("n_bi"))))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (bc.filter(F.col("c_xy") >= 5)
+            .join(u1, "w1").join(u2, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "w1", "w2", F.col("c_xy").cast("long").alias("pair_count"),
+                F.round(F.log2((F.col("c_xy") / F.col("n_bi"))
+                               / ((F.col("c1") / F.col("n_uni"))
+                                  * (F.col("c2") / F.col("n_uni")))),
+                        4).alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(20))
+
+
+SQL_PMI_COLLOCATIONS = """
+WITH toks AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+              FROM documents),
+pg AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM toks),
+tok AS (SELECT doc_id, pos, arr[pos] AS w FROM pg WHERE arr[pos] <> ''),
+bg AS (SELECT w AS w1,
+              lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM tok),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg
+       WHERE w2 IS NOT NULL GROUP BY 1, 2),
+uc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT (SELECT sum(c) FROM uc) AS n_uni,
+               (SELECT sum(c_xy) FROM bc) AS n_bi)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS pair_count,
+       round(log2((c_xy / n_bi)
+                  / ((u1.c / n_uni) * (u2.c / n_uni))), 4) AS pmi
+FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN tot
+WHERE c_xy >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+_PASSAGE_TOKENS = 16
+
+
+def q_passage_dedup(spark, sf_dir):
+    """Sub-document (passage-level) duplication audit: split each
+    document's token stream into fixed 16-token chunks, hash each
+    chunk, count corpus-wide occurrences, and report per document how
+    many of its chunks are duplicated ANYWHERE in the corpus — the
+    boilerplate/repeated-passage detector that document-level dedup
+    (exact or MinHash) is blind to, and the usual precursor to
+    passage-granular removal.
+
+    Scale shape: chunking + hashing is map-only array work (transform
+    over the split array — raw text never shuffles; only 32-char chunk
+    digests do); the global occurrence count is a digest-keyed partial
+    agg (O(distinct chunks)); the per-doc rollup re-shuffles only
+    (doc_id, digest, n) rows. Equi-joins throughout, no NLJ."""
+    p = _PASSAGE_TOKENS
+    docs = _docs_parallel(spark, sf_dir)
+    arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                   lambda t: t != "")
+    toks = docs.select("doc_id", arr.alias("arr"))
+    n_chunks = F.ceil(F.size("arr") / p).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda c: F.md5(F.concat_ws(
+                " ", F.slice(F.col("arr"), c * p + 1, p)))))
+        .alias("chunk_idx", "ph"))
+    gc = chunks.groupBy("ph").agg(F.count("*").alias("n"))
+    return (chunks.join(gc, "ph")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                 .cast("long").alias("dup_chunks"),
+                 F.round(F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                         / F.count("*"), 4).alias("dup_ratio"))
+            .orderBy("doc_id"))
+
+
+SQL_PASSAGE_DEDUP = f"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+'),
+                                 t -> t <> '') AS arr
+              FROM documents),
+ch AS (SELECT doc_id, arr,
+              unnest(range(0, greatest(CAST(ceil(len(arr) / {_PASSAGE_TOKENS}.0)
+                                            AS BIGINT), 1))) AS chunk_idx
+       FROM toks),
+pass AS (SELECT doc_id, chunk_idx,
+              md5(array_to_string(
+                  list_slice(arr, chunk_idx * {_PASSAGE_TOKENS} + 1,
+                             (chunk_idx + 1) * {_PASSAGE_TOKENS}), ' ')) AS ph
+         FROM ch),
+gc AS (SELECT ph, count(*) AS n FROM pass GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+           AS dup_ratio
+FROM pass JOIN gc USING (ph)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3116,6 +3459,15 @@ QUERIES.update({
     "percentile": q_percentile,
     "minhash_signature": q_minhash_signature,
     "embedding_group_stats": q_embedding_group_stats,
+    # Round-10 additions (registered past the window like every new entry
+    # until a rotation argument exists; all four carry the full pytest
+    # DuckDB-oracle differential like the rest of the registry):
+    # SemDeDup-style semantic dedup, MOSS winnowing overlap pairs,
+    # PMI collocations, and passage-level duplication audit.
+    "semdedup": q_semdedup,
+    "winnowing_pairs": q_winnowing_pairs,
+    "pmi_collocations": q_pmi_collocations,
+    "passage_dedup": q_passage_dedup,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -3193,6 +3545,10 @@ ORACLE_SQL: dict[str, str] = {
     "latency_quantiles": SQL_LATENCY_QUANTILES,
     "token_offsets": SQL_TOKEN_OFFSETS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
+    "semdedup": SQL_SEMDEDUP,
+    "winnowing_pairs": SQL_WINNOWING_PAIRS,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "passage_dedup": SQL_PASSAGE_DEDUP,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

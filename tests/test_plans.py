@@ -606,6 +606,60 @@ def test_r9_operator_plan_shapes(spark):
     assert not lq.has_python_eval
 
 
+def test_r10_operator_plan_shapes(spark):
+    """Scale-shape pins for the r10 registry additions (each docstring's
+    claim, made testable):
+
+    - semdedup: every k-means assignment round is MAP-ONLY (centroids
+      are plan literals — no join, no SinglePartition for assignment);
+      the within-cluster dup scan is a cid equi-join, never an
+      all-pairs NLJ; no Python anywhere.
+    - winnowing_pairs: fingerprinting is ONE doc_id window pass with
+      the tokenization split() let-bound OUTSIDE the per-gram lambda
+      (the O(words^2) CodegenFallback trap — at most one split per
+      scan branch); the cross-doc match is a hash equi-join.
+    - pmi_collocations: the only NLJs are the two 1-row corpus-stats
+      broadcasts (bm25's pattern); uni/bigram lookups equi-join.
+    - passage_dedup: chunk digests equi-join; no NLJ; split let-bound
+      (one per scan branch)."""
+    sd = _rep(spark, "semdedup")
+    assert sd.nested_loop_joins == 0
+    assert sd.broadcast_joins + sd.sort_merge_joins \
+        + sd.shuffled_hash_joins >= 1
+    assert not sd.has_python_eval
+    # assignment is literal-centroid map work: no shuffle before the
+    # first aggregate, so the plan has zero SinglePartition exchanges
+    assert sd.text.count("SinglePartition") == 0
+    scan = sd.scan_for("embeddings.parquet")
+    assert set(scan.read_columns) == {"vec_id", "embedding"}
+
+    wp = _rep(spark, "winnowing_pairs")
+    assert wp.nested_loop_joins == 0
+    assert wp.broadcast_joins + wp.sort_merge_joins \
+        + wp.shuffled_hash_joins >= 1
+    assert not wp.has_python_eval
+    # split evaluated once per scan branch (fp + self-join side = 2),
+    # never inlined into the per-gram transform lambda
+    assert wp.text.count("split(trim(") <= 2, wp.text.count("split(trim(")
+    scan = wp.scan_for("documents.parquet")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+
+    pc = _rep(spark, "pmi_collocations")
+    # formatted explain prints each join ~2x: <=4 pins exactly the TWO
+    # 1-row corpus-stats broadcasts and nothing else
+    assert pc.nested_loop_joins <= 4, pc.nested_loop_joins
+    assert pc.broadcast_joins + pc.sort_merge_joins \
+        + pc.shuffled_hash_joins >= 1
+    assert not pc.has_python_eval
+
+    pd = _rep(spark, "passage_dedup")
+    assert pd.nested_loop_joins == 0
+    assert pd.broadcast_joins + pd.sort_merge_joins \
+        + pd.shuffled_hash_joins >= 1
+    assert not pd.has_python_eval
+    assert pd.text.count("split(trim(") <= 2, pd.text.count("split(trim(")
+
+
 def test_gram_builders_bind_split_once(spark):
     """r10 scale-probe regression pin: higher-order-function lambdas are
     interpreted (CodegenFallback) with NO common-subexpression
