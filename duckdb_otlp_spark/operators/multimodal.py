@@ -7,13 +7,17 @@ The *container-header* half of the decode seam is REAL: PNG IHDR, JPEG
 SOF, GIF logical-screen, and WAV fmt/data headers are parsed with
 stdlib ``struct`` only (:func:`sniff_media_header` /
 :func:`decode_headers`), so width/height/duration/sample-rate come from
-the actual bytes.  TRUE pixel/sample decode is also real for the two
-stdlib-decodable containers: non-interlaced 8-bit PNG (zlib inflate +
-per-row unfilter, :func:`decode_png_pixels`) and integer-PCM WAV
+the actual bytes.  TRUE pixel/sample decode is also real for all four
+image/audio containers: non-interlaced 8-bit PNG (zlib inflate +
+per-row unfilter, :func:`decode_png_pixels`), baseline JPEG (huffman +
+dequant + IDCT + chroma upsample, :func:`decode_jpeg_pixels`), GIF
+(variable-width LZW + palette + interlace reorder,
+:func:`decode_gif_pixels`), and integer-PCM WAV
 (:func:`decode_wav_samples`), feeding real signal features (mean luma /
 RMS amplitude) through ``extract_features(decode_pixels=True)``.  Only
-the codecs that genuinely need PIL/ffmpeg (JPEG, GIF, compressed
-audio, palette/interlaced/16-bit PNG) remain NotImplementedError.
+the genuinely codec-library-sized variants remain NotImplementedError
+(progressive/arithmetic/12-bit/CMYK JPEG, palette/interlaced/16-bit
+PNG, compressed audio).
 
 Scale notes: payloads stay in the executor as Arrow binary buffers;
 mapInPandas streams record batches so one task never materializes more
@@ -208,12 +212,14 @@ def decode_headers(df: DataFrame, *, strict: bool = False) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# True pixel/sample decode — stdlib only (r9 VERDICT #4)
+# True pixel/sample decode — stdlib only (r9 VERDICT #4, completed r10)
 #
 # PNG pixel data is zlib (stdlib) + the five per-row filters; WAV PCM
-# samples are plain struct arrays. Decoding those two containers closes
-# most of the remaining media seam without PIL/ffmpeg; JPEG/GIF pixel
-# decode genuinely needs a codec library and stays NotImplementedError.
+# samples are plain struct arrays; GIF is variable-width LZW (~60 lines,
+# the format's only compression); baseline JPEG is canonical huffman +
+# dequant + separable IDCT + chroma upsample per ITU-T T.81. All four
+# containers decode without PIL/ffmpeg; only the codec-library-sized
+# variants (progressive/arithmetic JPEG etc.) raise NotImplementedError.
 # ---------------------------------------------------------------------------
 
 # channels per PNG color type (palette — type 3 — needs the PLTE
@@ -324,11 +330,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     return w, h, nch, out
 
 
-def png_mean_luma(payload: bytes) -> float:
-    """Real pixel-level feature from a stdlib PNG decode: mean Rec.601
-    luma (0.299R + 0.587G + 0.114B, the gray value itself for grayscale)
-    over all pixels, in [0, 255]."""
-    w, h, nch, px = decode_png_pixels(payload)
+def _mean_luma(w: int, h: int, nch: int, px) -> float:
+    """Mean Rec.601 luma (0.299R + 0.587G + 0.114B; the gray value itself
+    for grayscale) over decoded samples, in [0, 255]."""
     n = w * h
     if nch in (1, 2):        # gray / gray+alpha: luma IS the gray sample
         return sum(px[0::nch]) / n
@@ -336,6 +340,440 @@ def png_mean_luma(payload: bytes) -> float:
     g = sum(px[1::nch])
     bl = sum(px[2::nch])
     return (0.299 * r + 0.587 * g + 0.114 * bl) / n
+
+
+def png_mean_luma(payload: bytes) -> float:
+    """Real pixel-level feature from a stdlib PNG decode: mean Rec.601
+    luma over all pixels, in [0, 255]."""
+    return _mean_luma(*decode_png_pixels(payload))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    expected: int) -> bytearray:
+    """GIF-variant LZW (LSB-first variable-width codes, CLEAR/EOI,
+    12-bit cap) — the only compression GIF has, fully stdlib."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+
+    def fresh():
+        return ({i: bytes([i]) for i in range(clear)},
+                min_code_size + 1, clear + 2)
+
+    table, width, next_code = fresh()
+    prev = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + width <= total_bits and len(out) < expected:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte:byte + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width, next_code = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("GIF LZW stream starts with a "
+                                 "non-literal code")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:          # the KwKwK special case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(f"GIF pixel stream is {len(out)} indices, "
+                         f"expected {expected}")
+    return out[:expected]
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode the FIRST frame of a GIF87a/89a to RGB with stdlib only:
+    header + logical-screen walk, global/local color table, extension
+    skip, GIF-variant LZW (:func:`_gif_lzw_decode`), 4-pass interlace
+    reorder, palette indirection. Returns ``(width, height, 3, rgb)``.
+
+    Raises ``ValueError`` on corrupt containers. GIF has no
+    codec-library-only shapes — LZW IS the format — so nothing here
+    stays NotImplementedError."""
+    b = payload
+    if b is None or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        sz = 3 * (2 << (packed & 7))
+        gct = b[i:i + sz]
+        i += sz
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:                    # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += b[i] + 1
+            i += 1
+        elif blk == 0x2C:                  # image descriptor
+            if i + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", b,
+                                                            i + 1)
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                sz = 3 * (2 << (ipacked & 7))
+                pal = b[i:i + sz]
+                i += sz
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code_size = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                n = b[i]
+                data += b[i + 1:i + 1 + n]
+                i += n + 1
+            idx = _gif_lzw_decode(bytes(data), min_code_size, w * h)
+            if ipacked & 0x40:             # 4-pass interlace reorder
+                rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                fixed = [None] * h
+                for src, dst in enumerate(order):
+                    fixed[dst] = rows[src]
+                idx = bytearray().join(fixed)
+            out = bytearray(w * h * 3)
+            npal = len(pal) // 3
+            for j, v in enumerate(idx):
+                if v >= npal:
+                    raise ValueError(f"GIF pixel index {v} outside the "
+                                     f"{npal}-entry color table")
+                out[3 * j:3 * j + 3] = pal[3 * v:3 * v + 3]
+            return w, h, 3, out
+        elif blk == 0x3B:                  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def gif_mean_luma(payload: bytes) -> float:
+    """Real pixel-level feature from a stdlib GIF decode (first frame)."""
+    return _mean_luma(*decode_gif_pixels(payload))
+
+
+# --- baseline JPEG (ITU-T T.81 sequential DCT, huffman) ----------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# 1D IDCT basis: _IDCT_COS[x][u] = C(u)/2 * cos((2x+1)u*pi/16)
+import math as _math
+
+_IDCT_COS = [[(_math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+              * _math.cos((2 * x + 1) * u * _math.pi / 16)
+              for u in range(8)] for x in range(8)]
+
+
+def _idct8x8(coef):
+    """Separable 2D inverse DCT of one 64-coefficient block (natural
+    order), float math per T.81 A.3.3."""
+    tmp = [0.0] * 64
+    for y in range(8):                     # rows: 1D IDCT over u
+        row = coef[8 * y:8 * y + 8]
+        for x in range(8):
+            cx = _IDCT_COS[x]
+            tmp[8 * y + x] = (row[0] * cx[0] + row[1] * cx[1]
+                              + row[2] * cx[2] + row[3] * cx[3]
+                              + row[4] * cx[4] + row[5] * cx[5]
+                              + row[6] * cx[6] + row[7] * cx[7])
+    out = [0] * 64
+    for x in range(8):                     # cols: 1D IDCT over v
+        col = tmp[x::8]
+        for y in range(8):
+            cy = _IDCT_COS[y]
+            v = (col[0] * cy[0] + col[1] * cy[1] + col[2] * cy[2]
+                 + col[3] * cy[3] + col[4] * cy[4] + col[5] * cy[5]
+                 + col[6] * cy[6] + col[7] * cy[7]) + 128.0
+            out[8 * y + x] = 0 if v < 0 else (255 if v > 255 else
+                                              int(v + 0.5))
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment bit reader with FF00 unstuffing; stops
+    at any real marker (leaves position ON the FF)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos = buf, pos
+        self.bits, self.nbits = 0, 0
+
+    def _fill(self):
+        b = self.buf
+        if self.pos >= len(b):
+            raise ValueError("JPEG entropy segment truncated")
+        v = b[self.pos]
+        if v == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
+            if nxt == 0x00:
+                self.pos += 2              # stuffed FF
+            else:
+                raise ValueError("JPEG entropy segment hit marker "
+                                 f"FF{nxt:02X} mid-block")
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | v
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Drop pad bits; caller expects a marker next (RSTn)."""
+        self.nbits = 0
+
+    def decode_huff(self, table) -> int:
+        code, length = 0, 0
+        lookup = table
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to the signed coefficient."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a BASELINE JPEG (SOF0/SOF1 sequential DCT, huffman) with
+    stdlib only: marker walk (DQT/DHT/SOF/DRI/SOS), MCU entropy decode
+    with restart-marker support, dequant + zigzag + separable float
+    IDCT, nearest-neighbor chroma upsample, YCbCr->RGB (grayscale
+    passes through). Returns ``(width, height, channels, samples)``.
+
+    Raises ``NotImplementedError`` for progressive (SOF2) /
+    arithmetic-coded / lossless / 12-bit / CMYK shapes — those are the
+    genuinely codec-library-sized variants — and ``ValueError`` on
+    corrupt containers."""
+    b = payload
+    if b is None or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    w = h = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {i}")
+        m = b[i + 1]
+        if m == 0xFF:                      # fill byte
+            i += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", b, i + 2)
+        seg = b[i + 4:i + 2 + seglen]
+        if m == 0xDB:                      # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    raise NotImplementedError(
+                        "16-bit JPEG quant tables need a codec library")
+                qt[tq] = list(seg[j:j + 64])
+                j += 64
+        elif m == 0xC4:                    # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1:j + 17]
+                j += 17
+                table, code = {}, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[j]
+                        j += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif m in (0xC0, 0xC1):            # SOF0/1 baseline sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG needs a codec library")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK?) needs a codec library")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{m - 0xC0} (progressive/arithmetic/lossless) "
+                f"needs a codec library; stdlib decode covers baseline "
+                f"sequential huffman")
+        elif m == 0xDD:                    # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:                    # SOS — entropy data follows
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            for comp in comps:
+                comp["td"], comp["ta"] = sel[comp["id"]]
+            entropy_at = i + 2 + seglen
+            return _jpeg_scan(b, entropy_at, w, h, comps, qt, huff,
+                              restart_interval)
+        elif m == 0xD9:
+            break
+        i += 2 + seglen
+    raise ValueError("JPEG missing SOS/EOI")
+
+
+def _jpeg_scan(b, pos, w, h, comps, qt, huff, restart_interval):
+    """Sequential-scan MCU walk for :func:`decode_jpeg_pixels`."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]            # blocks across, padded
+        c["bh"] = mcuy * c["v"]
+        c["plane"] = bytearray(c["bw"] * 8 * c["bh"] * 8)
+        c["pred"] = 0
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG references missing quant table "
+                             f"{c['tq']}")
+    rdr = _JpegBitReader(b, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                rdr.align_to_marker()
+                if not (rdr.pos + 2 <= len(b) and b[rdr.pos] == 0xFF
+                        and 0xD0 <= b[rdr.pos + 1] <= 0xD7):
+                    raise ValueError("JPEG restart marker expected")
+                rdr.pos += 2
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                q = qt[c["tq"]]
+                dct = huff.get((0, c["td"]))
+                act = huff.get((1, c["ta"]))
+                if dct is None or act is None:
+                    raise ValueError("JPEG references missing huffman "
+                                     "table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = [0.0] * 64
+                        t = rdr.decode_huff(dct)
+                        diff = _jpeg_extend(rdr.read_bits(t), t) if t \
+                            else 0
+                        c["pred"] += diff
+                        coef[0] = c["pred"] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.decode_huff(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:      # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break            # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            coef[_ZIGZAG[k]] = \
+                                _jpeg_extend(rdr.read_bits(s), s) * q[k]
+                            k += 1
+                        px = _idct8x8(coef)
+                        # place block into the component plane
+                        gx = (mx * c["h"] + bx) * 8
+                        gy = (my * c["v"] + by) * 8
+                        rowlen = c["bw"] * 8
+                        for yy in range(8):
+                            off = (gy + yy) * rowlen + gx
+                            c["plane"][off:off + 8] = \
+                                bytes(px[8 * yy:8 * yy + 8])
+            mcu_count += 1
+    if len(comps) == 1:
+        c = comps[0]
+        rowlen = c["bw"] * 8
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w:(y + 1) * w] = c["plane"][y * rowlen:y * rowlen + w]
+        return w, h, 1, out
+    # upsample (nearest) + YCbCr -> RGB
+    planes, scales = [], []
+    for c in comps:
+        planes.append(c["plane"])
+        scales.append((hmax // c["h"], vmax // c["v"], c["bw"] * 8))
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            sy, sx, rl = scales[0]
+            yv = planes[0][(y // sx) * rl + (x // sy)]
+            sy, sx, rl = scales[1]
+            cb = planes[1][(y // sx) * rl + (x // sy)] - 128
+            sy, sx, rl = scales[2]
+            cr = planes[2][(y // sx) * rl + (x // sy)] - 128
+            r = yv + 1.402 * cr
+            g = yv - 0.344136 * cb - 0.714136 * cr
+            bl = yv + 1.772 * cb
+            o = 3 * (y * w + x)
+            out[o] = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
+            out[o + 2] = 0 if bl < 0 else (255 if bl > 255
+                                           else int(bl + 0.5))
+    return w, h, 3, out
+
+
+def jpeg_mean_luma(payload: bytes) -> float:
+    """Real pixel-level feature from a stdlib baseline-JPEG decode."""
+    return _mean_luma(*decode_jpeg_pixels(payload))
 
 
 def decode_wav_samples(payload: bytes) -> tuple[int, int, list[float]]:
@@ -414,14 +852,15 @@ def extract_features(df: DataFrame, dim: int = 8,
     The feature vector itself stays the deterministic byte-level fake
     until a real encoder plugs in.
 
-    ``decode_pixels=True`` runs the TRUE pixel/sample decode for the
-    two stdlib-decodable containers and appends real signal-level
-    features: ``mean_luma`` for PNG (:func:`png_mean_luma` — zlib
-    inflate + per-row unfilter) and ``rms_amplitude`` for integer-PCM
-    WAV (:func:`wav_rms_amplitude`), null for the other container's
-    column. JPEG and GIF pixel decode genuinely needs a codec library
-    (PIL/ffmpeg, absent from this container) → NotImplementedError,
-    as do the PNG/WAV shapes beyond stdlib (palette/interlace/16-bit
+    ``decode_pixels=True`` runs the TRUE pixel/sample decode — all four
+    image/audio containers are now stdlib-decoded — and appends real
+    signal-level features: ``mean_luma`` for PNG (zlib inflate +
+    per-row unfilter), baseline JPEG (huffman + dequant + IDCT +
+    chroma upsample, :func:`decode_jpeg_pixels`), and GIF (LZW +
+    palette, :func:`decode_gif_pixels`); ``rms_amplitude`` for
+    integer-PCM WAV, null for the other kind's column. Only the
+    genuinely codec-library-sized variants stay NotImplementedError
+    (progressive/arithmetic/12-bit/CMYK JPEG, palette/interlace/16-bit
     PNG, non-PCM WAV). Unrecognized containers raise ValueError.
     """
     schema = FEATURE_SCHEMA
@@ -460,15 +899,15 @@ def extract_features(df: DataFrame, dim: int = 8,
                     if fmt == "png":
                         lumas.append(png_mean_luma(b))
                         rmss.append(None)
+                    elif fmt == "jpeg":
+                        lumas.append(jpeg_mean_luma(b))
+                        rmss.append(None)
+                    elif fmt == "gif":
+                        lumas.append(gif_mean_luma(b))
+                        rmss.append(None)
                     elif fmt == "wav":
                         lumas.append(None)
                         rmss.append(wav_rms_amplitude(b))
-                    elif fmt in ("jpeg", "gif"):
-                        raise NotImplementedError(
-                            f"media_id={mid}: {fmt} pixel decode needs "
-                            f"a codec library (PIL/ffmpeg), absent from "
-                            f"this container; stdlib pixel decode "
-                            f"covers PNG and integer-PCM WAV")
                     else:
                         raise ValueError(
                             f"media_id={mid}: unrecognized container "

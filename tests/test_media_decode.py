@@ -1,0 +1,464 @@
+"""Exactness tests for the stdlib GIF + baseline-JPEG pixel decoders.
+
+Every payload is crafted by an INDEPENDENT encoder written here (GIF
+LZW encoder; baseline JPEG entropy encoder over the spec's Annex K
+huffman tables), and expected pixels come from either the raw inputs
+or a direct quadruple-loop IDCT (T.81 A.3.3) — a different algorithm
+from the decoder's separable version — so the decoders are checked
+against the format spec, not against themselves.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct as st
+
+import pytest
+
+from duckdb_otlp_spark.operators import multimodal as mm
+
+# ---------------------------------------------------------------------------
+# independent GIF encoder
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code, width):
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    emit(clear, width)
+    cur = b""
+    for v in indices:
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4097:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+            width = min_code_size + 1
+        cur = bytes([v])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _full_gif(w, h, palette, indices, *, interlace=False, min_code_size=2,
+              local_palette=False, trailer=True):
+    """Craft a complete single-frame GIF89a (graphic-control extension
+    included, so the decoder's extension skip is exercised too)."""
+    npal = len(palette) // 3
+    bits = max(2, (npal - 1).bit_length())
+    size = 2 ** bits
+    pal = palette + b"\x00" * (3 * (size - npal))
+    if interlace:
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        rows = [indices[r * w:(r + 1) * w] for r in range(h)]
+        stored = b"".join(bytes(rows[d]) for d in order)
+    else:
+        stored = bytes(indices)
+    lzw = _gif_lzw_encode(stored, min_code_size)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        sub.append(len(part))
+        sub += part
+    sub.append(0)
+    gpacked = 0 if local_palette else (0x80 | (bits - 1))
+    ipacked = (0x80 | (bits - 1)) if local_palette else 0
+    if interlace:
+        ipacked |= 0x40
+    b = (b"GIF89a" + st.pack("<HHBBB", w, h, gpacked, 0, 0)
+         + (b"" if local_palette else pal)
+         + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+         + b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, ipacked)
+         + (pal if local_palette else b"")
+         + bytes([min_code_size]) + bytes(sub))
+    if trailer:
+        b += b"\x3b"
+    return b
+
+
+# ---------------------------------------------------------------------------
+# independent baseline-JPEG encoder (Annex K huffman tables)
+# ---------------------------------------------------------------------------
+
+_K_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K_DC_SYMS = list(range(12))
+_K_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_K_AC_SYMS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _build_codes(counts, syms):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[syms[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _build_codes(_K_DC_COUNTS, _K_DC_SYMS)
+_AC_CODES = _build_codes(_K_AC_COUNTS, _K_AC_SYMS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, width):
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:      # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _cat_bits(v):
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    bits = v if v > 0 else (v + (1 << t) - 1)
+    return t, bits
+
+
+def _full_jpeg(w, h, comps, qtab, *, dri=0, sof=0xC0):
+    """comps: list of {id, h, v, blocks} with blocks = quantized coefs
+    in ZIGZAG order, MCU traversal order."""
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", 2 + len(payload)) \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qtab))
+    out += seg(0xC4, bytes([0x00]) + bytes(_K_DC_COUNTS)
+               + bytes(_K_DC_SYMS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_K_AC_COUNTS)
+               + bytes(_K_AC_SYMS))
+    sofp = st.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sofp += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    out += seg(sof, sofp)
+    if dri:
+        out += seg(0xDD, st.pack(">H", dri))
+    sosp = bytes([len(comps)])
+    for c in comps:
+        sosp += bytes([c["id"], 0x00])
+    sosp += bytes([0, 63, 0])
+    out += seg(0xDA, sosp)
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    preds = {c["id"]: 0 for c in comps}
+    idx = {c["id"]: 0 for c in comps}
+    bw = _BitWriter()
+    mcu, rst = 0, 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                for _ in range(c["h"] * c["v"]):
+                    blk = c["blocks"][idx[c["id"]]]
+                    idx[c["id"]] += 1
+                    diff = blk[0] - preds[c["id"]]
+                    preds[c["id"]] = blk[0]
+                    t, bits = _cat_bits(diff)
+                    ln, code = _DC_CODES[t]
+                    bw.put(code, ln)
+                    if t:
+                        bw.put(bits, t)
+                    k = 1
+                    while k < 64:
+                        run = 0
+                        while k < 64 and blk[k] == 0:
+                            run += 1
+                            k += 1
+                        if k == 64:
+                            ln, code = _AC_CODES[0x00]   # EOB
+                            bw.put(code, ln)
+                            break
+                        while run >= 16:
+                            ln, code = _AC_CODES[0xF0]   # ZRL
+                            bw.put(code, ln)
+                            run -= 16
+                        t, bits = _cat_bits(blk[k])
+                        ln, code = _AC_CODES[(run << 4) | t]
+                        bw.put(code, ln)
+                        bw.put(bits, t)
+                        k += 1
+            mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ref_idct(coef_nat):
+    """Direct quadruple-loop 2D IDCT (T.81 A.3.3) — independent of the
+    decoder's separable implementation."""
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    s += (cu * cv / 4.0 * coef_nat[8 * v + u]
+                          * math.cos((2 * x + 1) * u * math.pi / 16)
+                          * math.cos((2 * y + 1) * v * math.pi / 16))
+            val = s + 128
+            out.append(0 if val < 0 else (255 if val > 255
+                                          else int(val + 0.5)))
+    return out
+
+
+_Q16 = [16] * 64
+_DC = lambda v: [v] + [0] * 63  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# GIF tests
+# ---------------------------------------------------------------------------
+
+
+def test_gif_decode_exact_rgb():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idxs = [0, 1, 2, 3, 3, 2, 1, 0]
+    w, h, n, px = mm.decode_gif_pixels(_full_gif(4, 2, pal, idxs))
+    assert (w, h, n) == (4, 2, 3)
+    assert bytes(px) == b"".join(pal[3 * i:3 * i + 3] for i in idxs)
+
+
+def test_gif_uniform_local_palette_kwkwk():
+    """A uniform image forces the LZW KwKwK special case (a code equal
+    to next_code); the frame also carries a LOCAL color table."""
+    g = _full_gif(16, 16, bytes([7, 8, 9]) + b"\x00" * 9, [0] * 256,
+                  local_palette=True)
+    _, _, _, px = mm.decode_gif_pixels(g)
+    assert bytes(px) == bytes([7, 8, 9]) * 256
+
+
+def test_gif_interlace_reorder():
+    """Each row's pixels encode the row's OWN index, so a botched
+    4-pass deinterlace produces the wrong sequence."""
+    pal8 = bytes(v for i in range(8) for v in (i * 30, i * 30, i * 30))
+    idxs8 = [r for r in range(8) for _ in range(4)]
+    g = _full_gif(4, 8, pal8, idxs8, interlace=True, min_code_size=3)
+    _, _, _, px = mm.decode_gif_pixels(g)
+    assert [px[12 * r] // 30 for r in range(8)] == list(range(8))
+
+
+def test_gif_code_width_growth_random():
+    """A 64x64 random-index image grows the LZW table past several
+    width boundaries."""
+    random.seed(42)
+    pal8 = bytes(v for i in range(8) for v in (i * 30, i * 30, i * 30))
+    big = [random.randrange(8) for _ in range(64 * 64)]
+    g = _full_gif(64, 64, pal8, big, min_code_size=3)
+    _, _, _, px = mm.decode_gif_pixels(g)
+    assert bytes(px) == b"".join(pal8[3 * i:3 * i + 3] for i in big)
+
+
+def test_gif_mean_luma_and_errors():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idxs = [0, 1, 2, 3, 3, 2, 1, 0]
+    luma = mm.gif_mean_luma(_full_gif(4, 2, pal, idxs))
+    exp = sum(0.299 * pal[3 * i] + 0.587 * pal[3 * i + 1]
+              + 0.114 * pal[3 * i + 2] for i in idxs) / 8
+    assert abs(luma - exp) < 1e-9
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm.decode_gif_pixels(b"garbage")
+    with pytest.raises(ValueError, match="no image data"):
+        # header + trailer, no image descriptor
+        mm.decode_gif_pixels(b"GIF89a" + st.pack("<HHBBB", 1, 1, 0, 0, 0)
+                             + b"\x3b")
+    with pytest.raises(ValueError, match="no color table"):
+        bad = _full_gif(4, 2, pal, idxs)
+        # strip the global color table flag and bytes
+        bad = bytearray(bad)
+        bad[10] &= 0x7F
+        mm.decode_gif_pixels(bytes(bad[:13]) + bytes(bad[13 + 12:]))
+
+
+# ---------------------------------------------------------------------------
+# JPEG tests
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_dc_only_gray_exact():
+    """DC-only 8x8 grayscale: every pixel is exactly
+    128 + dequant_DC/8 = 128 + 16*10/8 = 148."""
+    j = _full_jpeg(8, 8, [{"id": 1, "h": 1, "v": 1,
+                           "blocks": [_DC(10)]}], _Q16)
+    w, h, n, px = mm.decode_jpeg_pixels(j)
+    assert (w, h, n) == (8, 8, 1)
+    assert all(p == 148 for p in px)
+    assert abs(mm.jpeg_mean_luma(j) - 148.0) < 1e-9
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    j = _full_jpeg(16, 8, [{"id": 1, "h": 1, "v": 1,
+                            "blocks": [_DC(10), _DC(20)]}], _Q16)
+    _, _, _, px = mm.decode_jpeg_pixels(j)
+    assert px[0] == 148 and px[8] == 128 + 2 * 20
+
+
+def test_jpeg_ac_coefficients_vs_independent_idct():
+    """A block with DC + two AC coefficients must decode to exactly the
+    direct-formula IDCT of the dequantized coefficients."""
+    zz = [0] * 64
+    zz[0], zz[1], zz[5] = 5, -7, 3
+    j = _full_jpeg(8, 8, [{"id": 1, "h": 1, "v": 1, "blocks": [zz]}],
+                   _Q16)
+    _, _, _, px = mm.decode_jpeg_pixels(j)
+    nat = [0.0] * 64
+    for k, v in enumerate(zz):
+        nat[mm._ZIGZAG[k]] = v * 16
+    assert list(px) == _ref_idct(nat)
+
+
+def test_jpeg_color_ycbcr_to_rgb():
+    j = _full_jpeg(8, 8, [
+        {"id": 1, "h": 1, "v": 1, "blocks": [_DC(8)]},    # Y = 144
+        {"id": 2, "h": 1, "v": 1, "blocks": [_DC(4)]},    # Cb = 136
+        {"id": 3, "h": 1, "v": 1, "blocks": [_DC(-4)]}],  # Cr = 120
+        _Q16)
+    w, h, n, px = mm.decode_jpeg_pixels(j)
+    assert (w, h, n) == (8, 8, 3)
+    yv, cb, cr = 144, 136 - 128, 120 - 128
+    er = int(yv + 1.402 * cr + 0.5)
+    eg = int(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+    eb = int(yv + 1.772 * cb + 0.5)
+    assert (px[0], px[1], px[2]) == (er, eg, eb)
+    assert (px[-3], px[-2], px[-1]) == (er, eg, eb)
+
+
+def test_jpeg_420_subsampling_block_layout():
+    """2x2-subsampled 16x16: the four Y blocks of the MCU land in the
+    right quadrants (neutral chroma so R=G=B=Y)."""
+    ybs = [_DC(6), _DC(12), _DC(18), _DC(24)]
+    j = _full_jpeg(16, 16, [
+        {"id": 1, "h": 2, "v": 2, "blocks": ybs},
+        {"id": 2, "h": 1, "v": 1, "blocks": [[0] * 64]},
+        {"id": 3, "h": 1, "v": 1, "blocks": [[0] * 64]}], _Q16)
+    _, _, _, px = mm.decode_jpeg_pixels(j)
+
+    def ypix(x, y):
+        return px[3 * (y * 16 + x)]
+    assert (ypix(0, 0), ypix(8, 0), ypix(0, 8), ypix(8, 8)) == \
+        (140, 152, 164, 176)
+
+
+def test_jpeg_restart_markers_reset_predictors():
+    j = _full_jpeg(16, 8, [{"id": 1, "h": 1, "v": 1,
+                            "blocks": [_DC(10), _DC(10)]}], _Q16, dri=1)
+    _, _, _, px = mm.decode_jpeg_pixels(j)
+    # with a reset predictor both blocks decode to the same 148; without
+    # the reset the second block's DC would land on 128 + 2*20 = 168
+    assert px[0] == 148 and px[8] == 148
+
+
+def test_jpeg_error_contracts():
+    blk = _DC(10)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.decode_jpeg_pixels(_full_jpeg(
+            8, 8, [{"id": 1, "h": 1, "v": 1, "blocks": [blk]}], _Q16,
+            sof=0xC2))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        mm.decode_jpeg_pixels(b"garbage")
+    with pytest.raises(ValueError, match="missing SOS"):
+        # header-only JPEG (SOI + SOF + EOI, no scan)
+        hdr = _full_jpeg(8, 8, [{"id": 1, "h": 1, "v": 1,
+                                 "blocks": [blk]}], _Q16)
+        sos = hdr.index(b"\xff\xda")
+        mm.decode_jpeg_pixels(hdr[:sos] + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# through the Arrow batch path
+# ---------------------------------------------------------------------------
+
+
+def test_extract_features_decodes_all_four_containers(spark):
+    """decode_pixels=True now yields a REAL mean_luma for PNG, JPEG and
+    GIF in one pass (WAV exercised in test_operators)."""
+    from test_operators import _full_png
+
+    png = _full_png([bytes([200, 100, 50] * 2)] * 2, color_type=2)
+    jpg = _full_jpeg(8, 8, [{"id": 1, "h": 1, "v": 1,
+                             "blocks": [_DC(10)]}], _Q16)
+    pal = bytes([60, 61, 62]) + b"\x00" * 9
+    gif = _full_gif(4, 2, pal, [0] * 8)
+    media = spark.createDataFrame(
+        [(1, "image", "png", png, (None,) * 4),
+         (2, "image", "jpeg", jpg, (None,) * 4),
+         (3, "image", "gif", gif, (None,) * 4)],
+        mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           mm.extract_features(media, decode_pixels=True).collect()}
+    assert abs(got[1]["mean_luma"]
+               - (0.299 * 200 + 0.587 * 100 + 0.114 * 50)) < 1e-9
+    assert abs(got[2]["mean_luma"] - 148.0) < 1e-9
+    assert abs(got[3]["mean_luma"]
+               - (0.299 * 60 + 0.587 * 61 + 0.114 * 62)) < 1e-9
+    assert all(got[k]["rms_amplitude"] is None for k in (1, 2, 3))

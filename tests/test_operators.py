@@ -321,8 +321,10 @@ def test_decode_wav_samples_exact_and_rms():
 def test_extract_features_decode_pixels_real_signal(spark):
     """decode_pixels=True computes REAL pixel/sample features through
     the Arrow batch path: exact mean luma for PNG, exact RMS for WAV,
-    and the codec-needed containers (JPEG/GIF) raise with the
-    library-needed message."""
+    and a corrupt container (header-only JPEG with no scan data) still
+    raises through the batch path. (JPEG/GIF happy paths:
+    tests/test_media_decode.py — all four containers decode as of
+    r10.)"""
     png = _full_png([bytes([200, 100, 50] * 2)] * 2, color_type=2)
     wav = _pcm_wav([16384, -16384, 16384, -16384])
     media = spark.createDataFrame(
@@ -340,7 +342,7 @@ def test_extract_features_decode_pixels_real_signal(spark):
     jpeg_media = spark.createDataFrame(
         [(3, "image", "jpeg", _jpeg_bytes(8, 8), (None,) * 4)],
         multimodal.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="codec library"):
+    with pytest.raises(Exception, match="missing SOS"):
         multimodal.extract_features(jpeg_media, decode_pixels=True).collect()
 
 
