@@ -482,3 +482,92 @@ def load_band_index(spark, table: str) -> DataFrame:
     carries the bucket spec that lets the probe join skip the index-side
     exchange (pinned by tests/test_band_index.py)."""
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup over embeddings) — the corpus-scale path
+# ---------------------------------------------------------------------------
+
+def semdedup(df: DataFrame, id_col: str, vec_col: str, *,
+             k: int | None = None, tau: float = 0.95, seed: int = 42,
+             max_iter: int = 10, block_bytes: int = 1 << 28) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) at corpus scale: cluster the
+    embedding space with MLlib k-means, then screen each cluster
+    independently — a vector is dropped when an earlier (lower-id)
+    CLUSTER-MATE has cosine >= ``tau``. Pairwise similarity never
+    crosses a cluster boundary; that is the whole trick that makes
+    semantic dedup tractable (the all-pairs cross join is O(n²·d)).
+
+    Returns ``(id_col, cluster_id int, is_kept boolean)``.
+
+    This is the scale path behind queries.q_semdedup (whose tiny fixed
+    K and literal-centroid Lloyd rounds exist for DuckDB-oracle
+    expressibility). Scale shape:
+    - ``k`` defaults to n/1000 (SemDeDup's regime), so the expected
+      cluster size — and with it the within-cluster quadratic term —
+      stays O(1000) regardless of corpus size;
+    - k-means itself is MLlib's k-means|| (seeded): each iteration is
+      one map-side assignment pass + a k-row reduce, no corpus shuffle;
+    - the screen shuffles (id, vector) ONCE, keyed by cluster id, then
+      runs one Arrow batch per cluster through a vectorized NumPy
+      cosine matmul (`X_block @ X_prefix.T`) — this is the rare hot
+      path where a Pandas UDF BEATS JVM expressions: interpreted
+      higher-order-function cosines cost ~µs/pair while BLAS does the
+      same block in ~ns/pair, a 100-1000x gap measured at probe scale;
+    - the matmul is BLOCKED to ``block_bytes`` of float32 so a skewed
+      mega-cluster degrades to streaming passes instead of OOM.
+
+    Determinism: the k-means seed pins initialization; verdicts for
+    true near-duplicates are threshold-robust, but exact cluster ids
+    may differ across Spark versions — tests pin planted-duplicate
+    detection and invariants, not label values (the oracle-exact twin
+    is q_semdedup).
+    """
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).cast("long").alias("_sd_id"),
+        F.col(vec_col).cast("array<float>").alias("_sd_v"))
+    if k is None:
+        n = feats.count()
+        k = max(2, n // 1000)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter,
+                   featuresCol="_sd_feat").fit(
+        feats.select(array_to_vector(
+            F.col("_sd_v").cast("array<double>")).alias("_sd_feat")))
+    assigned = model.transform(
+        feats.withColumn("_sd_feat", array_to_vector(
+            F.col("_sd_v").cast("array<double>")))) \
+        .select("_sd_id", "_sd_v",
+                F.col("prediction").cast("int").alias("cluster_id"))
+
+    schema = f"{id_col} long, cluster_id int, is_kept boolean"
+
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("_sd_id").reset_index(drop=True)
+        ids = pdf["_sd_id"].to_numpy()
+        x = np.stack(pdf["_sd_v"].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0          # zero vectors: sim 0, kept
+        x /= norms
+        m = len(ids)
+        dup = np.zeros(m, dtype=bool)
+        # block rows so S = X[s:e] @ X[:e].T stays under block_bytes
+        rows_per_block = max(1, block_bytes // 4 // max(m, 1))
+        s = 1                               # row 0 is always kept
+        while s < m:
+            e = min(m, s + rows_per_block)
+            sims = x[s:e] @ x[:e].T          # (e-s, e) float32
+            for r in range(s, e):
+                dup[r] = bool((sims[r - s, :r] >= tau).any())
+            s = e
+        return pd.DataFrame({id_col: ids,
+                             "cluster_id": pdf["cluster_id"],
+                             "is_kept": ~dup})
+
+    return assigned.groupBy("cluster_id").applyInPandas(screen, schema)

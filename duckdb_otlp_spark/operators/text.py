@@ -253,3 +253,83 @@ def scrub_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         {**{f"pii_{cat}": c for cat, c in counts.items()},
          "pii_total": total,
          text_col: pii_scrub(F.col(text_col))})
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing (local fingerprinting with a selection guarantee)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
+                           k: int = 4, w: int = 5) -> DataFrame:
+    """Per-document winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    2003): hash every word k-gram, slide a w-window over the hash
+    sequence, select each window's minimum with the RIGHTMOST-on-ties
+    rule (robust winnowing), and dedup the selections per document.
+    Guarantee: any run of k+w-1 shared tokens yields a shared
+    fingerprint — a property MinHash's random sampling cannot give.
+
+    Returns ``(id_col, h string)`` distinct rows, fingerprint density
+    ~2/(w+1) of the k-gram count.
+
+    Scale shape: k-gram hashing is let-bound map-only array work
+    (:func:`bind1` — split evaluated once per row, never per gram);
+    the rightmost-tie rule is encoded in the window key itself
+    (hash || zero-padded (1e8 - pos)), so selection is ONE plain MIN
+    frame over a single doc-keyed exchange of (12-byte hash, pos)
+    rows; raw text never shuffles."""
+    from pyspark.sql import Window as W
+
+    grams = bind1(
+        tokenize_ws(F.lower(df[text_col])),
+        lambda arr: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - (k - 1),
+                                            F.lit(1))),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(arr, i, k))), 1, 12)))
+    kg = df.select(F.col(id_col),
+                   F.posexplode(grams).alias("p0", "h"))
+    keyed = (kg.select(id_col, (F.col("p0") + 1).alias("pos"), "h")
+             .withColumn("k", F.concat(
+                 F.col("h"),
+                 F.lpad((F.lit(100000000) - F.col("pos")).cast("string"),
+                        9, "0"))))
+    dw = W.partitionBy(id_col).orderBy("pos")
+    m = F.count("*").over(W.partitionBy(id_col))
+    sel = (keyed
+           .withColumn("m", m)
+           .withColumn("s", F.min("k").over(dw.rowsBetween(0, w - 1)))
+           .filter(F.col("pos") <= F.greatest(F.col("m") - (w - 1),
+                                              F.lit(1))))
+    return sel.select(id_col, F.substring("s", 1, 12).alias("h")).distinct()
+
+
+def winnowing_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                    k: int = 4, w: int = 5, min_shared: int = 3,
+                    max_doc_freq: int | None = None) -> DataFrame:
+    """Cross-document overlap pairs from winnowing fingerprints: every
+    (doc_a, doc_b) sharing >= ``min_shared`` selected fingerprints,
+    with doc_a < doc_b.
+
+    ``max_doc_freq`` is the standard MOSS refinement and the 100 TB
+    skew guard: a fingerprint present in more than that many documents
+    (boilerplate, license headers, planted phrases) is dropped BEFORE
+    the self-join — one hot hash shared by f documents would otherwise
+    contribute f²/2 rows to the pair aggregation (measured at probe
+    scale: a 12-word phrase planted in ~14k of 2M documents makes the
+    unguarded join build ~1e8 pairs from ~5 hashes). The stop-list is
+    a fingerprint-keyed partial-agg count + broadcast-friendly
+    anti-join — O(distinct hot hashes) extra state. None disables the
+    guard (the oracle-exact shape queries.q_winnowing_pairs certifies
+    on the driver's testdata, which has no hot fingerprints)."""
+    fp = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
+    if max_doc_freq is not None:
+        hot = (fp.groupBy("h").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_doc_freq)
+               .select("h"))
+        fp = fp.join(hot, "h", "left_anti")
+    fb = fp.select(F.col(id_col).alias("doc_b"), "h")
+    return (fp.join(fb, "h")
+            .filter(F.col(id_col) < F.col("doc_b"))
+            .groupBy(F.col(id_col).alias("doc_a"), "doc_b")
+            .agg(F.count("*").cast("long").alias("shared_fingerprints"))
+            .filter(F.col("shared_fingerprints") >= min_shared))

@@ -275,11 +275,45 @@ def _ops() -> dict:
                                         threshold=0.95, planes=planes,
                                         max_bucket_size=256)
 
+    def winnow(spark, sf_dir):
+        # operator variant WITH the MOSS hot-fingerprint stop-list: the
+        # corpus plants a 12-word phrase in ~n/145 documents, and an
+        # unguarded fingerprint self-join would build ~(n/145)^2/2
+        # pairs from those few hashes (the same skew class the LSH
+        # max_bucket_size guard exists for). The oracle-exact unguarded
+        # shape is certified at test scale by q_winnowing_pairs.
+        from duckdb_otlp_spark.operators.text import winnowing_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return winnowing_pairs(docs, "doc_id", "text", max_doc_freq=1000)
+
+    def semded(spark, sf_dir):
+        # corpus-scale SemDeDup: k scales as n/1000 (the operator's own
+        # 100 TB rule — expected cluster size, and with it the
+        # within-cluster quadratic screen, stays O(1000) at any corpus
+        # size); tau=0.95 catches the planted exact-copy vectors
+        from pathlib import Path as _P
+
+        import pyarrow.parquet as pq
+
+        from duckdb_otlp_spark.operators.dedup import semdedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_vec = sum(pq.ParquetFile(str(f)).metadata.num_rows
+                    for f in _P(f"{sf_dir}/embeddings.parquet")
+                    .glob("*.parquet"))
+        return semdedup(emb, "vec_id", "embedding",
+                        k=max(2, n_vec // 1000), tau=0.95)
+
     names = ["dedup_exact", "minhash_lsh_pairs", "dedup_cluster",
              "contamination_overlap", "dedup_incremental",
-             "token_offsets", "corpus_shuffle", "ann_cosine_topk"]
+             "token_offsets", "corpus_shuffle", "ann_cosine_topk",
+             # r10 late additions (query-level, linear shapes)
+             "pmi_collocations", "passage_dedup"]
     ops = {n: QUERIES[n] for n in names}
     ops["embedding_near_dup_pairs"] = emb_near_dup
+    ops["winnowing_pairs_guarded"] = winnow
+    ops["semdedup_pairs"] = semded
     return ops
 
 

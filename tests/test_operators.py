@@ -749,3 +749,83 @@ def test_split_leakage_detects_planted_cross_split_dup(spark, tmp_path):
            for r in q_split_leakage(spark, str(tmp_path)).collect()}
     assert got["val"] == (2, 1, 0.5), got
     assert got["test"] == (1, 0, 0.0), got
+
+
+def test_semdedup_detects_planted_copies(spark):
+    """Operator-level SemDeDup (MLlib k-means + blocked within-cluster
+    cosine matmul): planted exact-copy vectors are dropped, everything
+    else kept, copies co-cluster with their originals, and the blocked
+    matmul path (tiny block budget -> many streaming passes) returns
+    the identical verdict set."""
+    n = 400
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.pmod(F.xxhash64(
+                # vec_id % 50 == 1 copies vec_id - 1 exactly
+                F.col("id") - F.when(F.col("id") % 50 == 1, 1)
+                .otherwise(0), i), F.lit(2001)) - 1000) / 1000.0)
+            .cast("float")).alias("embedding"))
+    out = dedup.semdedup(df, "vec_id", "embedding", k=8, tau=0.999)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == n
+    planted = [i for i in range(n) if i % 50 == 1]
+    assert planted and all(not rows[i]["is_kept"] for i in planted)
+    assert all(rows[i]["is_kept"] for i in range(n) if i % 50 != 1)
+    # identical vectors must land in the same k-means cluster
+    for i in planted:
+        assert rows[i]["cluster_id"] == rows[i - 1]["cluster_id"]
+    # blocked path (256-byte budget => row-at-a-time matmul) agrees
+    tiny = dedup.semdedup(df, "vec_id", "embedding", k=8, tau=0.999,
+                          block_bytes=256)
+    assert {(r["vec_id"], r["is_kept"]) for r in tiny.collect()} == \
+        {(r["vec_id"], r["is_kept"]) for r in out.collect()}
+
+
+def test_semdedup_zero_vectors_kept(spark):
+    """Zero vectors normalize to similarity 0 and are all kept — the
+    degenerate row must not divide by zero or mark dups."""
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [0.0] * 8), (2, [1.0] + [0.0] * 7)],
+        "vec_id long, embedding array<float>")
+    out = dedup.semdedup(df, "vec_id", "embedding", k=2, tau=0.5)
+    assert all(r["is_kept"] for r in out.collect())
+
+
+def test_winnowing_operator_matches_query_and_stoplist(spark):
+    """The operator twin of q_winnowing_pairs returns the same pairs on
+    the oracle testdata when the stop-list is off; with max_doc_freq
+    set, a fingerprint shared by a planted boilerplate phrase across
+    many docs is dropped BEFORE the self-join while a genuine near-dup
+    pair (sharing many non-hot fingerprints) survives."""
+    from duckdb_otlp_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = {(r["doc_a"], r["doc_b"], r["shared_fingerprints"])
+            for r in QUERIES["winnowing_pairs"](spark, sf).collect()}
+    got = {(r["doc_a"], r["doc_b"], r["shared_fingerprints"])
+           for r in text.winnowing_pairs(docs, "doc_id", "text").collect()}
+    assert got == want and want
+
+    # planted hot phrase: 30 docs share ONLY a 12-token boilerplate run
+    # (>= k+w-1 = 8 shared tokens, so winnowing GUARANTEES a shared
+    # fingerprint for every pair); docs 100/101 are real near-dups
+    # sharing a long unique run
+    phrase = ("common header words repeated across many documents "
+              "by the same template engine")
+    uniq = ("alpha%d beta%d gamma%d delta%d epsilon%d zeta%d eta%d "
+            "theta%d iota%d kappa%d lambda%d mu%d")
+    rows = [(i, f"{phrase} {uniq % ((i,) * 12)}") for i in range(30)]
+    dup_body = uniq % ((900,) * 12) + " " + uniq % ((901,) * 12)
+    rows += [(100, dup_body), (101, dup_body)]
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = {(r["doc_a"], r["doc_b"]) for r in text.winnowing_pairs(
+        planted, "doc_id", "text", min_shared=1).collect()}
+    # the hot phrase links boilerplate docs pairwise
+    assert (0, 1) in unguarded and (100, 101) in unguarded
+    guarded = {(r["doc_a"], r["doc_b"]) for r in text.winnowing_pairs(
+        planted, "doc_id", "text", min_shared=1,
+        max_doc_freq=5).collect()}
+    assert guarded == {(100, 101)}
