@@ -222,22 +222,99 @@ def decode_headers(df: DataFrame, *, strict: bool = False) -> DataFrame:
 # variants (progressive/arithmetic JPEG etc.) raise NotImplementedError.
 # ---------------------------------------------------------------------------
 
-# channels per PNG color type (palette — type 3 — needs the PLTE
-# indirection and stays out of scope with interlace and 16-bit depth)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# channels per PNG color type (type 3 is palette: 1 index in the
+# filtered stream, 3 RGB samples out after the PLTE indirection)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace passes: (x_offset, y_offset, x_step, y_step) —
+# PNG spec §8.2's starting grid
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw, off, w, h, nch):
+    """Undo the five per-scanline filters (PNG §9) for one (sub)image of
+    ``h`` rows of ``w`` pixels (``nch`` bytes each) starting at ``off``
+    in the inflated stream. Returns (samples, next_offset)."""
+    stride = w * nch
+    out = bytearray(stride * h)
+    prev_off = -stride
+    for row in range(h):
+        pos = off + row * (stride + 1)
+        if pos + stride + 1 > len(raw):
+            raise ValueError("PNG pixel stream truncated")
+        f_type = raw[pos]
+        line = raw[pos + 1:pos + 1 + stride]
+        o = row * stride
+        if f_type == 0:                               # None
+            out[o:o + stride] = line
+        elif f_type == 1:                             # Sub
+            for x in range(stride):
+                left = out[o + x - nch] if x >= nch else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif f_type == 2:                             # Up
+            if row == 0:
+                out[o:o + stride] = line
+            else:
+                for x in range(stride):
+                    out[o + x] = (line[x] + out[prev_off + o + x]) & 0xFF
+        elif f_type == 3:                             # Average
+            for x in range(stride):
+                left = out[o + x - nch] if x >= nch else 0
+                up = out[prev_off + o + x] if row else 0
+                out[o + x] = (line[x] + (left + up) // 2) & 0xFF
+        elif f_type == 4:                             # Paeth
+            for x in range(stride):
+                a = out[o + x - nch] if x >= nch else 0
+                c_up = out[prev_off + o + x] if row else 0
+                c_ul = (out[prev_off + o + x - nch]
+                        if row and x >= nch else 0)
+                p = a + c_up - c_ul
+                pa, pb, pc = abs(p - a), abs(p - c_up), abs(p - c_ul)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = c_up
+                else:
+                    pred = c_ul
+                out[o + x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG row {row}: unknown filter {f_type}")
+    return out, off + h * (stride + 1)
+
+
+def _png_unfilter_subbyte(raw, off, w, h, depth):
+    """Unfilter + bit-unpack one (sub)image at depth 1/2/4 (single
+    channel: grayscale or palette indices). Filters operate on the
+    PACKED bytes with bpp=1 (PNG §9); samples unpack MSB-first.
+    Returns (one RAW sample value per pixel, next_offset)."""
+    per_byte = 8 // depth
+    packed_w = (w * depth + 7) // 8
+    packed, nxt = _png_unfilter(raw, off, packed_w, h, 1)
+    out = bytearray(w * h)
+    mask = (1 << depth) - 1
+    for row in range(h):
+        base = row * packed_w
+        for x in range(w):
+            byte = packed[base + x // per_byte]
+            shift = 8 - depth * (x % per_byte + 1)
+            out[row * w + x] = (byte >> shift) & mask
+    return out, nxt
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """Decode a non-interlaced 8-bit PNG to raw samples with stdlib
-    ``zlib`` + ``struct`` only: walk the chunks (CRC-checked),
-    concatenate IDAT, inflate, and undo the per-scanline filter
-    (None/Sub/Up/Average/Paeth — PNG spec §9). Returns
-    ``(width, height, channels, samples)`` where ``samples`` is
-    ``height*width*channels`` bytes in scanline order.
+    """Decode a PNG to 8-bit samples with stdlib ``zlib`` + ``struct``
+    only: chunk walk (CRC-checked), IDAT inflate, per-scanline
+    unfilter (None/Sub/Up/Average/Paeth — PNG §9), PLTE palette
+    indirection, sub-byte (1/2/4-bit) unpacking with grayscale
+    rescaling, and Adam7 interlace reassembly. Returns
+    ``(width, height, channels, samples)`` with ``samples`` in
+    scanline order (palette images come out as 3-channel RGB).
 
     Raises ``ValueError`` on corrupt containers and
-    ``NotImplementedError`` for the shapes that need more than stdlib
-    (palette color, 16-bit depth, Adam7 interlace).
+    ``NotImplementedError`` only for 16-bit depth (samples wider than
+    a byte change the feature contract; they need a real image
+    library downstream anyway).
     """
     import zlib
 
@@ -250,6 +327,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     # chunk walk: length(4BE) type(4) data crc(4BE, over type+data)
     i = 8
     idat = bytearray()
+    plte = None
     color_type = interlace = None
     w = h = depth = None
     while i + 8 <= len(b):
@@ -265,6 +343,8 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         if ctype == b"IHDR":
             w, h, depth, color_type, _comp, _filt, interlace = \
                 struct.unpack_from(">IIBBBBB", data, 0)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -272,61 +352,68 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         i = data_end + 4
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG needs a full "
-                                  "codec; stdlib decode covers "
-                                  "non-interlaced images")
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color_type={color_type} is not valid")
+    if depth == 16:
         raise NotImplementedError(
-            f"PNG bit_depth={depth} color_type={color_type} needs a "
-            f"codec library; stdlib decode covers 8-bit gray/RGB/"
-            f"gray-alpha/RGBA")
+            "16-bit PNG needs a codec library; stdlib decode covers "
+            "1/2/4/8-bit depths")
+    if depth not in (1, 2, 4, 8) or (depth != 8
+                                     and color_type not in (0, 3)):
+        raise ValueError(f"PNG bit_depth={depth} color_type={color_type} "
+                         f"is not a legal combination")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     nch = _PNG_CHANNELS[color_type]
-    stride = w * nch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError(f"PNG pixel stream is {len(raw)} bytes, "
-                         f"expected {(stride + 1) * h}")
-    out = bytearray(stride * h)
-    prev_off = -stride
-    for row in range(h):
-        f_type = raw[row * (stride + 1)]
-        line = raw[row * (stride + 1) + 1:(row + 1) * (stride + 1)]
-        off = row * stride
-        if f_type == 0:                               # None
-            out[off:off + stride] = line
-        elif f_type == 1:                             # Sub
-            for x in range(stride):
-                left = out[off + x - nch] if x >= nch else 0
-                out[off + x] = (line[x] + left) & 0xFF
-        elif f_type == 2:                             # Up
-            if row == 0:
-                out[off:off + stride] = line
-            else:
-                for x in range(stride):
-                    out[off + x] = (line[x] + out[prev_off + off + x]) & 0xFF
-        elif f_type == 3:                             # Average
-            for x in range(stride):
-                left = out[off + x - nch] if x >= nch else 0
-                up = out[prev_off + off + x] if row else 0
-                out[off + x] = (line[x] + (left + up) // 2) & 0xFF
-        elif f_type == 4:                             # Paeth
-            for x in range(stride):
-                a = out[off + x - nch] if x >= nch else 0
-                c_up = out[prev_off + off + x] if row else 0
-                c_ul = (out[prev_off + off + x - nch]
-                        if row and x >= nch else 0)
-                p = a + c_up - c_ul
-                pa, pb, pc = abs(p - a), abs(p - c_up), abs(p - c_ul)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = c_up
-                else:
-                    pred = c_ul
-                out[off + x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG row {row}: unknown filter {f_type}")
+
+    def sub_image(off, sw, sh):
+        """One (sub)image at (sw, sh): unfiltered 8-bit-per-sample
+        values — sub-byte depths unpacked (grayscale rescaled to
+        0..255, palette indices raw)."""
+        if sw == 0 or sh == 0:
+            return bytearray(), off
+        if depth == 8:
+            return _png_unfilter(raw, off, sw, sh, nch)
+        vals, nxt = _png_unfilter_subbyte(raw, off, sw, sh, depth)
+        if color_type == 0:                # rescale gray to full range
+            scale = 255 // ((1 << depth) - 1)
+            vals = bytearray(v * scale for v in vals)
+        return vals, nxt
+
+    if interlace == 0:
+        out, off = sub_image(0, w, h)
+        if off != len(raw):
+            raise ValueError(f"PNG pixel stream is {len(raw)} bytes, "
+                             f"expected {off}")
+    elif interlace == 1:                   # Adam7: 7 sequential passes
+        out = bytearray(w * h * nch)
+        off = 0
+        for xoff, yoff, xstep, ystep in _ADAM7:
+            pw = (w - xoff + xstep - 1) // xstep
+            ph = (h - yoff + ystep - 1) // ystep
+            sub, off = sub_image(off, pw, ph)
+            for py in range(ph):
+                y = yoff + py * ystep
+                for px_ in range(pw):
+                    x = xoff + px_ * xstep
+                    src = (py * pw + px_) * nch
+                    dst = (y * w + x) * nch
+                    out[dst:dst + nch] = sub[src:src + nch]
+        if off != len(raw):
+            raise ValueError(f"PNG pixel stream is {len(raw)} bytes, "
+                             f"expected {off}")
+    else:
+        raise ValueError(f"PNG interlace method {interlace} is not valid")
+    if color_type == 3:                    # palette indirection -> RGB
+        npal = len(plte) // 3
+        rgb = bytearray(w * h * 3)
+        for j, v in enumerate(out):
+            if v >= npal:
+                raise ValueError(f"PNG palette index {v} outside the "
+                                 f"{npal}-entry PLTE")
+            rgb[3 * j:3 * j + 3] = plte[3 * v:3 * v + 3]
+        return w, h, 3, rgb
     return w, h, nch, out
 
 

@@ -462,3 +462,99 @@ def test_extract_features_decodes_all_four_containers(spark):
     assert abs(got[3]["mean_luma"]
                - (0.299 * 60 + 0.587 * 61 + 0.114 * 62)) < 1e-9
     assert all(got[k]["rms_amplitude"] is None for k in (1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# PNG palette / sub-byte / Adam7 (r10: the seam beyond plain 8-bit)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype, data):
+    import zlib
+    return (st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png_from_stream(w, h, depth, color_type, stream, plte=None,
+                     interlace=0):
+    import zlib
+    ihdr = st.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return (out + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _pack_rows(rows, depth):
+    """Pack sub-byte sample rows MSB-first, one filter-0 byte per row."""
+    per_byte = 8 // depth
+    stream = bytearray()
+    for row in rows:
+        stream.append(0)
+        packed = bytearray((len(row) + per_byte - 1) // per_byte)
+        for x, v in enumerate(row):
+            packed[x // per_byte] |= v << (8 - depth * (x % per_byte + 1))
+        stream += packed
+    return stream
+
+
+def test_png_palette_8bit_exact():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    rows = [[0, 1, 2], [3, 2, 1]]
+    stream = bytearray()
+    for row in rows:
+        stream.append(0)
+        stream += bytes(row)
+    png = _png_from_stream(3, 2, 8, 3, stream, plte=plte)
+    w, h, n, px = mm.decode_png_pixels(png)
+    assert (w, h, n) == (3, 2, 3)
+    want = b"".join(plte[3 * v:3 * v + 3] for row in rows for v in row)
+    assert bytes(px) == want
+    with pytest.raises(ValueError, match="outside"):
+        bad = _png_from_stream(3, 2, 8, 3, stream, plte=plte[:9])
+        mm.decode_png_pixels(bad)
+
+
+def test_png_palette_2bit_packed_rows():
+    """Width 5 at 2 bits/px: rows pack into 2 bytes with 6 pad bits —
+    the unpacker must honor per-row byte boundaries."""
+    plte = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 50, 60])
+    rows = [[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]]
+    png = _png_from_stream(5, 2, 2, 3, _pack_rows(rows, 2), plte=plte)
+    w, h, n, px = mm.decode_png_pixels(png)
+    assert (w, h, n) == (5, 2, 3)
+    want = b"".join(plte[3 * v:3 * v + 3] for row in rows for v in row)
+    assert bytes(px) == want
+
+
+def test_png_gray_1bit_rescales():
+    rows = [[0, 1, 1, 0, 1, 0, 1, 1, 0]]     # width 9: 2 packed bytes
+    png = _png_from_stream(9, 1, 1, 0, _pack_rows(rows, 1))
+    w, h, n, px = mm.decode_png_pixels(png)
+    assert (w, h, n) == (9, 1, 1)
+    assert list(px) == [v * 255 for v in rows[0]]
+
+
+def test_png_adam7_interlace_rgb():
+    """8x8 RGB with pixel (x,y) = (x*16, y*16, x+y): craft the stream
+    in Adam7 pass order (filter 0 rows) and require the reassembled
+    image to equal the raw scanline layout."""
+    w = h = 8
+
+    def pix(x, y):
+        return bytes([x * 16, y * 16, x + y])
+
+    stream = bytearray()
+    for xoff, yoff, xstep, ystep in mm._ADAM7:
+        pw = (w - xoff + xstep - 1) // xstep
+        ph = (h - yoff + ystep - 1) // ystep
+        for py in range(ph):
+            stream.append(0)
+            for px_ in range(pw):
+                stream += pix(xoff + px_ * xstep, yoff + py * ystep)
+    png = _png_from_stream(w, h, 8, 2, stream, interlace=1)
+    got_w, got_h, n, px = mm.decode_png_pixels(png)
+    assert (got_w, got_h, n) == (8, 8, 3)
+    want = b"".join(pix(x, y) for y in range(h) for x in range(w))
+    assert bytes(px) == want

@@ -281,11 +281,17 @@ def test_decode_png_pixels_error_contracts():
     with pytest.raises(ValueError, match="CRC"):
         multimodal.decode_png_pixels(
             _full_png(rows, color_type=0, corrupt_crc=True))
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="pixel stream"):
+        # interlace FLAG set but the stream laid out non-interlaced:
+        # the Adam7 pass walk must notice the length mismatch (happy
+        # interlace/palette paths: tests/test_media_decode.py)
         multimodal.decode_png_pixels(
             _full_png(rows, color_type=0, interlace=1))
-    with pytest.raises(NotImplementedError, match="color_type=3"):
+    with pytest.raises(ValueError, match="missing PLTE"):
         multimodal.decode_png_pixels(_full_png(rows, color_type=3))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal.decode_png_pixels(
+            _full_png(rows, color_type=0, bit_depth=16))
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png_pixels(b"garbage")
 
