@@ -3333,7 +3333,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # equi-join where the build side is a DISTINCT'd train split.
     "split_leakage": q_split_leakage,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash": q_simhash,
+    # simhash rotated past the window in round 10 to admit semdedup (the
+    # round's flagship: SemDeDup-style k-means + within-cluster cosine
+    # dedup, unrolled-CTE oracle).  simhash is a map-only text-expression
+    # plan (scan -> project -> limit) whose family stays in-window via
+    # repetition_ratio / pii_scrub / vocab_topk, and whose md5-derived
+    # hashing expressions run in-window inside dedup_exact and
+    # split_leakage; its sketch-bucket JOIN variant (simhash_pairs) was
+    # never the window entry.  semdedup adds a shape the window lacked:
+    # literal-centroid iterative assignment + cluster-keyed self-join.
+    # Overlap pinned by the window-coverage gate; simhash keeps its
+    # pytest DuckDB oracle differential like every past-window entry.
+    "semdedup": q_semdedup,
     "embedding_bucket_ann": q_embedding_bucket_ann,
     # text_quality / doc_fingerprint / lang_id / ngram_jaccard rotated past
     # the window in round 9 to admit the four flagship LLM-pipeline
@@ -3459,12 +3470,15 @@ QUERIES.update({
     "percentile": q_percentile,
     "minhash_signature": q_minhash_signature,
     "embedding_group_stats": q_embedding_group_stats,
+    # simhash rotated past the window in round 10 to admit semdedup
+    # (see the in-window comment at the semdedup entry for the family
+    # argument); it keeps its pytest DuckDB oracle differential.
+    "simhash": q_simhash,
     # Round-10 additions (registered past the window like every new entry
-    # until a rotation argument exists; all four carry the full pytest
+    # until a rotation argument exists; all carry the full pytest
     # DuckDB-oracle differential like the rest of the registry):
-    # SemDeDup-style semantic dedup, MOSS winnowing overlap pairs,
-    # PMI collocations, and passage-level duplication audit.
-    "semdedup": q_semdedup,
+    # MOSS winnowing overlap pairs, PMI collocations, and passage-level
+    # duplication audit (semdedup itself was rotated IN above).
     "winnowing_pairs": q_winnowing_pairs,
     "pmi_collocations": q_pmi_collocations,
     "passage_dedup": q_passage_dedup,

@@ -363,7 +363,7 @@ def test_window_swap_family_coverage(spark):
                     "topn_groups", "window_running_sum", "text_quality",
                     "doc_fingerprint", "lang_id", "ngram_jaccard",
                     "agg_stats", "percentile", "minhash_signature",
-                    "embedding_group_stats"):
+                    "embedding_group_stats", "simhash"):
         assert evicted in Q and evicted not in window
     for rep_name in ("join_multi", "tpch_q3", "asof_join",
                      "repetition_ratio", "pii_scrub", "vocab_topk",
@@ -376,7 +376,7 @@ def test_window_swap_family_coverage(spark):
                      "unigram_surprisal", "tfidf_topk", "latency_quantiles",
                      "split_leakage", "diversity_sample", "tpch_q1",
                      "dedup_embedding", "ann_cosine_topk",
-                     "minhash_lsh_pairs"):
+                     "minhash_lsh_pairs", "semdedup"):
         assert rep_name in window, rep_name
 
     # join family: whichever equi-join strategy join_inner plans must
@@ -478,6 +478,21 @@ def test_window_swap_family_coverage(spark):
     assert not _node_types(eg) - emb_covered, _node_types(eg) - emb_covered
     for ev_rep in (pc, ag, ms, eg):
         assert not ev_rep.has_python_eval
+
+    # r10 eviction — simhash traded for semdedup (the round's flagship):
+    # simhash is a map-only text-expression plan whose node types stay
+    # covered by in-window text siblings, and its md5-derived integer
+    # hashing ("conv(substring(md5(") runs in-window inside dedup_exact
+    # and split_leakage's digest expressions
+    sh = _rep(spark, "simhash")
+    assert not sh.has_python_eval
+    sh_missing = _node_types(sh) - text_covered \
+        - _node_types(_rep(spark, "dedup_exact"))
+    assert not sh_missing, sh_missing
+    de = _rep(spark, "dedup_exact")
+    sl = _rep(spark, "split_leakage")
+    assert "md5(" in sh.text
+    assert "md5(" in de.text and "md5(" in sl.text
 
 
 def test_source_cap_text_never_scanned(spark):
