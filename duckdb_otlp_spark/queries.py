@@ -3155,26 +3155,33 @@ def q_pmi_collocations(spark, sf_dir):
     pipeline runs to find multiword expressions / boilerplate phrases
     worth treating as units (tokenizer merges, stop-phrase lists).
 
-    Scale shape: adjacent-pair extraction is ONE doc_id-partitioned
-    lead() window (only (doc_id, pos, token) rows shuffle — raw text
-    never does); bigram and unigram counts are token-keyed partial
-    aggs (O(vocab) / O(vocab^2-observed) rows); the two corpus totals
-    ride along as a 1-row broadcast (bm25's corpus-stats pattern);
-    the final top-20 sorts only the >= min-count survivors. Ranking
-    orders by the ROUNDED pmi (then bigram text), so engine-side FP
-    noise below 1e-4 cannot reorder the cut."""
+    Scale shape: adjacent pairs come straight off the (let-bound)
+    split array as MAP-ONLY work — no window, so the corpus-sized
+    token explode never shuffles by doc_id (the lead()-window
+    formulation costs a full 10^8-row doc-keyed exchange at 2M docs —
+    measured, then removed; positions are irrelevant to counts).
+    Bigram and unigram counts are token-keyed partial aggs whose
+    exchanges carry only (key, partial count) rows — O(vocab) /
+    O(vocab^2-observed); the two corpus totals ride along as a 1-row
+    broadcast (bm25's corpus-stats pattern); the final top-20 sorts
+    only the >= min-count survivors. Ranking orders by the ROUNDED
+    pmi (then bigram text), so engine-side FP noise below 1e-4 cannot
+    reorder the cut."""
     docs = _docs_parallel(spark, sf_dir)
-    tok = (docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.lower(F.col("text"))),
-                             r"\s+")).alias("pos", "w"))
-        .filter(F.col("w") != ""))
-    dw = W.partitionBy("doc_id").orderBy("pos")
-    bg = (tok.select("doc_id", "pos", F.col("w").alias("w1"),
-                     F.lead("w").over(dw).alias("w2"))
-          .filter(F.col("w2").isNotNull()))
+    arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                   lambda t: t != "")
+    toks = docs.select(arr.alias("arr"))
+    bg = toks.select(F.explode(_bind1(
+        F.col("arr"),
+        lambda a: F.when(F.size(a) >= 2, F.transform(
+            F.sequence(F.lit(0), F.size(a) - 2),
+            lambda i: F.struct(a[i].alias("w1"), a[i + 1].alias("w2"))))
+        .otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string>>")))).alias("p")) \
+        .select("p.w1", "p.w2")
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-    uc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    uc = (toks.select(F.explode("arr").alias("w"))
+          .groupBy("w").agg(F.count("*").alias("c")))
     tot = (uc.agg(F.sum("c").alias("n_uni"))
            .crossJoin(bc.agg(F.sum("c_xy").alias("n_bi"))))
     u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
@@ -3193,17 +3200,15 @@ def q_pmi_collocations(spark, sf_dir):
 
 
 SQL_PMI_COLLOCATIONS = """
-WITH toks AS (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+WITH toks AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+'),
+                                 t -> t <> '') AS arr
               FROM documents),
-pg AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM toks),
-tok AS (SELECT doc_id, pos, arr[pos] AS w FROM pg WHERE arr[pos] <> ''),
-bg AS (SELECT w AS w1,
-              lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-       FROM tok),
-bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg
-       WHERE w2 IS NOT NULL GROUP BY 1, 2),
-uc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM (
+           SELECT arr, unnest(range(1, len(arr))) AS i FROM toks)),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+uc AS (SELECT w, count(*) AS c FROM (
+           SELECT unnest(arr) AS w FROM toks) GROUP BY 1),
 tot AS (SELECT (SELECT sum(c) FROM uc) AS n_uni,
                (SELECT sum(c_xy) FROM bc) AS n_bi)
 SELECT w1, w2, CAST(c_xy AS BIGINT) AS pair_count,

@@ -666,6 +666,13 @@ def test_r10_operator_plan_shapes(spark):
     assert pc.broadcast_joins + pc.sort_merge_joins \
         + pc.shuffled_hash_joins >= 1
     assert not pc.has_python_eval
+    # bigram extraction is MAP-ONLY off the split array: no window, so
+    # the corpus-sized token explode never shuffles by doc_id (the
+    # lead()-window formulation cost a measured full doc-keyed exchange
+    # of ~1e8 rows at probe scale)
+    assert "windowspecdefinition" not in pc.text
+    pc_scan = pc.scan_for("documents.parquet")
+    assert pc_scan.read_columns == ["text"], pc_scan.read_columns
 
     pd = _rep(spark, "passage_dedup")
     assert pd.nested_loop_joins == 0

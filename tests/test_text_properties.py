@@ -55,3 +55,53 @@ def test_repetition_and_shingle_invariants(spark, docs):
         assert r["n_dup"] == len(py3) - len(set(py3))
         assert 0 <= r["n_dup"] < max(1, r["n_grams"])
         assert sorted(r["g5"]) == sorted(set(_py_grams(text, 5)))
+
+
+def _py_winnow(words: list[str], k: int = 4, w: int = 5) -> set[str]:
+    """Plain-Python robust winnowing (rightmost-min) reference."""
+    import hashlib
+
+    if not words:
+        return set()
+    grams = [" ".join(words[i:i + k]) for i in
+             range(max(len(words) - k + 1, 1))]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:12] for g in grams]
+    m = len(hs)
+    sel = set()
+    for s in range(max(m - w + 1, 1)):
+        window = hs[s:s + w]
+        mn = min(window)
+        # rightmost occurrence of the min
+        rel = max(i for i, h in enumerate(window) if h == mn)
+        sel.add(hs[s + rel])
+    return sel
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_winnowing_guarantee_and_reference_parity(spark, data):
+    """Two spec-level properties of the winnowing operator, checked on
+    arbitrary corpora against a plain-Python reference:
+    1. per-doc selected fingerprints EXACTLY match the reference
+       (robust winnowing, rightmost-min ties);
+    2. the scheme's guarantee — two docs sharing a contiguous run of
+       >= k+w-1 = 8 tokens MUST share a fingerprint."""
+    from duckdb_otlp_spark.operators.text import winnowing_fingerprints
+
+    docs = data.draw(st.lists(
+        st.lists(WORD, min_size=1, max_size=30), min_size=1, max_size=5))
+    # plant a shared run of >= 8 tokens inside two fresh docs
+    run = data.draw(st.lists(WORD, min_size=8, max_size=12))
+    pre_a = data.draw(st.lists(WORD, min_size=0, max_size=6))
+    pre_b = data.draw(st.lists(WORD, min_size=0, max_size=6))
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    rows.append((100, " ".join(pre_a + run)))
+    rows.append((101, " ".join(pre_b + run + ["tailtok"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add(r["h"])
+    for doc_id, text in rows:
+        # operator lowercases; WORD alphabet is already lowercase
+        assert got.get(doc_id, set()) == _py_winnow(text.split()), doc_id
+    assert got[100] & got[101], "guarantee violated: shared 8-token run"
