@@ -3220,6 +3220,69 @@ ORDER BY pmi DESC, w1, w2 LIMIT 20
 """
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM surprisal quality score: per document, the mean
+    negative log2 of the Laplace-smoothed conditional bigram
+    probability P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1})
+    + V) under the corpus's own counts — the classic fluency scorer
+    one rung above unigram_surprisal (low = templated/boilerplate
+    word order, high = shuffled/garbled text that unigram stats miss).
+    Documents with fewer than two tokens have no bigrams and drop out
+    (same rule both engines).
+
+    Scale shape: bigram extraction is MAP-ONLY off the let-bound split
+    array (pmi_collocations' shape — no window, no doc-keyed exchange
+    of the token explode); the LM tables are (w1, w2)- and w-keyed
+    partial aggs (O(vocab²-observed) / O(vocab)); V rides as a 1-row
+    broadcast; scoring joins the per-doc bigram list to the two LM
+    tables by token keys and rolls up per doc — only (doc_id, w1, w2)
+    triples ever shuffle, never text."""
+    docs = _docs_parallel(spark, sf_dir)
+    arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                   lambda t: t != "")
+    toks = docs.select("doc_id", arr.alias("arr"))
+    bg_col = _bind1(
+        F.col("arr"),
+        lambda a: F.when(F.size(a) >= 2, F.transform(
+            F.sequence(F.lit(0), F.size(a) - 2),
+            lambda i: F.struct(a[i].alias("w1"), a[i + 1].alias("w2"))))
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>")))
+    bg = (toks.select("doc_id", F.explode(bg_col).alias("p"))
+          .select("doc_id", "p.w1", "p.w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uc = (toks.select(F.explode("arr").alias("w1"))
+          .groupBy("w1").agg(F.count("*").alias("c1")))
+    vocab = uc.agg(F.count("*").alias("v"))
+    return (bg.join(bc, ["w1", "w2"]).join(uc, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg(-F.log2((F.col("c_xy") + 1.0)
+                                       / (F.col("c1") + F.col("v")))), 4)
+                 .alias("mean_bigram_surprisal"))
+            .orderBy("doc_id"))
+
+
+SQL_BIGRAM_SURPRISAL = """
+WITH toks AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+'),
+                                 t -> t <> '') AS arr
+              FROM documents),
+bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM (
+           SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM toks)),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS c1 FROM (
+           SELECT unnest(arr) AS w1 FROM toks) GROUP BY 1),
+vocab AS (SELECT count(*) AS v FROM uc)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-log2((c_xy + 1.0) / (c1 + v))), 4)
+           AS mean_bigram_surprisal
+FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _PASSAGE_TOKENS = 16
 
 
@@ -3487,6 +3550,7 @@ QUERIES.update({
     "winnowing_pairs": q_winnowing_pairs,
     "pmi_collocations": q_pmi_collocations,
     "passage_dedup": q_passage_dedup,
+    "bigram_surprisal": q_bigram_surprisal,
 })
 
 ORACLE_SQL: dict[str, str] = {
@@ -3568,6 +3632,7 @@ ORACLE_SQL: dict[str, str] = {
     "winnowing_pairs": SQL_WINNOWING_PAIRS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "passage_dedup": SQL_PASSAGE_DEDUP,
+    "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
 }
 
 ORACLE_SQL.update(READER_GATE_SQL)

@@ -309,7 +309,7 @@ def _ops() -> dict:
              "contamination_overlap", "dedup_incremental",
              "token_offsets", "corpus_shuffle", "ann_cosine_topk",
              # r10 late additions (query-level, linear shapes)
-             "pmi_collocations", "passage_dedup"]
+             "pmi_collocations", "passage_dedup", "bigram_surprisal"]
     ops = {n: QUERIES[n] for n in names}
     ops["embedding_near_dup_pairs"] = emb_near_dup
     ops["winnowing_pairs_guarded"] = winnow

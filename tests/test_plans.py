@@ -681,6 +681,16 @@ def test_r10_operator_plan_shapes(spark):
     assert not pd.has_python_eval
     assert pd.text.count("split(trim(") <= 2, pd.text.count("split(trim(")
 
+    # bigram_surprisal shares pmi's zero-window map-only extraction
+    bs = _rep(spark, "bigram_surprisal")
+    assert "windowspecdefinition" not in bs.text
+    assert bs.nested_loop_joins <= 2, bs.nested_loop_joins  # 1-row V
+    assert bs.broadcast_joins + bs.sort_merge_joins \
+        + bs.shuffled_hash_joins >= 1
+    assert not bs.has_python_eval
+    bs_scan = bs.scan_for("documents.parquet")
+    assert set(bs_scan.read_columns) == {"doc_id", "text"}
+
 
 def test_gram_builders_bind_split_once(spark):
     """r10 scale-probe regression pin: higher-order-function lambdas are
