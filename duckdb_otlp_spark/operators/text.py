@@ -311,22 +311,44 @@ def winnowing_pairs(df: DataFrame, id_col: str, text_col: str, *,
     with doc_a < doc_b.
 
     ``max_doc_freq`` is the standard MOSS refinement and the 100 TB
-    skew guard: a fingerprint present in more than that many documents
-    (boilerplate, license headers, planted phrases) is dropped BEFORE
-    the self-join — one hot hash shared by f documents would otherwise
-    contribute f²/2 rows to the pair aggregation (measured at probe
-    scale: a 12-word phrase planted in ~14k of 2M documents makes the
-    unguarded join build ~1e8 pairs from ~5 hashes). The stop-list is
-    a fingerprint-keyed partial-agg count + broadcast-friendly
-    anti-join — O(distinct hot hashes) extra state. None disables the
-    guard (the oracle-exact shape queries.q_winnowing_pairs certifies
-    on the driver's testdata, which has no hot fingerprints)."""
+    guard, in two ways at once. (1) Skew: a fingerprint present in
+    more than that many documents (boilerplate, license headers,
+    planted phrases) is dropped — one hot hash shared by f documents
+    would otherwise contribute f²/2 rows to the pair aggregation
+    (measured at probe scale: a 12-word phrase planted in ~14k of 2M
+    documents makes the unguarded join build ~1e8 pairs from ~5
+    hashes). (2) Plan shape: with the cap, per-hash document lists are
+    BOUNDED, so pairs come from ONE hash-keyed groupBy with
+    ``collect_set`` + an in-array pair expansion (≤ cap²/2 structs per
+    hash) — the fingerprint pipeline executes once and the corpus-
+    sized rows cross exactly two exchanges (the doc_id window, the
+    hash groupBy). The uncapped path must self-join instead, which
+    RE-EXECUTES the whole fingerprint pipeline for the second side and
+    adds two more corpus-sized shuffles — at the 20M-doc probe tier
+    (~360M fingerprints) that stack of spills filled a 75 GB disk
+    (ENOSPC) while the grouped path fits. None therefore means the
+    oracle-exact self-join shape that queries.q_winnowing_pairs
+    certifies on the driver's testdata; any corpus-scale run should
+    pass a cap."""
     fp = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
     if max_doc_freq is not None:
-        hot = (fp.groupBy("h").agg(F.count("*").alias("df"))
-               .filter(F.col("df") > max_doc_freq)
-               .select("h"))
-        fp = fp.join(hot, "h", "left_anti")
+        ds = F.col("ds")
+        n = F.size(ds)
+        pairs = F.flatten(F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(F.element_at(ds, i + 1).alias("a"),
+                                   F.element_at(ds, j + 1).alias("b")))))
+        return (fp.groupBy("h")
+                .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
+                .filter((F.size("ds") >= 2)
+                        & (F.size("ds") <= max_doc_freq))
+                .select(F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.a").alias("doc_a"),
+                         F.col("p.b").alias("doc_b"))
+                .agg(F.count("*").cast("long").alias("shared_fingerprints"))
+                .filter(F.col("shared_fingerprints") >= min_shared))
     fb = fp.select(F.col(id_col).alias("doc_b"), "h")
     return (fp.join(fb, "h")
             .filter(F.col(id_col) < F.col("doc_b"))

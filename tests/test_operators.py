@@ -814,6 +814,14 @@ def test_winnowing_operator_matches_query_and_stoplist(spark):
     got = {(r["doc_a"], r["doc_b"], r["shared_fingerprints"])
            for r in text.winnowing_pairs(docs, "doc_id", "text").collect()}
     assert got == want and want
+    # the capped GROUPED-pairs path (one hash groupBy + in-array pair
+    # expansion — the corpus-scale shape) returns the identical pair
+    # set when the cap is high enough to drop nothing
+    grouped = {(r["doc_a"], r["doc_b"], r["shared_fingerprints"])
+               for r in text.winnowing_pairs(
+                   docs, "doc_id", "text",
+                   max_doc_freq=10**6).collect()}
+    assert grouped == want
 
     # planted hot phrase: 30 docs share ONLY a 12-token boilerplate run
     # (>= k+w-1 = 8 shared tokens, so winnowing GUARANTEES a shared
