@@ -490,7 +490,8 @@ def load_band_index(spark, table: str) -> DataFrame:
 
 def semdedup(df: DataFrame, id_col: str, vec_col: str, *,
              k: int | None = None, tau: float = 0.95, seed: int = 42,
-             max_iter: int = 10, block_bytes: int = 1 << 28) -> DataFrame:
+             max_iter: int = 10, block_bytes: int = 1 << 28,
+             fit_sample: float | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) at corpus scale: cluster the
     embedding space with MLlib k-means, then screen each cluster
     independently — a vector is dropped when an earlier (lower-id)
@@ -515,7 +516,15 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, *,
       higher-order-function cosines cost ~µs/pair while BLAS does the
       same block in ~ns/pair, a 100-1000x gap measured at probe scale;
     - the matmul is BLOCKED to ``block_bytes`` of float32 so a skewed
-      mega-cluster degrades to streaming passes instead of OOM.
+      mega-cluster degrades to streaming passes instead of OOM;
+    - ``fit_sample`` (0 < f <= 1) fits k-means on a seeded SAMPLE and
+      only assigns the full corpus — the standard corpus-scale move,
+      because with k ∝ n the total Lloyd work grows ~n²·d/1000 (the
+      probe measured 27.8x on 10x data from exactly this term, with
+      the screen itself near-linear). A 10% fit sample cuts the fit
+      term 10x while assignment stays ONE O(n·k·d) map pass; centroid
+      quality degrades only by sampling noise on cluster MASSES, and
+      the dup screen never crosses cluster boundaries either way.
 
     Determinism: the k-means seed pins initialization; verdicts for
     true near-duplicates are threshold-robust, but exact cluster ids
@@ -534,9 +543,15 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, *,
     if k is None:
         n = feats.count()
         k = max(2, n // 1000)
+    fit_src = feats
+    if fit_sample is not None:
+        if not 0.0 < fit_sample <= 1.0:
+            raise ValueError(f"fit_sample must be in (0, 1], got "
+                             f"{fit_sample}")
+        fit_src = feats.sample(fraction=fit_sample, seed=seed)
     model = KMeans(k=k, seed=seed, maxIter=max_iter,
                    featuresCol="_sd_feat").fit(
-        feats.select(array_to_vector(
+        fit_src.select(array_to_vector(
             F.col("_sd_v").cast("array<double>")).alias("_sd_feat")))
     assigned = model.transform(
         feats.withColumn("_sd_feat", array_to_vector(

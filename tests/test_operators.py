@@ -843,3 +843,31 @@ def test_winnowing_operator_matches_query_and_stoplist(spark):
         planted, "doc_id", "text", min_shared=1,
         max_doc_freq=5).collect()}
     assert guarded == {(100, 101)}
+
+
+def test_semdedup_sampled_fit_still_detects_copies(spark):
+    """fit_sample fits k-means on a seeded sample but assigns the full
+    corpus: planted exact copies must still co-cluster with their
+    originals (identical vectors always share an assignment) and be
+    dropped; the bounds contract rejects nonsense fractions."""
+    import pytest as _pt
+
+    n = 300
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.pmod(F.xxhash64(
+                F.col("id") - F.when(F.col("id") % 50 == 1, 1)
+                .otherwise(0), i), F.lit(2001)) - 1000) / 1000.0)
+            .cast("float")).alias("embedding"))
+    out = dedup.semdedup(df, "vec_id", "embedding", k=6, tau=0.999,
+                         fit_sample=0.3)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == n
+    planted = [i for i in range(n) if i % 50 == 1]
+    assert planted and all(not rows[i]["is_kept"] for i in planted)
+    for i in planted:
+        assert rows[i]["cluster_id"] == rows[i - 1]["cluster_id"]
+    with _pt.raises(ValueError, match="fit_sample"):
+        dedup.semdedup(df, "vec_id", "embedding", k=6, fit_sample=1.5)
