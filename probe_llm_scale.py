@@ -338,7 +338,10 @@ def plan_shapes(spark, sf_dir: str) -> dict:
 
     shapes = {}
     for name in ("minhash_lsh_pairs", "contamination_overlap",
-                 "token_offsets", "corpus_shuffle", "dedup_incremental"):
+                 "token_offsets", "corpus_shuffle", "dedup_incremental",
+                 # r10 additions (zero-window map-only extractions +
+                 # digest/vocab-keyed partial aggs)
+                 "pmi_collocations", "passage_dedup", "bigram_surprisal"):
         rep = audit(QUERIES[name](spark, sf_dir))
         shapes[name] = {
             "python_eval": rep.has_python_eval,
@@ -349,7 +352,17 @@ def plan_shapes(spark, sf_dir: str) -> dict:
                 rep.text.count("SinglePartition"),
         }
         assert not rep.has_python_eval, name
-        assert rep.nested_loop_joins == 0, name
+        # pmi/bigram carry exactly the 1-row corpus-stats broadcast
+        # crossjoins (bm25's pattern, <=2 real NLJs printed ~2x by the
+        # formatted explain); everything else must have none
+        nlj_cap = 4 if name in ("pmi_collocations",
+                                "bigram_surprisal") else 0
+        assert rep.nested_loop_joins <= nlj_cap, (name,
+                                                  rep.nested_loop_joins)
+        # the r10 map-only extractions must stay window-free
+        if name in ("pmi_collocations", "passage_dedup",
+                    "bigram_surprisal"):
+            assert "windowspecdefinition" not in rep.text, name
     # the radix-cumsum ops carry exactly ONE SinglePartition exchange
     # (the 32-row bucket-offset window), never a corpus-sized one
     for name in ("token_offsets", "corpus_shuffle"):
@@ -378,7 +391,15 @@ def main() -> None:
                     help="reuse an existing --out tree")
     ap.add_argument("--skip-detection", action="store_true",
                     help="skip the base-scale planted-signal checks")
+    ap.add_argument("--plan-shapes-only", action="store_true",
+                    help="skip the timing loops; just re-audit the 10x "
+                         "plan shapes into the artifact (explain-only, "
+                         "no jobs)")
     args = ap.parse_args()
+    if args.plan_shapes_only:
+        args.tiers = ""
+        args.skip_generate = True
+        args.skip_detection = True
 
     import sys
     sys.path.insert(0, str(Path(__file__).resolve().parent))
