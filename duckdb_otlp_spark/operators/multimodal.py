@@ -8,16 +8,16 @@ SOF, GIF logical-screen, and WAV fmt/data headers are parsed with
 stdlib ``struct`` only (:func:`sniff_media_header` /
 :func:`decode_headers`), so width/height/duration/sample-rate come from
 the actual bytes.  TRUE pixel/sample decode is also real for all four
-image/audio containers: non-interlaced 8-bit PNG (zlib inflate +
-per-row unfilter, :func:`decode_png_pixels`), baseline JPEG (huffman +
-dequant + IDCT + chroma upsample, :func:`decode_jpeg_pixels`), GIF
+image/audio containers: PNG in every legal shape — the five filters,
+PLTE palette, 1/2/4-bit sub-byte rows, 16-bit high-byte reduction,
+Adam7 interlace (:func:`decode_png_pixels`); baseline JPEG (huffman +
+dequant + IDCT + chroma upsample, :func:`decode_jpeg_pixels`); GIF
 (variable-width LZW + palette + interlace reorder,
-:func:`decode_gif_pixels`), and integer-PCM WAV
+:func:`decode_gif_pixels`); and integer-PCM WAV
 (:func:`decode_wav_samples`), feeding real signal features (mean luma /
 RMS amplitude) through ``extract_features(decode_pixels=True)``.  Only
 the genuinely codec-library-sized variants remain NotImplementedError
-(progressive/arithmetic/12-bit/CMYK JPEG, palette/interlaced/16-bit
-PNG, compressed audio).
+(progressive/arithmetic/12-bit/CMYK JPEG, compressed audio).
 
 Scale notes: payloads stay in the executor as Arrow binary buffers;
 mapInPandas streams record batches so one task never materializes more
@@ -307,14 +307,13 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     only: chunk walk (CRC-checked), IDAT inflate, per-scanline
     unfilter (None/Sub/Up/Average/Paeth — PNG §9), PLTE palette
     indirection, sub-byte (1/2/4-bit) unpacking with grayscale
-    rescaling, and Adam7 interlace reassembly. Returns
-    ``(width, height, channels, samples)`` with ``samples`` in
+    rescaling, 16-bit high-byte reduction, and Adam7 interlace
+    reassembly — every legal PNG shape. Returns
+    ``(width, height, channels, samples)`` with ``samples`` 8-bit in
     scanline order (palette images come out as 3-channel RGB).
 
-    Raises ``ValueError`` on corrupt containers and
-    ``NotImplementedError`` only for 16-bit depth (samples wider than
-    a byte change the feature contract; they need a real image
-    library downstream anyway).
+    Raises ``ValueError`` on corrupt containers or illegal
+    depth/color-type combinations.
     """
     import zlib
 
@@ -354,12 +353,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError("PNG missing IHDR/IDAT")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"PNG color_type={color_type} is not valid")
-    if depth == 16:
-        raise NotImplementedError(
-            "16-bit PNG needs a codec library; stdlib decode covers "
-            "1/2/4/8-bit depths")
-    if depth not in (1, 2, 4, 8) or (depth != 8
-                                     and color_type not in (0, 3)):
+    if depth not in (1, 2, 4, 8, 16) \
+            or (depth in (1, 2, 4) and color_type not in (0, 3)) \
+            or (depth == 16 and color_type == 3):
         raise ValueError(f"PNG bit_depth={depth} color_type={color_type} "
                          f"is not a legal combination")
     if color_type == 3 and plte is None:
@@ -370,11 +366,16 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     def sub_image(off, sw, sh):
         """One (sub)image at (sw, sh): unfiltered 8-bit-per-sample
         values — sub-byte depths unpacked (grayscale rescaled to
-        0..255, palette indices raw)."""
+        0..255, palette indices raw), 16-bit reduced to the high byte
+        (the standard 16->8 precision reduction; filters ran on the
+        full 2-byte samples per spec, bpp = 2*channels)."""
         if sw == 0 or sh == 0:
             return bytearray(), off
         if depth == 8:
             return _png_unfilter(raw, off, sw, sh, nch)
+        if depth == 16:
+            wide, nxt = _png_unfilter(raw, off, sw, sh, 2 * nch)
+            return wide[0::2], nxt         # big-endian: high byte first
         vals, nxt = _png_unfilter_subbyte(raw, off, sw, sh, depth)
         if color_type == 0:                # rescale gray to full range
             scale = 255 // ((1 << depth) - 1)
@@ -947,8 +948,9 @@ def extract_features(df: DataFrame, dim: int = 8,
     palette, :func:`decode_gif_pixels`); ``rms_amplitude`` for
     integer-PCM WAV, null for the other kind's column. Only the
     genuinely codec-library-sized variants stay NotImplementedError
-    (progressive/arithmetic/12-bit/CMYK JPEG, palette/interlace/16-bit
-    PNG, non-PCM WAV). Unrecognized containers raise ValueError.
+    (progressive/arithmetic/12-bit/CMYK JPEG, non-PCM WAV) — PNG
+    decodes in every legal shape. Unrecognized containers raise
+    ValueError.
     """
     schema = FEATURE_SCHEMA
     if strict_decode:

@@ -558,3 +558,35 @@ def test_png_adam7_interlace_rgb():
     assert (got_w, got_h, n) == (8, 8, 3)
     want = b"".join(pix(x, y) for y in range(h) for x in range(w))
     assert bytes(px) == want
+
+
+def test_png_16bit_high_byte_reduction():
+    """16-bit gray and RGB decode to the high byte of each big-endian
+    sample; the per-scanline filters run on the full 2-byte samples
+    (bpp = 2*channels), checked with a forward-Sub-filtered row."""
+    # gray 3x2: samples as 16-bit BE values
+    vals = [[0x1234, 0xFF00, 0x0080], [0xABCD, 0x0001, 0x8000]]
+    stream = bytearray()
+    raw_rows = [b"".join(st.pack(">H", v) for v in row) for row in vals]
+    stream.append(0)
+    stream += raw_rows[0]
+    # second row Sub-filtered: f[x] = raw[x] - raw[x - bpp], bpp=2
+    stream.append(1)
+    r = raw_rows[1]
+    stream += bytes((r[x] - (r[x - 2] if x >= 2 else 0)) & 0xFF
+                    for x in range(len(r)))
+    png = _png_from_stream(3, 2, 16, 0, stream)
+    w, h, n, px = mm.decode_png_pixels(png)
+    assert (w, h, n) == (3, 2, 1)
+    assert list(px) == [v >> 8 for row in vals for v in row]
+
+    # RGB 2x1 filter-0
+    rgb = [(0x1122, 0x3344, 0x5566), (0xFFEE, 0x0100, 0x9ABC)]
+    stream = bytearray([0])
+    for p_ in rgb:
+        for v in p_:
+            stream += st.pack(">H", v)
+    png = _png_from_stream(2, 1, 16, 2, stream)
+    w, h, n, px = mm.decode_png_pixels(png)
+    assert (w, h, n) == (2, 1, 3)
+    assert list(px) == [v >> 8 for p_ in rgb for v in p_]

@@ -289,9 +289,11 @@ def test_decode_png_pixels_error_contracts():
             _full_png(rows, color_type=0, interlace=1))
     with pytest.raises(ValueError, match="missing PLTE"):
         multimodal.decode_png_pixels(_full_png(rows, color_type=3))
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    with pytest.raises(ValueError, match="not a legal combination"):
+        # 16-bit palette is illegal per the PNG spec (16-bit
+        # gray/RGB/alpha shapes DO decode: tests/test_media_decode.py)
         multimodal.decode_png_pixels(
-            _full_png(rows, color_type=0, bit_depth=16))
+            _full_png(rows, color_type=3, bit_depth=16))
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png_pixels(b"garbage")
 
