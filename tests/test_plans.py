@@ -737,3 +737,45 @@ def test_gram_builders_bind_split_once(spark):
         F.sequence(F.lit(0), F.size(words) - 3),
         lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]))
     assert splits(doc.select(inlined.alias("g"))) >= 4
+
+
+# Registry entries allowed to cross the Python boundary, and ONLY via
+# Arrow batches (MapInPandas / FlatMapGroupsInPandas): the OTLP/OTAP
+# readers (file bytes -> rows decode is Python by design, one file per
+# task), the multimodal payload decoder (same), and the no-straddle
+# packer (sequential next-fit state, applyInPandas over the shard).
+_ARROW_PATH_WHITELIST = {
+    "multimodal_features", "sequence_pack_nostraddle",
+    "read_logs_json", "read_logs_pb", "read_traces_json",
+    "read_metrics_gauge_json", "read_metrics_sum_json",
+    "read_metrics_histogram_json", "read_metrics_exp_histogram_json",
+    "read_otap_logs", "read_otap_traces", "read_otap_metrics_gauge",
+    "read_otap_metrics_sum", "read_otap_metrics_histogram",
+    "read_otap_metrics_exp_histogram",
+}
+
+
+def test_registry_global_python_hygiene(spark):
+    """Blanket gate over the ENTIRE registry: no entry may plan a
+    row-at-a-time Python eval (BatchEvalPython — the 10-100x-slower
+    path), and only the whitelisted Arrow-batched entries may cross
+    the Python boundary at all. A new query that silently falls back
+    to a Python UDF — or an existing one that regresses through a
+    refactor — fails here even if no per-query pin exists for it."""
+    import re
+
+    from duckdb_otlp_spark.queries import QUERIES
+
+    py = re.compile(r"BatchEvalPython|ArrowEvalPython|MapInPandas"
+                    r"|FlatMapGroupsInPandas|MapInArrow|PythonUDF")
+    offenders, missing_whitelist = {}, {}
+    for name, fn in QUERIES.items():
+        rep = audit(fn(spark, SF))
+        nodes = sorted(set(py.findall(rep.text)))
+        if "BatchEvalPython" in nodes:
+            offenders[name] = nodes
+        elif nodes and name not in _ARROW_PATH_WHITELIST:
+            missing_whitelist[name] = nodes
+    assert not offenders, f"row-wise Python UDFs: {offenders}"
+    assert not missing_whitelist, \
+        f"unwhitelisted Python-boundary entries: {missing_whitelist}"
