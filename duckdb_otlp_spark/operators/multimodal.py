@@ -11,13 +11,15 @@ the actual bytes.  TRUE pixel/sample decode is also real for all four
 image/audio containers: PNG in every legal shape — the five filters,
 PLTE palette, 1/2/4-bit sub-byte rows, 16-bit high-byte reduction,
 Adam7 interlace (:func:`decode_png_pixels`); baseline JPEG (huffman +
-dequant + IDCT + chroma upsample, :func:`decode_jpeg_pixels`); GIF
+dequant + IDCT + chroma upsample — and PROGRESSIVE (SOF2) with
+spectral selection + successive approximation per T.81 G.1.2,
+:func:`decode_jpeg_pixels`); GIF
 (variable-width LZW + palette + interlace reorder,
 :func:`decode_gif_pixels`); and integer-PCM WAV
 (:func:`decode_wav_samples`), feeding real signal features (mean luma /
 RMS amplitude) through ``extract_features(decode_pixels=True)``.  Only
 the genuinely codec-library-sized variants remain NotImplementedError
-(progressive/arithmetic/12-bit/CMYK JPEG, compressed audio).
+(arithmetic/lossless/hierarchical/12-bit/CMYK JPEG, compressed audio).
 
 Scale notes: payloads stay in the executor as Arrow binary buffers;
 mapInPandas streams record batches so one task never materializes more
@@ -665,16 +667,20 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """Decode a BASELINE JPEG (SOF0/SOF1 sequential DCT, huffman) with
-    stdlib only: marker walk (DQT/DHT/SOF/DRI/SOS), MCU entropy decode
-    with restart-marker support, dequant + zigzag + separable float
-    IDCT, nearest-neighbor chroma upsample, YCbCr->RGB (grayscale
-    passes through). Returns ``(width, height, channels, samples)``.
+    """Decode a huffman-coded DCT JPEG with stdlib only — BASELINE
+    (SOF0/SOF1: one sequential MCU scan) and PROGRESSIVE (SOF2:
+    multi-scan spectral selection + successive approximation per
+    T.81 G.1.2.2-3, coefficients accumulated across scans and rendered
+    once at EOI). Marker walk (DQT/DHT/SOF/DRI/SOS, tables may be
+    redefined between scans), restart markers in both modes, dequant +
+    zigzag + separable float IDCT, nearest-neighbor chroma upsample,
+    YCbCr->RGB (grayscale passes through). Returns
+    ``(width, height, channels, samples)``.
 
-    Raises ``NotImplementedError`` for progressive (SOF2) /
-    arithmetic-coded / lossless / 12-bit / CMYK shapes — those are the
-    genuinely codec-library-sized variants — and ``ValueError`` on
-    corrupt containers."""
+    Raises ``NotImplementedError`` for arithmetic-coded / lossless /
+    hierarchical / 12-bit / CMYK shapes — the genuinely
+    codec-library-sized variants — and ``ValueError`` on corrupt
+    containers."""
     b = payload
     if b is None or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -682,6 +688,7 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     w = h = None
+    progressive = False
     restart_interval = 0
     i = 2
     while i + 4 <= len(b):
@@ -694,6 +701,8 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
+        if m == 0xD9:                      # EOI
+            break
         (seglen,) = struct.unpack_from(">H", b, i + 2)
         seg = b[i + 4:i + 2 + seglen]
         if m == 0xDB:                      # DQT
@@ -720,7 +729,8 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
                         code += 1
                     code <<= 1
                 huff[(tc, th)] = table
-        elif m in (0xC0, 0xC1):            # SOF0/1 baseline sequential
+        elif m in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
+            progressive = (m == 0xC2)
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(
@@ -733,12 +743,14 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                _jpeg_alloc_coefs(comps, w, h)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{m - 0xC0} (progressive/arithmetic/lossless) "
+                f"JPEG SOF{m - 0xC0} (arithmetic/lossless/hierarchical) "
                 f"needs a codec library; stdlib decode covers baseline "
-                f"sequential huffman")
+                f"and progressive huffman")
         elif m == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:                    # SOS — entropy data follows
@@ -749,15 +761,222 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
-            for comp in comps:
-                comp["td"], comp["ta"] = sel[comp["id"]]
             entropy_at = i + 2 + seglen
-            return _jpeg_scan(b, entropy_at, w, h, comps, qt, huff,
-                              restart_interval)
-        elif m == 0xD9:
-            break
+            if not progressive:
+                for comp in comps:
+                    comp["td"], comp["ta"] = sel[comp["id"]]
+                return _jpeg_scan(b, entropy_at, w, h, comps, qt, huff,
+                                  restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            scan_comps = []
+            for comp in comps:
+                if comp["id"] in sel:
+                    comp["td"], comp["ta"] = sel[comp["id"]]
+                    scan_comps.append(comp)
+            i = _jpeg_prog_scan(b, entropy_at, scan_comps, comps,
+                                ss, se, a >> 4, a & 15, huff,
+                                restart_interval)
+            continue
         i += 2 + seglen
+    if progressive and comps is not None:
+        return _jpeg_render_coefs(comps, w, h, qt)
     raise ValueError("JPEG missing SOS/EOI")
+
+
+def _jpeg_alloc_coefs(comps, w, h):
+    """Per-component coefficient grids for progressive accumulation:
+    PADDED (MCU-grid) layout, values in ZIGZAG order, quantized —
+    refinement bits operate on quantized magnitudes (T.81 G.1.2.3)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # NON-interleaved scans walk the component's OWN (unpadded)
+        # block grid (T.81 A.2.2) — precompute it
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["bw_ni"] = (cw + 7) // 8
+        c["bh_ni"] = (ch + 7) // 8
+        c["coef"] = [[0] * 64 for _ in range(c["bw"] * c["bh"])]
+    comps[0]["_mcux"], comps[0]["_mcuy"] = mcux, mcuy
+
+
+def _jpeg_prog_scan(b, pos, scan_comps, all_comps, ss, se, ah, al,
+                    huff, restart_interval):
+    """Decode ONE progressive scan into the coefficient grids; returns
+    the position of the next marker after the entropy segment."""
+    rdr = _JpegBitReader(b, pos)
+    state = {"eobrun": 0}
+    preds = {c["id"]: 0 for c in scan_comps}
+
+    def dc_block(c, coef):
+        if ah == 0:                        # DC first
+            t = rdr.decode_huff(huff.get((0, c["td"])) or _missing("DC"))
+            diff = _jpeg_extend(rdr.read_bits(t), t) if t else 0
+            preds[c["id"]] += diff
+            coef[0] = preds[c["id"]] << al
+        else:                              # DC refinement: 1 bit
+            if rdr.read_bit():
+                coef[0] |= 1 << al
+
+    def ac_first(c, coef):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        act = huff.get((1, c["ta"])) or _missing("AC")
+        k = ss
+        while k <= se:
+            rs = rdr.decode_huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:                # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += rdr.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow (progressive)")
+            coef[k] = _jpeg_extend(rdr.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(c, coef):
+        # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine structure
+        p1, m1 = 1 << al, -(1 << al)
+        act = huff.get((1, c["ta"])) or _missing("AC")
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = rdr.decode_huff(act)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:             # EOB run starts here
+                        state["eobrun"] = (1 << r)
+                        if r:
+                            state["eobrun"] += rdr.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    val = p1 if rdr.read_bit() else m1
+                while k <= se:             # advance over the run
+                    if coef[k] != 0:       # history: correction bit
+                        if rdr.read_bit() and (coef[k] & p1) == 0:
+                            coef[k] += p1 if coef[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:                 # refine to end of band
+                if coef[k] != 0:
+                    if rdr.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def do_block(c, coef):
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG DC scan with Se != 0")
+            dc_block(c, coef)
+        elif ah == 0:
+            ac_first(c, coef)
+        else:
+            ac_refine(c, coef)
+
+    def maybe_restart(unit_idx):
+        if restart_interval and unit_idx \
+                and unit_idx % restart_interval == 0:
+            rdr.align_to_marker()
+            if not (rdr.pos + 2 <= len(b) and b[rdr.pos] == 0xFF
+                    and 0xD0 <= b[rdr.pos + 1] <= 0xD7):
+                raise ValueError("JPEG restart marker expected")
+            rdr.pos += 2
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    if ss == 0 and len(scan_comps) > 1:
+        # interleaved DC scan: MCU walk over the full frame grid
+        mcux, mcuy = all_comps[0]["_mcux"], all_comps[0]["_mcuy"]
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(mcu)
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = ((my * c["v"] + by) * c["bw"]
+                                   + mx * c["h"] + bx)
+                            do_block(c, c["coef"][idx])
+                mcu += 1
+    else:
+        # non-interleaved: the single component's own block grid
+        if len(scan_comps) != 1:
+            raise ValueError("JPEG progressive AC scan with multiple "
+                             "components")
+        c = scan_comps[0]
+        unit = 0
+        for by in range(c["bh_ni"]):
+            for bx in range(c["bw_ni"]):
+                maybe_restart(unit)
+                do_block(c, c["coef"][by * c["bw"] + bx])
+                unit += 1
+
+    # skip pad bits, then find the next true marker
+    p = rdr.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:   # stray trailing restart
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("JPEG entropy segment ran past end of payload")
+
+
+def _missing(kind):
+    raise ValueError(f"JPEG references missing {kind} huffman table")
+
+
+def _jpeg_render_coefs(comps, w, h, qt):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble exactly like the baseline path."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG references missing quant table "
+                             f"{c['tq']}")
+        q = qt[c["tq"]]
+        rowlen = c["bw"] * 8
+        c["plane"] = bytearray(rowlen * c["bh"] * 8)
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                zz = c["coef"][by * c["bw"] + bx]
+                nat = [0.0] * 64
+                for k in range(64):
+                    if zz[k]:
+                        nat[_ZIGZAG[k]] = zz[k] * q[k]
+                px = _idct8x8(nat)
+                gx, gy = bx * 8, by * 8
+                for yy in range(8):
+                    off = (gy + yy) * rowlen + gx
+                    c["plane"][off:off + 8] = bytes(px[8 * yy:8 * yy + 8])
+    return _jpeg_assemble(comps, w, h, hmax, vmax)
 
 
 def _jpeg_scan(b, pos, w, h, comps, qt, huff, restart_interval):
@@ -827,6 +1046,12 @@ def _jpeg_scan(b, pos, w, h, comps, qt, huff, restart_interval):
                             c["plane"][off:off + 8] = \
                                 bytes(px[8 * yy:8 * yy + 8])
             mcu_count += 1
+    return _jpeg_assemble(comps, w, h, hmax, vmax)
+
+
+def _jpeg_assemble(comps, w, h, hmax, vmax):
+    """Crop/upsample the decoded component planes into the output
+    samples (shared by the baseline and progressive paths)."""
     if len(comps) == 1:
         c = comps[0]
         rowlen = c["bw"] * 8
@@ -948,8 +1173,9 @@ def extract_features(df: DataFrame, dim: int = 8,
     palette, :func:`decode_gif_pixels`); ``rms_amplitude`` for
     integer-PCM WAV, null for the other kind's column. Only the
     genuinely codec-library-sized variants stay NotImplementedError
-    (progressive/arithmetic/12-bit/CMYK JPEG, non-PCM WAV) — PNG
-    decodes in every legal shape. Unrecognized containers raise
+    (arithmetic/lossless/hierarchical/12-bit/CMYK JPEG, non-PCM WAV) —
+    PNG decodes in every legal shape and JPEG in both huffman modes
+    (baseline + progressive). Unrecognized containers raise
     ValueError.
     """
     schema = FEATURE_SCHEMA

@@ -420,10 +420,12 @@ def test_jpeg_restart_markers_reset_predictors():
 
 def test_jpeg_error_contracts():
     blk = _DC(10)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        # SOF9 (extended sequential, ARITHMETIC coding) stays a
+        # codec-library job; SOF2 progressive decodes as of r10
         mm.decode_jpeg_pixels(_full_jpeg(
             8, 8, [{"id": 1, "h": 1, "v": 1, "blocks": [blk]}], _Q16,
-            sof=0xC2))
+            sof=0xC9))
     with pytest.raises(ValueError, match="not a JPEG"):
         mm.decode_jpeg_pixels(b"garbage")
     with pytest.raises(ValueError, match="missing SOS"):
@@ -590,3 +592,185 @@ def test_png_16bit_high_byte_reduction():
     w, h, n, px = mm.decode_png_pixels(png)
     assert (w, h, n) == (2, 1, 3)
     assert list(px) == [v >> 8 for p_ in rgb for v in p_]
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2: spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+# Progressive AC scans need EOBn symbols (r>0, s=0) that the Annex K
+# baseline table lacks: a flat custom AC table (all length-8 codes),
+# emitted as a SECOND DHT between scans — which also exercises
+# between-scan table redefinition.
+_PROG_AC_SYMS = [0x00, 0x10, 0x20, 0x01, 0x11, 0x21, 0x02, 0x12,
+                 0x03, 0x13, 0x04, 0x31, 0xF0]
+_PROG_AC_COUNTS = [0] * 16
+_PROG_AC_COUNTS[7] = len(_PROG_AC_SYMS)
+_PROG_AC_CODES = _build_codes(_PROG_AC_COUNTS, _PROG_AC_SYMS)
+
+
+def _jseg(marker, payload):
+    return bytes([0xFF, marker]) + st.pack(">H", 2 + len(payload)) \
+        + payload
+
+
+def _prog_headers(w, h, ncomp, qtab, sampling=None):
+    out = bytearray(b"\xff\xd8")
+    out += _jseg(0xDB, bytes([0]) + bytes(qtab))
+    out += _jseg(0xC4, bytes([0x00]) + bytes(_K_DC_COUNTS)
+                 + bytes(_K_DC_SYMS))
+    out += _jseg(0xC4, bytes([0x10]) + bytes(_PROG_AC_COUNTS)
+                 + bytes(_PROG_AC_SYMS))
+    sofp = st.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        hv = sampling[c] if sampling else (1, 1)
+        sofp += bytes([c + 1, (hv[0] << 4) | hv[1], 0])
+    out += _jseg(0xC2, sofp)
+    return out
+
+
+def _sos(comp_ids, ss, se, ah, al, body):
+    p = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        p += bytes([cid, 0x00])
+    p += bytes([ss, se, (ah << 4) | al])
+    return _jseg(0xDA, p) + body
+
+
+def _scan_bits(emits):
+    """emits: ('acsym', rs) / ('dcsym', t) / ('bits', value, width)."""
+    bw = _BitWriter()
+    for e in emits:
+        if e[0] == "acsym":
+            ln, code = _PROG_AC_CODES[e[1]]
+            bw.put(code, ln)
+        elif e[0] == "dcsym":
+            ln, code = _DC_CODES[e[1]]
+            bw.put(code, ln)
+        else:
+            bw.put(e[1], e[2])
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _dc_scan(diffs):
+    emits = []
+    for d in diffs:
+        t, bits = _cat_bits(d)
+        emits.append(("dcsym", t))
+        if t:
+            emits.append(("bits", bits, t))
+    return _scan_bits(emits)
+
+
+def _zz_expect(pairs):
+    """Expected pixels from zigzag (k, quantized value) pairs, q=16."""
+    nat = [0.0] * 64
+    for k, v in pairs:
+        nat[mm._ZIGZAG[k]] = v * 16
+    return _ref_idct(nat)
+
+
+def test_jpeg_progressive_dc_ac_and_dc_refinement():
+    """Three scans: DC first at Al=1, AC first, then a DC refinement
+    bit — the accumulated coefficients must IDCT to the exact
+    direct-formula expectation."""
+    b = _prog_headers(8, 8, 1, _Q16)
+    b += _sos([1], 0, 0, 0, 1, _dc_scan([5]))       # coef0 = 5<<1 = 10
+    t, bits = _cat_bits(-7)
+    b += _sos([1], 1, 63, 0, 0, _scan_bits([
+        ("acsym", t), ("bits", bits, t), ("acsym", 0x00)]))
+    b += _sos([1], 0, 0, 1, 0, _scan_bits([("bits", 1, 1)]))  # 10|1=11
+    b += b"\xff\xd9"
+    w, h, n, px = mm.decode_jpeg_pixels(bytes(b))
+    assert (w, h, n) == (8, 8, 1)
+    assert list(px) == _zz_expect([(0, 11), (1, -7)])
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """A 3-block image where the AC first scan ends with EOB2 (run of
+    3 incl. the current block): blocks 2-3 must decode with zero AC."""
+    b = _prog_headers(24, 8, 1, _Q16)
+    b += _sos([1], 0, 0, 0, 0, _dc_scan([4, 4, -8]))  # DCs 4, 8, 0
+    t, bits = _cat_bits(5)
+    b += _sos([1], 1, 63, 0, 0, _scan_bits([
+        ("acsym", (1 << 4) | t), ("bits", bits, t),   # r=1 then k=2 -> 5
+        ("acsym", (1 << 4) | 0), ("bits", 1, 1)]))    # EOB run = 3
+    b += b"\xff\xd9"
+    _, _, _, px = mm.decode_jpeg_pixels(bytes(b))
+    wants = [_zz_expect([(0, 4), (2, 5)]), _zz_expect([(0, 8)]),
+             _zz_expect([])]
+    for blk, want in enumerate(wants):
+        assert all(px[y * 24 + 8 * blk + x] == want[8 * y + x]
+                   for y in range(8) for x in range(8)), blk
+
+
+def test_jpeg_progressive_ac_refinement():
+    """AC first at Al=1 plants k=1 as 6; the refinement scan corrects
+    it (+1 -> 7) and introduces a new +-1 coefficient at k=2 — the
+    T.81 G.1.2.3 history/correction-bit walk, exactly."""
+    b = _prog_headers(8, 8, 1, _Q16)
+    b += _sos([1], 0, 0, 0, 0, _dc_scan([4]))
+    t, bits = _cat_bits(3)
+    b += _sos([1], 1, 63, 0, 1, _scan_bits([
+        ("acsym", t), ("bits", bits, t), ("acsym", 0x00)]))
+    b += _sos([1], 1, 63, 1, 0, _scan_bits([
+        ("acsym", 0x01), ("bits", 1, 1),   # new coef at k=2, sign +
+        ("bits", 1, 1),                    # correction bit for k=1: 6->7
+        ("acsym", 0x00)]))                 # EOB (run 1)
+    b += b"\xff\xd9"
+    _, _, _, px = mm.decode_jpeg_pixels(bytes(b))
+    assert list(px) == _zz_expect([(0, 4), (1, 7), (2, 1)])
+
+
+def test_jpeg_progressive_color_interleaved_dc():
+    """Interleaved 3-component DC scan + per-component AC scans:
+    uniform YCbCr -> exact RGB."""
+    b = _prog_headers(8, 8, 3, _Q16)
+    b += _sos([1, 2, 3], 0, 0, 0, 0, _dc_scan([8, 4, -4]))
+    for cid in (1, 2, 3):
+        b += _sos([cid], 1, 63, 0, 0, _scan_bits([("acsym", 0x00)]))
+    b += b"\xff\xd9"
+    w, h, n, px = mm.decode_jpeg_pixels(bytes(b))
+    yv, cb, cr = 144, 8, -8
+    er = int(yv + 1.402 * cr + 0.5)
+    eg = int(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+    eb = int(yv + 1.772 * cb + 0.5)
+    assert (w, h, n) == (8, 8, 3)
+    assert (px[0], px[1], px[2]) == (er, eg, eb)
+    assert (px[-3], px[-2], px[-1]) == (er, eg, eb)
+
+
+def test_jpeg_progressive_noninterleaved_grid_unpadded():
+    """T.81 A.2.2: NON-interleaved scans walk the component's OWN
+    (unpadded) block grid. With Y at 2x2 and w=17, Y's padded grid is
+    4 blocks wide (mcux=2) but its own grid is ceil(17/8)=3 — the AC
+    scan must supply exactly 3x2 blocks, and a coefficient planted in
+    grid position (0,2) must land at pixel column 16."""
+    b = _prog_headers(17, 16, 3, _Q16, sampling=[(2, 2), (1, 1), (1, 1)])
+    # interleaved DC first over 2 MCUs x (4 Y + Cb + Cr):
+    # MCU0 Y DCs 2,4,6,8; MCU1 Y DCs back to 0; chroma all 0
+    b += _sos([1, 2, 3], 0, 0, 0, 0,
+              _dc_scan([2, 2, 2, 2, 0, 0, -8, 0, 0, 0, 0, 0]))
+    t, bits = _cat_bits(5)
+    b += _sos([1], 1, 63, 0, 0, _scan_bits([
+        ("acsym", (1 << 4) | 0), ("bits", 0, 1),   # EOB run 2: (0,0-1)
+        ("acsym", t), ("bits", bits, t),           # (0,2): k=1 -> 5
+        ("acsym", 0x00),                           # end block (0,2)
+        ("acsym", (1 << 4) | 0), ("bits", 1, 1)]))  # EOB run 3: row 1
+    # chroma grids are ceil(9/8) x ceil(8/8) = 2x1 blocks: EOB1 (run 2)
+    for cid in (2, 3):
+        b += _sos([cid], 1, 63, 0, 0, _scan_bits([
+            ("acsym", (1 << 4) | 0), ("bits", 0, 1)]))
+    b += b"\xff\xd9"
+    w, h, n, px = mm.decode_jpeg_pixels(bytes(b))
+    assert (w, h, n) == (17, 16, 3)
+    # Y block (0,2) sits in MCU1 whose Y DCs were driven back to 0, so
+    # its pixels show ONLY the planted AC coefficient on the 128 base;
+    # neutral chroma -> R=G=B
+    want_b2 = _zz_expect([(1, 5)])
+    for y in range(8):
+        assert px[3 * (y * 17 + 16)] == want_b2[8 * y + 0], y
+    # and the interleaved-DC block (0,0) kept its DC
+    want_b0 = _zz_expect([(0, 2)])
+    assert px[0] == want_b0[0]
