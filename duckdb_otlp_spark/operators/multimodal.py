@@ -455,7 +455,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
     table, width, next_code = fresh()
     prev = None
     bitpos, total_bits = 0, len(data) * 8
-    while bitpos + width <= total_bits and len(out) < expected:
+    # decode until EOI (not until `expected`) so surplus pixel data in
+    # a corrupt stream is DETECTED, not silently dropped; cost stays
+    # O(len(data)) either way
+    while bitpos + width <= total_bits:
         byte = bitpos >> 3
         chunk = int.from_bytes(data[byte:byte + 3], "little")
         code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
@@ -484,10 +487,13 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
             if next_code == (1 << width) and width < 12:
                 width += 1
         prev = entry
-    if len(out) < expected:
+    if len(out) != expected:
+        # A well-formed stream's final entry ends exactly at the pixel
+        # count; overshoot means the stream carries surplus pixel data —
+        # corrupt, same strictness as the undersupply branch.
         raise ValueError(f"GIF pixel stream is {len(out)} indices, "
                          f"expected {expected}")
-    return out[:expected]
+    return out
 
 
 def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
@@ -764,6 +770,11 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
             entropy_at = i + 2 + seglen
             if not progressive:
                 for comp in comps:
+                    if comp["id"] not in sel:
+                        raise ValueError(
+                            f"JPEG SOS missing component {comp['id']}: "
+                            f"baseline scan must select every frame "
+                            f"component")
                     comp["td"], comp["ta"] = sel[comp["id"]]
                 return _jpeg_scan(b, entropy_at, w, h, comps, qt, huff,
                                   restart_interval)

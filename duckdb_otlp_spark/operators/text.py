@@ -269,7 +269,9 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
     fingerprint — a property MinHash's random sampling cannot give.
 
     Returns ``(id_col, h string)`` distinct rows, fingerprint density
-    ~2/(w+1) of the k-gram count.
+    ~2/(w+1) of the k-gram count. Documents shorter than ``k`` tokens
+    yield NO fingerprints — the paper's scheme defines no k-grams
+    below k tokens (two unrelated single-token docs must not collide).
 
     Scale shape: k-gram hashing is let-bound map-only array work
     (:func:`bind1` — split evaluated once per row, never per gram);
@@ -279,13 +281,17 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
     rows; raw text never shuffles."""
     from pyspark.sql import Window as W
 
+    # sub-k docs: the when() guard yields NULL grams, which posexplode
+    # drops — short docs produce zero fingerprints without a second
+    # tokenize pass (stays map-only, split still evaluated once per row)
     grams = bind1(
         tokenize_ws(F.lower(df[text_col])),
-        lambda arr: F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(arr) - (k - 1),
-                                            F.lit(1))),
-            lambda i: F.substring(
-                F.md5(F.concat_ws(" ", F.slice(arr, i, k))), 1, 12)))
+        lambda arr: F.when(
+            F.size(arr) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(arr, i, k))), 1, 12))))
     kg = df.select(F.col(id_col),
                    F.posexplode(grams).alias("p0", "h"))
     keyed = (kg.select(id_col, (F.col("p0") + 1).alias("pos"), "h")

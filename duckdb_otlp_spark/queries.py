@@ -3087,13 +3087,15 @@ def q_winnowing_pairs(spark, sf_dir):
     arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     toks = docs.select("doc_id", arr.alias("arr"))
     n = F.size("arr")
+    # docs shorter than k tokens yield NO k-grams (the 2003 paper
+    # defines none below k) — when() yields NULL, posexplode drops it
     kg = toks.select(
         "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        F.posexplode(F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.substring(
                 F.md5(F.concat_ws(" ", F.slice(F.col("arr"), i, k))),
-                1, 12))).alias("p0", "h"))
+                1, 12)))).alias("p0", "h"))
     keyed = (kg.select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
              .withColumn("k", F.concat(
                  F.col("h"),
@@ -3121,9 +3123,8 @@ WITH toks AS (SELECT doc_id,
                      regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
               FROM documents),
 pg AS (SELECT doc_id, arr,
-              unnest(range(1, greatest(len(arr) - {_WINNOW_K - 2},
-                                       2))) AS pos
-       FROM toks),
+              unnest(range(1, len(arr) - {_WINNOW_K - 2})) AS pos
+       FROM toks WHERE len(arr) >= {_WINNOW_K}),
 kg AS (SELECT doc_id, pos,
               substr(md5(array_to_string(
                   list_slice(arr, pos, pos + {_WINNOW_K - 1}), ' ')),

@@ -113,10 +113,13 @@ class OtlpSparkServer:
         self.uri = parse_otlp_uri(uri, allow_ephemeral=True)
         # otap: accepts OTAP BatchArrowRecords messages on the same signal
         # paths. The reference's otap_serve speaks bidirectional Arrow
-        # gRPC (reference: src/otlp_server_grpc.cpp:95-133); no grpc
-        # runtime ships in this environment, so the transport here is
-        # HTTP POST framing of the same messages with the same decode
-        # semantics (per-message ack = the 202/4xx response).
+        # gRPC (reference: src/otlp_server_grpc.cpp:95-133); this server
+        # matches it with a from-scratch gRPC-over-h2c transport
+        # (streaming/h2c.py + receiver.py ArrowLogsService/etc. — real
+        # HTTP/2 + HPACK, per-stream decoder state, BatchStatus acks,
+        # tested end-to-end in tests/test_otap_grpc.py), plus an HTTP
+        # POST framing of the same messages as a simpler second path
+        # (per-message ack = the 202/4xx response).
         self.work_dir = Path(work_dir or f"/tmp/otlp_spark/{self.uri.host}_{self.uri.port}")
         self.spool_dir = self.work_dir / "spool"
         self.export_root = Path(export_root or (self.work_dir / "export"))

@@ -338,6 +338,10 @@ def test_gif_mean_luma_and_errors():
         bad = bytearray(bad)
         bad[10] &= 0x7F
         mm.decode_gif_pixels(bytes(bad[:13]) + bytes(bad[13 + 12:]))
+    with pytest.raises(ValueError, match="indices, expected"):
+        # surplus pixel data before EOI: 11 indices for a 4x2 frame —
+        # must be detected, not silently truncated (r10 ADVICE)
+        mm.decode_gif_pixels(_full_gif(4, 2, pal, idxs + [0, 1, 2]))
 
 
 # ---------------------------------------------------------------------------
@@ -434,6 +438,16 @@ def test_jpeg_error_contracts():
                                  "blocks": [blk]}], _Q16)
         sos = hdr.index(b"\xff\xda")
         mm.decode_jpeg_pixels(hdr[:sos] + b"\xff\xd9")
+    with pytest.raises(ValueError, match="SOS missing component"):
+        # baseline SOS that selects a component id absent from the
+        # frame: must raise the documented corrupt-container ValueError,
+        # not a bare KeyError (r10 ADVICE)
+        good = _full_jpeg(8, 8, [{"id": 1, "h": 1, "v": 1,
+                                  "blocks": [blk]}], _Q16)
+        sos = good.index(b"\xff\xda")
+        bad = bytearray(good)
+        bad[sos + 5] = 9        # SOS: marker(2) len(2) ns(1) → cid byte
+        mm.decode_jpeg_pixels(bytes(bad))
 
 
 # ---------------------------------------------------------------------------

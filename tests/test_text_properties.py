@@ -61,10 +61,10 @@ def _py_winnow(words: list[str], k: int = 4, w: int = 5) -> set[str]:
     """Plain-Python robust winnowing (rightmost-min) reference."""
     import hashlib
 
-    if not words:
-        return set()
+    if len(words) < k:
+        return set()      # the paper defines no k-grams below k tokens
     grams = [" ".join(words[i:i + k]) for i in
-             range(max(len(words) - k + 1, 1))]
+             range(len(words) - k + 1)]
     hs = [hashlib.md5(g.encode()).hexdigest()[:12] for g in grams]
     m = len(hs)
     sel = set()
