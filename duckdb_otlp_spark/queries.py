@@ -3364,11 +3364,24 @@ GROUP BY doc_id ORDER BY doc_id
 # last, past the snapshot boundary.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tail_topk": q_tail_topk,
-    "point_lookup": q_point_lookup,
+    # point_lookup / regexp / time_bucket / except_all rotated past the
+    # window in round 11 to admit winnowing_pairs / pmi_collocations /
+    # passage_dedup / bigram_surprisal to the driver hard gate (r10
+    # VERDICT #1).  In-window family coverage: point_lookup's
+    # filter+sort scan shape via tail_topk (same events table) with the
+    # raw-ns time-range pushdown separately pinned by
+    # tests/test_plans.py::test_time_range_pushdown_on_raw_ns; regexp's
+    # java-regex expression family via pii_scrub (chained
+    # regexp_replace over the same documents.text column); time_bucket's
+    # floor(unix_timestamp/N) epoch bucketing via sessionize (same
+    # unix_timestamp arithmetic) and its groupBy-count via tpch_q1;
+    # except_all's EXCEPT ALL rewrite (tag/count/replicate Generate +
+    # Union) via asof_join (Union), passage_dedup (Generate), and
+    # split_leakage (the anti-join set-difference semantics).  Overlap
+    # pinned by the window-coverage gate (tests/test_plans.py); all four
+    # keep their pytest DuckDB oracle differential.
     "ilike_search": q_ilike_search,
-    "regexp": q_regexp,
     "json_extract": q_json_extract,
-    "time_bucket": q_time_bucket,
     "multimodal_features": q_multimodal_features,
     "dedup_embedding": q_dedup_embedding,
     # agg_stats / percentile rotated past the window in round 10 to admit
@@ -3383,7 +3396,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency_quantiles": q_latency_quantiles,
     "join_multi": q_join_multi,
     "correlated_subquery": q_correlated_subquery,
-    "except_all": q_except,
     "asof_join": q_asof_join,
     "contamination_overlap": q_contamination_overlap,
     "repetition_ratio": q_repetition_ratio,
@@ -3440,6 +3452,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "dedup_cluster": q_dedup_cluster,
     "bm25_topk": q_bm25_topk,
+    # Round-10 operators rotated INTO the window in round 11 (r10
+    # VERDICT #1): MOSS winnowing overlap pairs (window-min fingerprint
+    # selection + hash-keyed pair join), PMI collocation mining
+    # (map-only bigram extraction + corpus-stats broadcast), passage-
+    # level duplication audit (16-token chunk digests + corpus counts),
+    # and bigram-LM surprisal (Laplace-smoothed conditional bigram
+    # probability) — donors and family coverage documented at the top
+    # of this dict.
+    "winnowing_pairs": q_winnowing_pairs,
+    "pmi_collocations": q_pmi_collocations,
+    "passage_dedup": q_passage_dedup,
+    "bigram_surprisal": q_bigram_surprisal,
 }
 
 # Reader-layer differential gate (§2A readers under the driver's hard
@@ -3456,11 +3480,20 @@ QUERIES.update(READER_GATE_QUERIES)
 # Past the driver's 50-entry snapshot boundary from here on: trivial scalar
 # variants (IN-list, LIKE, CASE, IS NULL, scalar string/date/array functions,
 # make_timestamp, hex codec, set ops, simple subqueries) whose behaviour is
-# redundantly exercised by in-window siblings (ilike/regexp/json_extract/
-# time_bucket/unnest_struct/correlated_subquery/except_all cover the same
-# expression families) and by the pytest oracle differential over every
-# registered entry.
+# redundantly exercised by in-window siblings (ilike/json_extract/
+# correlated_subquery cover the same expression families) and by the pytest
+# oracle differential over every registered entry.
 QUERIES.update({
+    # point_lookup / regexp / time_bucket / except_all rotated past the
+    # window in round 11 to admit the four round-10 operators (see the
+    # in-window comment at the top of QUERIES for the family argument);
+    # each keeps its pytest DuckDB oracle differential and its dedicated
+    # plan pins (point_lookup's raw-ns pushdown gate stays in
+    # tests/test_plans.py).
+    "point_lookup": q_point_lookup,
+    "regexp": q_regexp,
+    "time_bucket": q_time_bucket,
+    "except_all": q_except,
     # unnest_struct moved past the window in round 6 to make room for
     # read_otap_traces (second OTAP signal under the driver hard gate);
     # its struct-explode family stays covered in-window by
@@ -3543,15 +3576,6 @@ QUERIES.update({
     # (see the in-window comment at the semdedup entry for the family
     # argument); it keeps its pytest DuckDB oracle differential.
     "simhash": q_simhash,
-    # Round-10 additions (registered past the window like every new entry
-    # until a rotation argument exists; all carry the full pytest
-    # DuckDB-oracle differential like the rest of the registry):
-    # MOSS winnowing overlap pairs, PMI collocations, and passage-level
-    # duplication audit (semdedup itself was rotated IN above).
-    "winnowing_pairs": q_winnowing_pairs,
-    "pmi_collocations": q_pmi_collocations,
-    "passage_dedup": q_passage_dedup,
-    "bigram_surprisal": q_bigram_surprisal,
 })
 
 ORACLE_SQL: dict[str, str] = {

@@ -348,7 +348,9 @@ def test_window_swap_family_coverage(spark):
     dedup_incremental / pii_scrub / token_offsets / unigram_surprisal;
     agg_stats / percentile / minhash_signature / embedding_group_stats
     evicted in r10 to admit tfidf_topk / latency_quantiles /
-    split_leakage / diversity_sample):
+    split_leakage / diversity_sample; point_lookup / regexp / time_bucket /
+    except_all evicted in r11 to admit winnowing_pairs / pmi_collocations /
+    passage_dedup / bigram_surprisal):
     each evicted entry's physical-operator / expression family must keep an
     in-window representative, so the swap trades certification
     *redundancy*, never certification *coverage* (r6 ADVICE)."""
@@ -363,7 +365,8 @@ def test_window_swap_family_coverage(spark):
                     "topn_groups", "window_running_sum", "text_quality",
                     "doc_fingerprint", "lang_id", "ngram_jaccard",
                     "agg_stats", "percentile", "minhash_signature",
-                    "embedding_group_stats", "simhash"):
+                    "embedding_group_stats", "simhash",
+                    "point_lookup", "regexp", "time_bucket", "except_all"):
         assert evicted in Q and evicted not in window
     for rep_name in ("join_multi", "tpch_q3", "asof_join",
                      "repetition_ratio", "pii_scrub", "vocab_topk",
@@ -376,7 +379,9 @@ def test_window_swap_family_coverage(spark):
                      "unigram_surprisal", "tfidf_topk", "latency_quantiles",
                      "split_leakage", "diversity_sample", "tpch_q1",
                      "dedup_embedding", "ann_cosine_topk",
-                     "minhash_lsh_pairs", "semdedup"):
+                     "minhash_lsh_pairs", "semdedup", "winnowing_pairs",
+                     "pmi_collocations", "passage_dedup",
+                     "bigram_surprisal", "tail_topk"):
         assert rep_name in window, rep_name
 
     # join family: whichever equi-join strategy join_inner plans must
@@ -493,6 +498,47 @@ def test_window_swap_family_coverage(spark):
     sl = _rep(spark, "split_leakage")
     assert "md5(" in sh.text
     assert "md5(" in de.text and "md5(" in sl.text
+
+    # r11 evictions — four donors traded for the four r10 operators:
+    # point_lookup is tail_topk's filter+sort shape on the same events
+    # table (its raw-ns time-range pushdown has its own dedicated gate,
+    # test_time_range_pushdown_on_raw_ns, which still runs on the
+    # past-window entry), and its node types stay in-window via
+    # tpch_q1/tail_topk
+    pl = _rep(spark, "point_lookup")
+    q1_nodes = _node_types(q1)
+    tt_nodes = _node_types(_rep(spark, "tail_topk"))
+    assert not _node_types(pl) - (q1_nodes | tt_nodes), \
+        _node_types(pl) - (q1_nodes | tt_nodes)
+    # regexp: the java-regex expression family stays in-window via
+    # pii_scrub's chained regexp_replace over the same documents.text
+    # column; node types via tpch_q1 (scan/filter/project/sort/exchange)
+    rx = _rep(spark, "regexp")
+    ps = _rep(spark, "pii_scrub")
+    assert "RLIKE" in rx.text
+    assert "regexp_replace(" in ps.text
+    assert not _node_types(rx) - (q1_nodes | tt_nodes), \
+        _node_types(rx) - (q1_nodes | tt_nodes)
+    # time_bucket: floor(unix_timestamp/N) epoch bucketing stays
+    # in-window via sessionize (same unix_timestamp arithmetic), the
+    # groupBy-count via tpch_q1
+    tb = _rep(spark, "time_bucket")
+    assert "unix_timestamp" in tb.text.lower()
+    assert "unix_timestamp" in _rep(spark, "sessionize").text.lower()
+    assert not _node_types(tb) - q1_nodes, _node_types(tb) - q1_nodes
+    # except_all: Spark rewrites EXCEPT ALL to tag/count/replicate —
+    # Union via asof_join, the replicate Generate via passage_dedup's
+    # posexplode; aggregates via tpch_q1
+    ea = _rep(spark, "except_all")
+    aj = _rep(spark, "asof_join")
+    pd_ = _rep(spark, "passage_dedup")
+    assert "Union" in ea.text and "Union" in aj.text
+    assert "Generate" in pd_.text
+    ea_missing = _node_types(ea) - (q1_nodes | _node_types(aj)
+                                    | _node_types(pd_))
+    assert not ea_missing, ea_missing
+    for ev_rep in (pl, rx, tb, ea):
+        assert not ev_rep.has_python_eval
 
 
 def test_source_cap_text_never_scanned(spark):
