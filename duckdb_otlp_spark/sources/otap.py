@@ -7,12 +7,16 @@ site/src/content/docs/reference/api.md:50-67): decode a self-contained
 IPC stream per payload type, per the public otel-arrow protocol — into
 the SAME flattened schemas as the ``read_otlp_*`` readers.
 
-Strategy: executor-side (``binaryFile`` + ``mapInPandas``, one file per
+Strategy: executor-side (``binaryFile`` + ``mapInArrow``, one file per
 task = the reference's parallelism unit) the payload tables are decoded
-with pyarrow and re-assembled into proto3-JSON envelope dicts, which
-then flow through the exact same JVM-side flatten plan as OTLP/JSON —
-so OTAP↔OTLP row parity holds by construction, which is the reference's
-own differential oracle (reference: test/sql/read_otap.test:44-79).
+with pyarrow, re-assembled into proto3-JSON envelope dicts, and emitted
+as ONE typed Arrow struct column matching the signal schema — a single
+parse, no JSON text round-trip — which then flows through the exact
+same JVM-side flatten plan as OTLP/JSON, so OTAP↔OTLP row parity holds
+by construction, which is the reference's own differential oracle
+(reference: test/sql/read_otap.test:44-79). The JSON-text render +
+``from_json`` variant survives as ``_otap_envelopes_json``, the typed
+path's differential twin.
 
 otel-arrow encodings handled (public spec, github.com/open-telemetry/otel-arrow):
 - ``delta`` ids: cumulative sum over non-null stored values;
@@ -795,8 +799,72 @@ def _metrics_envelope(tables, res_attrs, scope_attrs) -> dict:
 # Spark readers
 # ---------------------------------------------------------------------------
 
+def _conform_to_schema(v, dt):
+    """Coerce a decoded envelope value tree to a Spark schema, mirroring
+    what ``from_json`` does on the rendered JSON text: numeric/bool
+    scalars landing on string-typed fields are stringified exactly as
+    Jackson-then-coerce would render them, unknown struct keys are
+    dropped, missing keys become null. Schema-driven and fixed-depth, so
+    one cheap walk per envelope replaces the old walk-to-JSON-text."""
+    from pyspark.sql.types import ArrayType, StringType, StructType
+    if v is None:
+        return None
+    if isinstance(dt, StructType):
+        return {f.name: _conform_to_schema(v.get(f.name), f.dataType)
+                for f in dt.fields if f.name in v}
+    if isinstance(dt, ArrayType):
+        return [_conform_to_schema(x, dt.elementType) for x in v]
+    if isinstance(dt, StringType) and not isinstance(v, str):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    return v
+
+
 def _otap_envelopes(spark: SparkSession, path: str | list[str],
                     signal: str) -> DataFrame:
+    """Typed single-parse read path: the executor-side decoder emits the
+    envelope as ONE Arrow struct column matching the signal schema
+    (``mapInArrow``), so the JVM flatten consumes typed data directly —
+    no JSON text render, no second ``from_json`` parse. The JSON-text
+    variant survives as :func:`_otap_envelopes_json`, the differential
+    twin (tests/test_read_otap.py pins typed == json on the reference
+    fixtures)."""
+    paths = path if isinstance(path, list) else [path]
+    files = spark.read.format("binaryFile").load(paths).select("path", "content")
+    field, env_schema = _ENVELOPES[signal]
+    from pyspark.sql.types import StructField, StructType
+    out_schema = StructType([StructField("env", env_schema)])
+
+    def decode(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+        env_type = to_arrow_type(env_schema)
+        for batch in batches:
+            envs = []
+            for fpath, content in zip(batch.column(0).to_pylist(),
+                                      batch.column(1).to_pylist()):
+                try:
+                    env = bar_to_envelope(bytes(content), signal)
+                except OtapDecodeError:
+                    raise
+                except Exception as e:
+                    raise _err(f"{e} ({fpath})") from e
+                envs.append(_conform_to_schema(env, env_schema))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(envs, type=env_type)], ["env"])
+
+    from duckdb_otlp_spark.session import ensure_package_on_workers
+    ensure_package_on_workers(files.sparkSession)
+    return files.mapInArrow(decode, out_schema)
+
+
+def _otap_envelopes_json(spark: SparkSession, path: str | list[str],
+                         signal: str) -> DataFrame:
+    """JSON-text read path (the pre-r11 shape): decode to proto3-JSON
+    envelope text, then ``from_json`` with the signal schema. Kept as
+    the differential twin for the typed path — it exercises the same
+    decoder through an independent serialization."""
     from pyspark.sql import functions as F
     paths = path if isinstance(path, list) else [path]
     files = spark.read.format("binaryFile").load(paths).select("path", "content")

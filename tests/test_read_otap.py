@@ -42,6 +42,39 @@ def test_otap_otlp_parity(spark, reader, bar, otlp):
     _parity(spark, reader, bar, otlp)
 
 
+@pytest.mark.parametrize("reader,bar,signal", [
+    ("logs", "logs-initial.bar", "logs"),
+    ("traces", "traces-initial.bar", "traces"),
+    ("metrics_gauge", "metrics-initial.bar", "metrics"),
+    ("metrics_sum", "metrics-initial.bar", "metrics"),
+    ("metrics_histogram", "metrics-initial.bar", "metrics"),
+    ("metrics_exp_histogram", "metrics-initial.bar", "metrics"),
+])
+def test_typed_path_matches_json_twin(spark, reader, bar, signal):
+    """r11: the default read path emits typed Arrow structs straight
+    from the decoder (mapInArrow, single parse). The retired JSON-text
+    render + from_json variant survives as the differential twin —
+    identical rows through an independent serialization — and the typed
+    plan must carry NO JsonToStructs (that's the whole point)."""
+    from duckdb_otlp_spark.sources.otap import _otap_envelopes_json
+    from duckdb_otlp_spark.sources import otlp_json as oj
+    flatten = {"logs": oj.flatten_logs, "traces": oj.flatten_traces,
+               "metrics_gauge": oj.flatten_metrics_gauge,
+               "metrics_sum": oj.flatten_metrics_sum,
+               "metrics_histogram": oj.flatten_metrics_histogram,
+               "metrics_exp_histogram": oj.flatten_metrics_exp_histogram,
+               }[reader]
+    typed = OTAP_READERS[reader](spark, str(OTAP_DIR / bar))
+    js = flatten(_otap_envelopes_json(spark, str(OTAP_DIR / bar), signal))
+    assert typed.schema == js.schema
+    assert typed.count() == js.count()
+    assert typed.exceptAll(js).count() == 0
+    assert js.exceptAll(typed).count() == 0
+    from duckdb_otlp_spark.plans import audit
+    assert "from_json" not in audit(typed).text
+    assert "from_json" in audit(js).text
+
+
 def test_otap_zstd(spark):
     """Arrow-IPC zstd compression decodes transparently and matches the
     uncompressed twin (reference: api.md compression contract)."""
