@@ -193,6 +193,18 @@ METRICS_ENVELOPES = [
 # code with the Spark flatten; drift between the two fails the gate)
 # ---------------------------------------------------------------------------
 
+def _i(v, default=0):
+    """Proto int leaf that an envelope may carry as int (JSON files) or
+    as its decimal string form (the wire decoders emit schema-exact
+    strings as of r11). Non-numeric strings (enum NAMES like
+    AGGREGATION_TEMPORALITY_DELTA) pass through untouched."""
+    if v is None:
+        return default
+    if isinstance(v, str) and v.lstrip("-").isdigit():
+        return int(v)
+    return v
+
+
 def _ts(ns_str):
     if ns_str is None:
         return None
@@ -279,7 +291,7 @@ def expected_logs(envelopes=None):
             for sl in rl["scopeLogs"]:
                 sc = _scope_cols(rl.get("resource"), sl.get("scope"))
                 for r in sl["logRecords"]:
-                    sev = r.get("severityNumber")
+                    sev = _i(r.get("severityNumber"), None)
                     rows.append({
                         "time_unix_nano": _ts(r.get("timeUnixNano")),
                         "observed_time_unix_nano": _ts(r.get("observedTimeUnixNano")),
@@ -297,8 +309,8 @@ def expected_logs(envelopes=None):
                         "scope_version": sc["scope_version"],
                         "scope_attributes": sc["scope_attributes"],
                         "log_attributes": _attrs_json(r.get("attributes")),
-                        "dropped_attributes_count": r.get("droppedAttributesCount", 0),
-                        "flags": r.get("flags", 0),
+                        "dropped_attributes_count": _i(r.get("droppedAttributesCount")),
+                        "flags": _i(r.get("flags")),
                     })
     return sorted(rows, key=lambda r: r["time_unix_nano"])
 
@@ -309,7 +321,7 @@ def _events_json(events):
     return "[" + ",".join(
         '{"time_unix_nano":%s,"name":%s,"attributes":%s,"dropped_attributes_count":%d}'
         % (e.get("timeUnixNano", "null"), _quote(e.get("name")),
-           _attrs_json(e.get("attributes")), e.get("droppedAttributesCount", 0))
+           _attrs_json(e.get("attributes")), _i(e.get("droppedAttributesCount")))
         for e in events) + "]"
 
 
@@ -321,7 +333,7 @@ def _links_json(links):
         '"dropped_attributes_count":%d}'
         % (_quote(_hex(li.get("traceId"))), _quote(_hex(li.get("spanId"))),
            _quote(li.get("traceState")), _attrs_json(li.get("attributes")),
-           li.get("droppedAttributesCount", 0))
+           _i(li.get("droppedAttributesCount")))
         for li in links) + "]"
 
 
@@ -346,8 +358,8 @@ def expected_traces(envelopes=None):
                         "service_namespace": sc["service_namespace"],
                         "service_instance_id": sc["service_instance_id"],
                         "name": s.get("name"),
-                        "kind": s.get("kind", 0),
-                        "status_code": status.get("code", 0),
+                        "kind": _i(s.get("kind")),
+                        "status_code": _i(status.get("code")),
                         "status_status_message": status.get("message"),
                         "resource_attributes": sc["resource_attributes"],
                         "scope_name": sc["scope_name"],
@@ -356,10 +368,10 @@ def expected_traces(envelopes=None):
                         "span_attributes": _attrs_json(s.get("attributes")),
                         "events_json": _events_json(s.get("events")),
                         "links_json": _links_json(s.get("links")),
-                        "dropped_attributes_count": s.get("droppedAttributesCount", 0),
-                        "dropped_events_count": s.get("droppedEventsCount", 0),
-                        "dropped_links_count": s.get("droppedLinksCount", 0),
-                        "flags": s.get("flags", 0),
+                        "dropped_attributes_count": _i(s.get("droppedAttributesCount")),
+                        "dropped_events_count": _i(s.get("droppedEventsCount")),
+                        "dropped_links_count": _i(s.get("droppedLinksCount")),
+                        "flags": _i(s.get("flags")),
                     })
     return sorted(rows, key=lambda r: r["name"])
 
@@ -401,7 +413,7 @@ def _metric_common(sc, m, dp):
         "unit": m.get("unit"),
         **sc,
         "metric_attributes": _attrs_json(dp.get("attributes")),
-        "flags": dp.get("flags", 0),
+        "flags": _i(dp.get("flags")),
         "exemplars_json": _exemplars_json(dp.get("exemplars")),
     }
 
@@ -422,7 +434,7 @@ def expected_sum(envelopes=None):
         c = _metric_common(sc, m, dp)
         c["int_value"] = int(dp["asInt"]) if "asInt" in dp else None
         c["double_value"] = float(dp["asDouble"]) if "asDouble" in dp else None
-        c["aggregation_temporality"] = m["sum"].get("aggregationTemporality", 0)
+        c["aggregation_temporality"] = _i(m["sum"].get("aggregationTemporality"))
         c["is_monotonic"] = m["sum"].get("isMonotonic", False)
         rows.append(c)
     return sorted(rows, key=lambda r: r["name"])
@@ -440,7 +452,7 @@ def expected_histogram(envelopes=None):
                               if "bucketCounts" in dp else None)
         c["explicit_bounds"] = ([float(x) for x in dp["explicitBounds"]]
                                 if "explicitBounds" in dp else None)
-        c["aggregation_temporality"] = m["histogram"].get("aggregationTemporality", 0)
+        c["aggregation_temporality"] = _i(m["histogram"].get("aggregationTemporality"))
         rows.append(c)
     return sorted(rows, key=lambda r: r["time_unix_nano"])
 
@@ -454,16 +466,16 @@ def expected_exp_histogram(envelopes=None):
         c["sum"] = float(dp["sum"]) if "sum" in dp else None
         c["min"] = float(dp["min"]) if "min" in dp else None
         c["max"] = float(dp["max"]) if "max" in dp else None
-        c["scale"] = dp.get("scale", 0)
+        c["scale"] = _i(dp.get("scale"))
         c["zero_count"] = int(dp.get("zeroCount", 0))
         c["zero_threshold"] = (float(dp["zeroThreshold"])
                                if "zeroThreshold" in dp else None)
-        c["positive_offset"] = pos.get("offset", 0)
+        c["positive_offset"] = _i(pos.get("offset"))
         c["positive_bucket_counts"] = [int(x) for x in pos.get("bucketCounts", [])]
-        c["negative_offset"] = neg.get("offset", 0)
+        c["negative_offset"] = _i(neg.get("offset"))
         c["negative_bucket_counts"] = [int(x) for x in neg.get("bucketCounts", [])]
         c["aggregation_temporality"] = \
-            m["exponentialHistogram"].get("aggregationTemporality", 0)
+            _i(m["exponentialHistogram"].get("aggregationTemporality"))
         rows.append(c)
     return sorted(rows, key=lambda r: r["time_unix_nano"])
 

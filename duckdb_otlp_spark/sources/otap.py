@@ -391,7 +391,8 @@ def _render_envelope(g, res_attrs, scope_attrs) -> dict:
         if attrs:
             resource["attributes"] = attrs
         if res_struct.get("dropped_attributes_count"):
-            resource["droppedAttributesCount"] = res_struct["dropped_attributes_count"]
+            resource["droppedAttributesCount"] = \
+                str(res_struct["dropped_attributes_count"])
         scopes = []
         for sid in bucket["_sorder"]:
             sb = bucket["_scopes"][sid]
@@ -405,7 +406,8 @@ def _render_envelope(g, res_attrs, scope_attrs) -> dict:
             if sattrs:
                 scope["attributes"] = sattrs
             if sc_struct.get("dropped_attributes_count"):
-                scope["droppedAttributesCount"] = sc_struct["dropped_attributes_count"]
+                scope["droppedAttributesCount"] = \
+                    str(sc_struct["dropped_attributes_count"])
             scopes.append({"scope": scope, g["_record_key"]: sb["_records"]})
         entry: dict[str, Any] = {g["_scope_list_key"]: scopes}
         if resource:
@@ -517,8 +519,21 @@ class OtapStreamDecoder:
         return batch_id, envelope_from_tables(tables, self.signal)
 
 
+# Envelope leaves whose signal-schema type is STRING even though the
+# wire carries an integer (proto3-JSON renders int64/enums as strings;
+# from_json coerced the rest) — stringified at render so the envelope
+# dicts are schema-exact, byte-identical with the otlp_proto decoders'
+# output (pinned by test_envelope_reconstruction_driverside).
+_STRINGLY_KEYS = frozenset({
+    "severityNumber", "flags", "kind", "aggregationTemporality", "scale",
+    "droppedAttributesCount", "droppedEventsCount", "droppedLinksCount",
+    "offset", "code"})
+
+
 def _maybe(d: dict, key: str, val) -> None:
     if val is not None:
+        if key in _STRINGLY_KEYS and type(val) is int:
+            val = str(val)
         d[key] = val
 
 
@@ -553,7 +568,7 @@ def _logs_envelope(tables, res_attrs, scope_attrs) -> dict:
             rec["attributes"] = attrs[ids[i]]
         dac = cols.get("dropped_attributes_count", [None])[i]
         if dac:
-            rec["droppedAttributesCount"] = dac
+            rec["droppedAttributesCount"] = str(dac)
         _maybe(rec, "flags", cols.get("flags", [None])[i])
         if trace_ids[i]:
             rec["traceId"] = trace_ids[i]
@@ -589,7 +604,8 @@ def _traces_envelope(tables, res_attrs, scope_attrs) -> dict:
             if ev_ids[i] is not None and ev_attrs.get(ev_ids[i]):
                 e["attributes"] = ev_attrs[ev_ids[i]]
             if ev_cols.get("dropped_attributes_count", [None])[i]:
-                e["droppedAttributesCount"] = ev_cols["dropped_attributes_count"][i]
+                e["droppedAttributesCount"] = \
+                    str(ev_cols["dropped_attributes_count"][i])
             events_by_span.setdefault(ev_parents[i], []).append(e)
     links_by_span: dict[int, list[dict]] = {}
     lk = tables.get(SPAN_LINKS)
@@ -609,7 +625,8 @@ def _traces_envelope(tables, res_attrs, scope_attrs) -> dict:
             if lk_ids[i] is not None and lk_attrs.get(lk_ids[i]):
                 ln["attributes"] = lk_attrs[lk_ids[i]]
             if lk_cols.get("dropped_attributes_count", [None])[i]:
-                ln["droppedAttributesCount"] = lk_cols["dropped_attributes_count"][i]
+                ln["droppedAttributesCount"] = \
+                    str(lk_cols["dropped_attributes_count"][i])
             _maybe(ln, "flags", lk_cols.get("flags", [None])[i])
             links_by_span.setdefault(lk_parents[i], []).append(ln)
 
@@ -636,7 +653,7 @@ def _traces_envelope(tables, res_attrs, scope_attrs) -> dict:
                      ("dropped_events_count", "droppedEventsCount"),
                      ("dropped_links_count", "droppedLinksCount")):
             if cols.get(c, [None])[i]:
-                span[k] = cols[c][i]
+                span[k] = str(cols[c][i])
         if ids[i] is not None and events_by_span.get(ids[i]):
             span["events"] = events_by_span[ids[i]]
         if ids[i] is not None and links_by_span.get(ids[i]):
@@ -647,7 +664,7 @@ def _traces_envelope(tables, res_attrs, scope_attrs) -> dict:
             if status.get("status_message") is not None:
                 st["message"] = status["status_message"]
             if status.get("code") is not None:
-                st["code"] = status["code"]
+                st["code"] = str(status["code"])
             span["status"] = st
         rows.append((cols.get("resource", [None])[i], cols.get("scope", [None])[i], span))
     g = _group_envelope(rows, "spans", "scopeSpans", "resourceSpans")
@@ -735,7 +752,7 @@ def _metrics_envelope(tables, res_attrs, scope_attrs) -> dict:
                 for side in ("positive", "negative"):
                     sv = c.get(side, [None])[i]
                     if sv is not None:
-                        d[side] = {"offset": sv.get("offset", 0),
+                        d[side] = {"offset": str(sv.get("offset", 0)),
                                    "bucketCounts": [str(x) for x in
                                                     (sv.get("bucket_counts") or [])]}
                 _maybe(d, "min", c.get("min", [None])[i])

@@ -564,27 +564,43 @@ def _resource_attr(resource: Column, key: str) -> Column:
 # File -> envelope rows
 # ---------------------------------------------------------------------------
 
-def _decoded_lines(spark: SparkSession, paths: list[str], signal: str,
-                   fmt: str) -> DataFrame:
-    """Binary scan -> one JSON envelope line per row (column ``value``).
+def _decoded_envelopes(spark: SparkSession, paths: list[str], signal: str,
+                       fmt: str) -> DataFrame:
+    """Binary scan -> (``env`` typed struct, ``value`` JSON text) rows.
 
     ``binaryFile`` keeps the reference's parallelism unit — one file per
     task, never split (reference: read_otlp.cpp:62-77) — and the decode
-    runs executor-side in ``mapInPandas``: protobuf payloads go through
-    the pure-Python proto3 wire decoder, JSON payloads pass through as
-    text (document or NDJSON, detected per file like FORMAT AUTO). The
-    output lines feed the exact same JVM-side ``from_json`` flatten plan
-    as the text path, so downstream pruning/codegen is unchanged.
+    runs executor-side in ``mapInArrow``. Per-file routing (FORMAT AUTO):
+
+    - protobuf payloads go through the pure-Python proto3 wire decoder
+      and come back as ONE typed Arrow struct matching the signal schema
+      (the decoders emit schema-exact leaves, so ``pa.array`` converts
+      directly — a single parse, no JSON text render, no second
+      ``from_json`` pass);
+    - JSON payloads pass through as text (document or NDJSON, detected
+      per file) in the ``value`` column for the JVM's Jackson parse —
+      Python re-serializing text the JVM parses faster would be a loss.
+
+    The caller coalesces the two columns, so downstream flatten plans,
+    pruning, and codegen are unchanged either way.
     """
     from duckdb_otlp_spark.sources import otlp_proto
 
     files = spark.read.format("binaryFile").load(paths).select("path", "length", "content")
+    _, env_schema = _ENVELOPES[signal]
+    out_schema = T.StructType([T.StructField("env", env_schema),
+                               T.StructField("value", T.StringType())])
 
     def decode(batches):
-        import pandas as pd
-        for pdf in batches:
-            out: list[str] = []
-            for fpath, length, content in zip(pdf["path"], pdf["length"], pdf["content"]):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+        env_type = to_arrow_type(env_schema)
+        for batch in batches:
+            envs: list = []
+            lines: list = []
+            for fpath, length, content in zip(batch.column(0).to_pylist(),
+                                              batch.column(1).to_pylist(),
+                                              batch.column(2).to_pylist()):
                 if length > MAX_READ_FILE_BYTES:
                     raise ValueError(
                         f"OTLP read error: file exceeds {MAX_READ_FILE_BYTES} "
@@ -596,23 +612,28 @@ def _decoded_lines(spark: SparkSession, paths: list[str], signal: str,
                     raise ValueError(f"OTLP parse error: whitespace-only file: {fpath}")
                 if fmt == "auto" and otlp_proto.looks_like_json(b):
                     text = b.decode("utf-8")
-                    lines = [ln for ln in text.split("\n") if ln.strip()]
-                    if _is_ndjson(lines):
-                        out.extend(lines)
+                    json_lines = [ln for ln in text.split("\n") if ln.strip()]
+                    if _is_ndjson(json_lines):
+                        lines.extend(json_lines)
+                        envs.extend([None] * len(json_lines))
                     else:
-                        out.append(text)  # whole (possibly pretty) document
+                        lines.append(text)  # whole (possibly pretty) document
+                        envs.append(None)
                 else:
                     try:
-                        out.append(otlp_proto.pb_to_json_line(b, signal))
+                        envs.append(otlp_proto.DECODERS[signal](b))
                     except ValueError as e:
                         raise ValueError(
                             f"OTLP parse error: invalid protobuf payload "
                             f"({e}): {fpath}") from e
-            yield pd.DataFrame({"value": out})
+                    lines.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(envs, type=env_type),
+                 pa.array(lines, type=pa.string())], ["env", "value"])
 
     from duckdb_otlp_spark.session import ensure_package_on_workers
     ensure_package_on_workers(files.sparkSession)
-    return files.mapInPandas(decode, "value string")
+    return files.mapInArrow(decode, out_schema)
 
 
 def _is_ndjson(lines: list[str]) -> bool:
@@ -657,15 +678,30 @@ def _load_envelopes(spark: SparkSession, path: str | list[str], signal: str,
             .otherwise(parsed)
         )
 
-    if mode in ("auto", "protobuf", "lines"):
+    if mode == "lines":
         line_env = _memo(f"line_env_{signal}",
                          lambda: _parse_or_error(F.col("value")).alias("env"))
-        if mode == "lines":
-            lines = spark.read.text(paths).filter(F.trim(F.col("value")) != "")
-        else:
-            lines = _decoded_lines(spark, paths, signal,
-                                   "auto" if mode == "auto" else "protobuf")
+        lines = spark.read.text(paths).filter(F.trim(F.col("value")) != "")
         return lines.select(line_env)
+
+    if mode == "protobuf":
+        # every file is wire-decoded to a typed struct; the text column
+        # is never populated, so the plan carries no JSON parse at all
+        rows = _decoded_envelopes(spark, paths, signal, "protobuf")
+        return rows.select(F.col("env"))
+
+    if mode == "auto":
+        # protobuf files arrive as typed structs (env), JSON files as
+        # text (value) — parse the text rows JVM-side, pass the typed
+        # rows through. CASE WHEN keeps the raise_error branches of
+        # _parse_or_error lazy, so pb rows never touch Jackson.
+        mixed_env = _memo(
+            f"mixed_env_{signal}",
+            lambda: F.when(F.col("value").isNotNull(),
+                           _parse_or_error(F.col("value")))
+                     .otherwise(F.col("env")).alias("env"))
+        rows = _decoded_envelopes(spark, paths, signal, "auto")
+        return rows.select(mixed_env)
 
     # mode == "json": pure-JVM wholetext path
     def build_wholetext():

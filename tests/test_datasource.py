@@ -1,0 +1,99 @@
+"""Spark 4 Python DataSource surface: ``spark.read.format("otlp")``.
+
+Mirrors test_read_otlp_json.py's contracts through the format API and
+differentials every signal against the function API (the same oracle
+style as the reader gate): identical schema, identical row sets, on
+both protobuf and JSONL inputs.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from duckdb_otlp_spark.sources.otlp_json import READERS
+from duckdb_otlp_spark.sources.otlp_proto_encode import encode_envelope_pb
+from tests.fixtures import (
+    LOGS_SIMPLE,
+    METRICS_ALL_TYPES,
+    TRACES_SIMPLE,
+)
+
+_ENV_SETS = {"logs": LOGS_SIMPLE, "traces": TRACES_SIMPLE,
+             "metrics": METRICS_ALL_TYPES}
+
+
+@pytest.fixture(scope="module")
+def ds_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds_fixtures")
+    for name, envs in _ENV_SETS.items():
+        for i, env in enumerate(envs):
+            (root / f"{name}_{i}.pb").write_bytes(encode_envelope_pb(env))
+        (root / f"{name}.jsonl").write_text(
+            "\n".join(json.dumps(e) for e in envs) + "\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def ds_spark(spark):
+    from duckdb_otlp_spark.sources.datasource import register
+    register(spark)
+    return spark
+
+
+def _fmt(spark, signal, path):
+    return (spark.read.format("otlp").option("signal", signal)
+            .load(str(path)))
+
+
+@pytest.mark.parametrize("signal,stem", [
+    ("logs", "logs"), ("traces", "traces"),
+    ("metrics_gauge", "metrics"), ("metrics_sum", "metrics"),
+    ("metrics_histogram", "metrics"),
+    ("metrics_exp_histogram", "metrics"),
+])
+@pytest.mark.parametrize("ext", ["_*.pb", ".jsonl"])
+def test_format_matches_function_api(ds_spark, ds_dir, signal, stem, ext):
+    fmt = _fmt(ds_spark, signal, ds_dir / f"{stem}{ext}")
+    fn = READERS[signal](ds_spark, str(ds_dir / f"{stem}{ext}"))
+    assert fmt.schema == fn.schema
+    assert fmt.count() == fn.count()
+    assert fmt.exceptAll(fn).count() == 0
+    assert fn.exceptAll(fmt).count() == 0
+
+
+def test_zero_match_glob_errors(ds_spark, ds_dir):
+    with pytest.raises(Exception, match="no files matched"):
+        _fmt(ds_spark, "logs", ds_dir / "nope_*.pb").count()
+
+
+def test_unknown_signal_errors(ds_spark, ds_dir):
+    with pytest.raises(Exception, match="unknown signal"):
+        _fmt(ds_spark, "spans", ds_dir / "logs_0.pb").count()
+
+
+def test_mixed_glob_auto_detects_per_file(ds_spark, ds_dir, tmp_path):
+    (tmp_path / "a.pb").write_bytes(encode_envelope_pb(LOGS_SIMPLE[0]))
+    (tmp_path / "b.jsonl").write_text(json.dumps(LOGS_SIMPLE[1]) + "\n")
+    df = _fmt(ds_spark, "logs", tmp_path / "*")
+    fn = READERS["logs"](ds_spark, str(tmp_path / "*"))
+    assert df.count() == fn.count()
+    assert df.exceptAll(fn).count() == 0
+
+
+def test_garbage_protobuf_errors(ds_spark, tmp_path):
+    (tmp_path / "junk.pb").write_bytes(b"\xff\xfe\xfd not protobuf")
+    with pytest.raises(Exception, match="OTLP parse error"):
+        _fmt(ds_spark, "logs", tmp_path / "junk.pb").count()
+
+
+def test_directory_load_reads_all_files(ds_spark, ds_dir, tmp_path):
+    d = tmp_path / "dir"
+    d.mkdir()
+    for i, env in enumerate(LOGS_SIMPLE):
+        (d / f"l{i}.pb").write_bytes(encode_envelope_pb(env))
+    df = _fmt(ds_spark, "logs", d)
+    fn = READERS["logs"](ds_spark, str(d / "*.pb"))
+    assert df.count() == fn.count()
+    assert df.exceptAll(fn).count() == 0

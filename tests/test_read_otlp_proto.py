@@ -92,3 +92,60 @@ def test_garbage_protobuf_errors(spark, tmp_path):
     (tmp_path / "junk.pb").write_bytes(b"\xff\xfe\xfd this is not protobuf")
     with pytest.raises(Exception, match="OTLP parse error"):
         read_otlp_logs(spark, str(tmp_path / "junk.pb")).collect()
+
+
+def test_pb_decoder_output_is_schema_exact():
+    """r11: the wire decoders emit schema-exact leaf types (ints that
+    the signal schema types as STRING are stringified at decode), so
+    the typed read path converts envelopes to Arrow directly — any
+    decoder/schema drift fails this conversion loudly."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from duckdb_otlp_spark.sources.otlp_json import _ENVELOPES
+    from duckdb_otlp_spark.sources.otlp_proto import DECODERS
+
+    for signal, fixtures in (("logs", LOGS_SIMPLE),
+                             ("traces", TRACES_SIMPLE),
+                             ("metrics", METRICS_ALL_TYPES)):
+        env_type = to_arrow_type(_ENVELOPES[signal][1])
+        for env in fixtures:
+            decoded = DECODERS[signal](encode_envelope_pb(env))
+            arr = pa.array([decoded], type=env_type)   # raises on drift
+            assert arr.null_count == 0
+
+
+def test_pb_read_plan_has_no_json_parse(spark, pb_dir):
+    """r11: a pb-only read emits typed structs from the decoder — the
+    plan must carry no from_json; the jsonl twin must still parse
+    JVM-side (Jackson beats Python for text)."""
+    from duckdb_otlp_spark.plans import audit
+    pb = read_otlp_logs(spark, str(pb_dir / "logs_simple_0.pb"),
+                        mode="protobuf")
+    assert "from_json" not in audit(pb).text
+    js = read_otlp_logs(spark, str(pb_dir / "logs_simple.jsonl"))
+    assert "from_json" in audit(js).text
+
+
+def test_kv_cache_bounded_and_correct():
+    """The attribute memo returns value-identical decodes and clears at
+    its cap instead of growing unboundedly."""
+    from duckdb_otlp_spark.sources import otlp_proto as op
+    from duckdb_otlp_spark.sources.otlp_proto_encode import (
+        _KEY_VALUE, _enc_msg)
+
+    op._KV_CACHE.clear()
+    kv = {"key": "http.method", "value": {"stringValue": "GET"}}
+    raw = _enc_msg(kv, _KEY_VALUE)
+    first = op._key_value_cached(raw)
+    assert first == op._key_value(raw) == kv
+    assert op._key_value_cached(raw) is first          # cache hit
+    # fill past the cap with distinct encodings: the cache must clear,
+    # never exceed the cap, and still decode correctly afterwards
+    for i in range(70000):
+        op._key_value_cached(_enc_msg(
+            {"key": f"k{i}", "value": {"intValue": str(i)}}, _KEY_VALUE))
+        if len(op._KV_CACHE) > 65536:
+            raise AssertionError("cache exceeded its cap")
+    assert op._key_value_cached(raw) == kv
+    op._KV_CACHE.clear()
