@@ -122,11 +122,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # over the same corpus does create one entry per distinct plan —
     # pass persist=False there (or spark.catalog.clearCache() between
     # sweeps) to trade recomputation for cache pressure.
+    # Persist hashed shingle SETS (primitive 64-bit xxhash64 longs), not
+    # the string shingle arrays: ~7x smaller cache rows, which keeps the
+    # corpus shingle state resident at the 20M-doc tier where string
+    # arrays hit the spill/evict/recompute cliff (r10 probe). Jaccard
+    # over the hashed sets equals string-shingle Jaccard except under a
+    # 64-bit collision inside one pair's union (~1e-19 per pair).
     sigs = df.select(
         F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
+        F.array_distinct(F.transform(shingles(F.col(text_col), shingle_n),
+                                     lambda s: F.xxhash64(s))).alias("__hs"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("__sig"),
-    ).filter(F.size("__sh") > 0)
+    ).filter(F.size("__hs") > 0)
     if persist:
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -184,12 +191,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                               F.col("r.__id").alias("id_b"))
                       .distinct())
 
-    sh = sigs.select("__id", "__sh")
+    sh = sigs.select("__id", "__hs")
     verified = (candidates
                 .join(sh.withColumnRenamed("__id", "id_a")
-                        .withColumnRenamed("__sh", "sh_a"), "id_a")
+                        .withColumnRenamed("__hs", "sh_a"), "id_a")
                 .join(sh.withColumnRenamed("__id", "id_b")
-                        .withColumnRenamed("__sh", "sh_b"), "id_b"))
+                        .withColumnRenamed("__hs", "sh_b"), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / union

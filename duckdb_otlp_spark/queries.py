@@ -1092,13 +1092,25 @@ def _minhash_pairs_unsorted(spark, sf_dir):
 
     disk = StorageLevel.MEMORY_AND_DISK
     docs = _docs_parallel(spark, sf_dir)
-    docs_sh = (docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-               .persist(disk))
-    sig = (docs_sh.select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
-           .select("doc_id", *_minhash_cols(F.col("hs"))))
+    # Persist the 31-bit BASE-HASH sets, not the string shingle arrays:
+    # a primitive long array is ~7x smaller per element than the shingle
+    # strings, which is the difference between the corpus shingle state
+    # fitting in executor storage and the 20M-doc spill/evict/recompute
+    # cliff the r10 probe measured (dedup_cluster 53x at 10x data —
+    # cache eviction re-ran the shingle pipeline per consumer branch).
+    # Jaccard verification runs over the SAME hashed sets in both
+    # engines (array_distinct here, list_distinct in the twin), so
+    # oracle parity is exact; the 31-bit space makes an intra-doc
+    # collision a ~1e-5 event that both engines share identically.
+    docs_hs = (docs.select(
+        "doc_id",
+        F.array_distinct(_base_hashes(_shingles(F.col("text"))))
+        .alias("hs"))
+        .persist(disk))
+    sig = docs_hs.select("doc_id", *_minhash_cols(F.col("hs")))
     # persisted: the self-join below otherwise re-derives the md5
-    # signature pipeline on BOTH branches (docs_sh caches only the
-    # shingles) — 15k tiny rows of cache buy back ~2.4 s at sf0.1
+    # signature pipeline on BOTH branches (docs_hs caches only the
+    # hashed shingles) — tiny rows of cache buy back the second pass
     bands = (sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -1115,12 +1127,12 @@ def _minhash_pairs_unsorted(spark, sf_dir):
             .distinct()
             .persist(disk))
     verified = (cand
-                .join(docs_sh.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("sh").alias("sh_a")), "doc_a")
-                .join(docs_sh.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("sh").alias("sh_b")), "doc_b"))
-    jac = F.round(F.size(F.array_intersect("sh_a", "sh_b"))
-                  / F.size(F.array_union("sh_a", "sh_b")), 4)
+                .join(docs_hs.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("hs").alias("hs_a")), "doc_a")
+                .join(docs_hs.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("hs").alias("hs_b")), "doc_b"))
+    jac = F.round(F.size(F.array_intersect("hs_a", "hs_b"))
+                  / F.size(F.array_union("hs_a", "hs_b")), 4)
     return (verified.select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= 0.7))
 
@@ -1137,8 +1149,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 SQL_MINHASH_LSH_PAIRS = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-h AS (SELECT doc_id, sh, {_SQL_BASE_HASHES} AS hs FROM sh),
-m AS (SELECT doc_id, sh, {_SQL_MINHASH_LIST} FROM h),
+h AS (SELECT doc_id, list_distinct({_SQL_BASE_HASHES}) AS hs FROM sh),
+m AS (SELECT doc_id, hs, {_SQL_MINHASH_LIST} FROM h),
 bands AS (
     SELECT doc_id, i AS band_idx,
            CASE i WHEN 0 THEN m0 || '_' || m1
@@ -1150,13 +1162,13 @@ cand AS (
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
-       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+       round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
 FROM cand
 JOIN m sa ON sa.doc_id = doc_a
 JOIN m sb ON sb.doc_id = doc_b
-WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.7
+WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) >= 0.7
 ORDER BY jaccard DESC, doc_a, doc_b
 """
 
@@ -2221,29 +2233,31 @@ ORDER BY pos
 
 
 def _incr_docs_bands(spark, sf_dir):
-    """Shared pieces of the incremental-dedup family: the shingled
-    corpus+batch (persisted — feeds both banding and Jaccard verify)
-    and the exploded band keys (doc_id, in_corpus, band_idx, key)."""
+    """Shared pieces of the incremental-dedup family: the hashed-shingle
+    corpus+batch (persisted — feeds both banding and Jaccard verify;
+    primitive long sets, ~7x smaller than the string shingle arrays
+    that hit the r10 20M-doc cache-evict cliff) and the exploded band
+    keys (doc_id, in_corpus, band_idx, key)."""
     from pyspark.storagelevel import StorageLevel
 
     disk = StorageLevel.MEMORY_AND_DISK
     docs = _docs_parallel(spark, sf_dir)
     in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
-    docs_sh = (docs.select("doc_id", in_corpus.alias("in_corpus"),
-                           _shingles(F.col("text")).alias("sh"))
-               .persist(disk))
+    docs_hs = (docs.select(
+        "doc_id", in_corpus.alias("in_corpus"),
+        F.array_distinct(_base_hashes(_shingles(F.col("text"))))
+        .alias("hs"))
+        .persist(disk))
     # sub-shingle docs (under 3 words) have EMPTY shingle sets: their
     # minhashes are all null and concat_ws renders the same '' key for
     # every one of them, so banding them makes all short docs mutual
     # candidates (quadratic blowup, verified-false anyway — their
     # Jaccard is null). Keep them out of the band stream entirely; the
     # verdict still covers them (is_dup=false via the left join).
-    sig = (docs_sh.filter(F.size("sh") > 0)
-           .select("doc_id", "in_corpus",
-                   _base_hashes(F.col("sh")).alias("hs"))
+    sig = (docs_hs.filter(F.size("hs") > 0)
            .select("doc_id", "in_corpus", *_minhash_cols(F.col("hs"))))
     bands = _incr_bands_from_sig(sig, extra=("in_corpus",)).persist(disk)
-    return docs_sh, bands
+    return docs_hs, bands
 
 
 # the incremental-dedup band family: _MINHASH_K minhashes grouped in
@@ -2339,7 +2353,7 @@ def q_dedup_incremental(spark, sf_dir):
     corpus text is touched only for the handful of candidate partners.
     The batch side is orders of magnitude smaller than the corpus —
     AQE broadcasts it."""
-    docs_sh, bands = _incr_docs_bands(spark, sf_dir)
+    docs_hs, bands = _incr_docs_bands(spark, sf_dir)
     cand = (bands.filter(~F.col("in_corpus"))
             .select(F.col("doc_id").alias("batch_doc"), "band_idx", "key")
             .join(bands.filter("in_corpus")
@@ -2348,10 +2362,10 @@ def q_dedup_incremental(spark, sf_dir):
                   ["band_idx", "key"])
             .select("batch_doc", "corpus_doc").distinct())
     return _incr_verdict(
-        docs_sh.filter(~F.col("in_corpus"))
-        .select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_a")),
-        docs_sh.select(F.col("doc_id").alias("corpus_doc"),
-                       F.col("sh").alias("sh_b")),
+        docs_hs.filter(~F.col("in_corpus"))
+        .select(F.col("doc_id").alias("batch_doc"), F.col("hs").alias("sh_a")),
+        docs_hs.select(F.col("doc_id").alias("corpus_doc"),
+                       F.col("hs").alias("sh_b")),
         cand)
 
 
@@ -2377,25 +2391,30 @@ def dedup_incremental_from_index(spark, sf_dir, index):
 
     docs = _docs_parallel(spark, sf_dir)
     in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
-    batch_sh = (docs.filter(~in_corpus)
-                .select("doc_id", _shingles(F.col("text")).alias("sh"))
+    batch_hs = (docs.filter(~in_corpus)
+                .select("doc_id",
+                        F.array_distinct(
+                            _base_hashes(_shingles(F.col("text"))))
+                        .alias("hs"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
-    sig = (batch_sh.filter(F.size("sh") > 0)
-           .select("doc_id", _base_hashes(F.col("sh")).alias("hs"))
+    sig = (batch_hs.filter(F.size("hs") > 0)
            .select("doc_id", *_minhash_cols(F.col("hs"))))
     bands = _incr_bands_from_sig(sig)
     cand = (bands.select(F.col("doc_id").alias("batch_doc"),
                          "band_idx", "key")
             .join(index, ["band_idx", "key"])
             .select("batch_doc", "corpus_doc").distinct())
-    corpus_sh = (cand.select("corpus_doc").distinct()
+    corpus_hs = (cand.select("corpus_doc").distinct()
                  .join(docs.select(F.col("doc_id").alias("corpus_doc"),
                                    "text"), "corpus_doc")
-                 .select("corpus_doc", _shingles(F.col("text")).alias("sh_b")))
+                 .select("corpus_doc",
+                         F.array_distinct(
+                             _base_hashes(_shingles(F.col("text"))))
+                         .alias("sh_b")))
     return _incr_verdict(
-        batch_sh.select(F.col("doc_id").alias("batch_doc"),
-                        F.col("sh").alias("sh_a")),
-        corpus_sh, cand)
+        batch_hs.select(F.col("doc_id").alias("batch_doc"),
+                        F.col("hs").alias("sh_a")),
+        corpus_hs, cand)
 
 
 SQL_DEDUP_INCREMENTAL = f"""
@@ -2404,8 +2423,9 @@ tagged AS (
     SELECT doc_id, sh,
            {_SQL_MD5INT % 'CAST(doc_id AS VARCHAR)'} % 10 < 8 AS in_corpus
     FROM sh),
-h AS (SELECT doc_id, in_corpus, sh, {_SQL_BASE_HASHES} AS hs FROM tagged),
-m AS (SELECT doc_id, in_corpus, sh, {_SQL_MINHASH_LIST} FROM h),
+h AS (SELECT doc_id, in_corpus, list_distinct({_SQL_BASE_HASHES}) AS hs
+      FROM tagged),
+m AS (SELECT doc_id, in_corpus, hs, {_SQL_MINHASH_LIST} FROM h),
 bands AS (
     SELECT doc_id, in_corpus, i AS band_idx,
            CASE i WHEN 0 THEN m0 || '_' || m1
@@ -2422,8 +2442,8 @@ dups AS (
     FROM cand
     JOIN m sa ON sa.doc_id = batch_doc
     JOIN m sb ON sb.doc_id = corpus_doc
-    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.7)
+    WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.7)
 SELECT t.doc_id, EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = t.doc_id)
            AS is_dup
 FROM tagged t WHERE NOT in_corpus
