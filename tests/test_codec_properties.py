@@ -2,9 +2,10 @@
 the CBOR decoder hold up under generated inputs, not just fixtures.
 
 Envelopes are generated in *normalized* form (lowercase hex ids,
-non-empty attribute lists, integer enums) so encode->decode is exact —
-the known lossy normalizations (hex case, empty lists, enum names) are
-covered by the fixture-based tests instead.
+non-empty attribute lists, enums/counts in the decoder's schema-exact
+decimal-STRING form — r11) so encode->decode is exact — the known
+lossy normalizations (hex case, empty lists, enum names) are covered
+by the fixture-based tests instead.
 """
 
 from __future__ import annotations
@@ -73,7 +74,8 @@ _attrs = st.lists(
 
 _log_record = st.builds(
     lambda t, sev, sevt, body, attrs, tid, sid: {
-        "timeUnixNano": str(t), "severityNumber": sev, "severityText": sevt,
+        "timeUnixNano": str(t), "severityNumber": str(sev),
+        "severityText": sevt,
         "body": body, "attributes": attrs, "traceId": tid, "spanId": sid},
     _u63, st.integers(min_value=0, max_value=24), _text, _any_value(),
     _attrs, _hex32, _hex16)
