@@ -1755,21 +1755,28 @@ def q_contamination_overlap(spark, sf_dir):
     (deterministic) count on both sides and the oracle stays
     value-exact; a collision inflates one n_hit by 1 with probability
     ~2^-60 per (train-gram, eval-gram) pair — noise far below any
-    contamination threshold."""
+    contamination threshold.
+
+    The PERSISTED projection is hashed too (r11): caching the gram
+    STRING arrays (~6 KB/doc) was the same cache-evict cliff the
+    minhash family hit at the 20M-doc tier — the long arrays are ~4x
+    smaller, transform preserves array length so n_grams (the distinct
+    string-gram count) is unchanged, and the twin hashes inside its
+    own sh CTE identically."""
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs_parallel(spark, sf_dir)
-    sh = (docs.select("doc_id", _grams5(F.col("text")).alias("grams"))
+    gh_arr = F.transform(_grams5(F.col("text")),
+                         lambda g: _md5int(g))
+    sh = (docs.select("doc_id", gh_arr.alias("ghs"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     is_eval = F.col("doc_id") % 17 == 0
     eval_grams = (sh.filter(is_eval)
-                  .select(F.explode("grams").alias("g"))
-                  .select(_md5int(F.col("g")).alias("gh")).distinct())
+                  .select(F.explode("ghs").alias("gh")).distinct())
     train = sh.filter(~is_eval)
-    totals = (train.select("doc_id", F.size("grams").alias("n_grams"))
+    totals = (train.select("doc_id", F.size("ghs").alias("n_grams"))
               .filter(F.col("n_grams") > 0))
-    hits = (train.select("doc_id", F.explode("grams").alias("g"))
-            .select("doc_id", _md5int(F.col("g")).alias("gh"))
+    hits = (train.select("doc_id", F.explode("ghs").alias("gh"))
             .join(eval_grams, "gh")
             .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
     return (totals.join(hits, "doc_id", "left")
