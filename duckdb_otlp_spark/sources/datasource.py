@@ -95,7 +95,8 @@ def _intify(v: Any, key: str | None = None) -> Any:
     return v
 
 
-def _file_envelopes(fpath: str, wire_signal: str) -> list[dict]:
+def _file_envelopes(fpath: str, wire_signal: str,
+                    container: str = "otlp") -> list[dict]:
     from duckdb_otlp_spark.sources import otlp_proto
     from duckdb_otlp_spark.sources.otlp_json import MAX_READ_FILE_BYTES, _is_ndjson
 
@@ -105,6 +106,9 @@ def _file_envelopes(fpath: str, wire_signal: str) -> list[dict]:
                          f"{MAX_READ_FILE_BYTES} byte limit: {fpath}")
     if not b:
         return []
+    if container == "otap":
+        from duckdb_otlp_spark.sources.otap import bar_to_envelope
+        return [_intify(bar_to_envelope(b, wire_signal))]
     if not b.lstrip(b"\xef\xbb\xbf").strip():
         raise ValueError(f"OTLP parse error: whitespace-only file: {fpath}")
     if otlp_proto.looks_like_json(b):
@@ -121,7 +125,9 @@ def _file_envelopes(fpath: str, wire_signal: str) -> list[dict]:
 
 
 class _OtlpReader(DataSourceReader):
-    def __init__(self, options: dict, schema: StructType):
+    def __init__(self, options: dict, schema: StructType,
+                 container: str = "otlp"):
+        self.container = container
         signal = options.get("signal", "logs")
         if signal not in _SIGNALS:
             raise ValueError(f"unknown signal {signal!r}; expected one of "
@@ -151,7 +157,8 @@ class _OtlpReader(DataSourceReader):
         from duckdb_otlp_spark import reader_gate
         wire_signal, flatten_name, _ = _SIGNALS[self.signal]
         flatten = getattr(reader_gate, flatten_name)
-        envelopes = _file_envelopes(partition.value, wire_signal)
+        envelopes = _file_envelopes(partition.value, wire_signal,
+                                    self.container)
         if not envelopes:
             return
         names = [f.name for f in self.schema.fields]
@@ -182,6 +189,22 @@ class OtlpDataSource(DataSource):
         return _OtlpReader(self.options, schema)
 
 
+class OtapDataSource(OtlpDataSource):
+    """``spark.read.format("otap").option("signal", ...)`` — the same
+    six signals over OTAP ``BatchArrowRecords`` files (one message per
+    file, like ``read_otap_*``; reuse/wrong-signal payloads raise
+    ``OTAP decode error`` from the shared decoder)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "otap"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _OtlpReader(self.options, schema, container="otap")
+
+
 def register(spark) -> None:
-    """Register the ``otlp`` format on a session (idempotent)."""
+    """Register the ``otlp`` and ``otap`` formats on a session
+    (idempotent)."""
     spark.dataSource.register(OtlpDataSource)
+    spark.dataSource.register(OtapDataSource)

@@ -97,3 +97,34 @@ def test_directory_load_reads_all_files(ds_spark, ds_dir, tmp_path):
     fn = READERS["logs"](ds_spark, str(d / "*.pb"))
     assert df.count() == fn.count()
     assert df.exceptAll(fn).count() == 0
+
+
+OTAP_DIR = __import__("pathlib").Path("/root/reference/test/data/otap")
+
+
+@pytest.mark.skipif(not OTAP_DIR.exists(),
+                    reason="reference OTAP fixtures not present")
+@pytest.mark.parametrize("signal,bar", [
+    ("logs", "logs-initial.bar"), ("traces", "traces-initial.bar"),
+    ("metrics_gauge", "metrics-initial.bar"),
+    ("metrics_sum", "metrics-initial.bar"),
+    ("metrics_histogram", "metrics-initial.bar"),
+    ("metrics_exp_histogram", "metrics-initial.bar"),
+])
+def test_otap_format_matches_function_api(ds_spark, signal, bar):
+    from duckdb_otlp_spark.sources.otap import OTAP_READERS
+    fmt = (ds_spark.read.format("otap").option("signal", signal)
+           .load(str(OTAP_DIR / bar)))
+    fn = OTAP_READERS[signal](ds_spark, str(OTAP_DIR / bar))
+    assert fmt.schema == fn.schema
+    assert fmt.count() == fn.count()
+    assert fmt.exceptAll(fn).count() == 0
+    assert fn.exceptAll(fmt).count() == 0
+
+
+@pytest.mark.skipif(not OTAP_DIR.exists(),
+                    reason="reference OTAP fixtures not present")
+def test_otap_format_wrong_signal_errors(ds_spark):
+    with pytest.raises(Exception, match="OTAP decode error"):
+        (ds_spark.read.format("otap").option("signal", "logs")
+         .load(str(OTAP_DIR / "metrics-initial.bar")).count())
