@@ -137,13 +137,25 @@ class _OtlpReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("format('otlp') needs a path: .load('/dir/*.pb')")
-        if path.startswith("file:"):
+        # Strip only the matched prefix: 'file:///x' and 'file://x' drop
+        # the authority form, 'file:/x' (Path.toUri's single-slash form)
+        # drops just the scheme — a blanket 7-char slice mangled it.
+        if path.startswith("file://"):
             path = path[len("file://"):] or "/"
+        elif path.startswith("file:"):
+            path = path[len("file:"):]
         if "*" in path or "[" in path or "?" in path:
             files = sorted(_glob.glob(path))
         else:
             p = Path(path)
-            files = sorted(str(x) for x in p.iterdir()) if p.is_dir() else [path]
+            if p.is_dir():
+                # regular files only — a subdirectory would surface as an
+                # executor-side IsADirectoryError instead of the contract
+                files = sorted(str(x) for x in p.iterdir() if x.is_file())
+            else:
+                # nonexistent non-glob path joins the 0-match contract
+                # rather than a raw executor-side FileNotFoundError
+                files = [path] if p.is_file() else []
         if not files:
             raise ValueError(f"OTLP read error: no files matched {path!r} "
                              f"(reference 0-match contract)")

@@ -667,8 +667,15 @@ def _checked_env_select(df: DataFrame, signal: str,
         parsed = F.from_json(line, aug,
                              {"columnNameOfCorruptRecord": "__corrupt"})
         excerpt = F.substring(line, 1, 120)
+        # The corrupt capture fires on ANY conversion failure, not just
+        # malformed JSON — a valid line with a wrong-shaped envelope
+        # (e.g. {"resourceLogs": 5}) must classify as an envelope error,
+        # matching the wholetext mode's try_parse_json contract. The
+        # second parse runs only on corrupt rows (codegen And
+        # short-circuits), so the hot path stays single-parse.
         checked = F.get(F.transform(F.array(parsed), lambda p: (
-            F.when(p["__corrupt"].isNotNull(),
+            F.when(p["__corrupt"].isNotNull()
+                   & F.try_parse_json(line).isNull(),
                    F.raise_error(F.concat(
                        F.lit("OTLP parse error: invalid JSON: "),
                        excerpt)))

@@ -99,6 +99,42 @@ def test_directory_load_reads_all_files(ds_spark, ds_dir, tmp_path):
     assert df.exceptAll(fn).count() == 0
 
 
+@pytest.mark.parametrize("prefix", ["file:", "file://", "file:///"])
+def test_file_scheme_uri_forms(ds_spark, ds_dir, prefix):
+    """All three file: URI forms resolve — the single-slash form is the
+    one Spark's Path.toUri emits and used to be mangled by a blanket
+    7-char strip."""
+    path = ds_dir / "logs_0.pb"
+    uri = prefix + str(path).lstrip("/") if prefix == "file:///" \
+        else prefix + str(path)
+    df = (ds_spark.read.format("otlp").option("signal", "logs")
+          .load(uri))
+    fn = READERS["logs"](ds_spark, str(path))
+    assert df.count() == fn.count()
+    assert df.exceptAll(fn).count() == 0
+
+
+def test_nonexistent_nonglob_path_hits_zero_match_contract(ds_spark, tmp_path):
+    with pytest.raises(Exception, match="no files matched"):
+        _fmt(ds_spark, "logs", tmp_path / "absent.pb").count()
+
+
+def test_directory_load_skips_subdirectories(ds_spark, tmp_path):
+    d = tmp_path / "dir"
+    (d / "nested").mkdir(parents=True)
+    (d / "l0.pb").write_bytes(encode_envelope_pb(LOGS_SIMPLE[0]))
+    df = _fmt(ds_spark, "logs", d)
+    fn = READERS["logs"](ds_spark, str(d / "l0.pb"))
+    assert df.count() == fn.count()
+
+
+def test_empty_directory_hits_zero_match_contract(ds_spark, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(Exception, match="no files matched"):
+        _fmt(ds_spark, "logs", d).count()
+
+
 OTAP_DIR = __import__("pathlib").Path("/root/reference/test/data/otap")
 
 

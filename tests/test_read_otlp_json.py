@@ -237,6 +237,42 @@ def test_wrong_signal_errors(spark, otlp_fixtures):
         read_otlp_metrics_gauge(spark, str(otlp_fixtures["logs_simple.jsonl"])).count()
 
 
+@pytest.mark.parametrize("bad_line,err_class,modes", [
+    ('{"resourceLogs": 5}', "expected 'resourceLogs' envelope",
+     ("auto", "json", "lines")),
+    # a top-level array doesn't sniff as OTLP JSON (no leading '{'), so
+    # mode='auto' correctly routes it to the protobuf decoder instead —
+    # only the explicit JSON modes see it as JSON
+    ('[1, 2, 3]', "expected 'resourceLogs' envelope", ("json", "lines")),
+    ('{"resourceLogs": [', "invalid JSON", ("auto", "json", "lines")),
+])
+def test_error_class_agrees_across_read_modes(spark, tmp_path, bad_line,
+                                              err_class, modes):
+    """A valid-JSON line with a wrong-shaped envelope must classify as an
+    envelope error (not 'invalid JSON') in EVERY read mode: the corrupt
+    capture of the single-parse path fires on any conversion failure, so
+    it has to re-check JSON validity before picking the error class."""
+    p = tmp_path / "bad.jsonl"
+    p.write_text(bad_line + "\n")
+    for mode in modes:
+        with pytest.raises(Exception, match=err_class):
+            read_otlp_logs(spark, str(p), mode=mode).count()
+
+
+def test_partially_corrupt_envelope_agrees_across_read_modes(spark, tmp_path):
+    """A present-but-internally-type-mismatched envelope behaves the same
+    in the corrupt-capture path as in the wholetext path: the field is
+    non-null, so no error class fires and rows flow (with null insides),
+    exactly as PERMISSIVE from_json does in mode='json'."""
+    line = ('{"resourceLogs": [{"scopeLogs": [{"logRecords": '
+            '[{"timeUnixNano": "1000", "severityNumber": {"oops": 1}}]}]}]}')
+    p = tmp_path / "semi.jsonl"
+    p.write_text(line + "\n")
+    counts = {mode: read_otlp_logs(spark, str(p), mode=mode).count()
+              for mode in ("auto", "json", "lines")}
+    assert len(set(counts.values())) == 1, counts
+
+
 def test_ts_boundary_parses(spark, otlp_fixtures):
     row = read_otlp_logs(spark, str(otlp_fixtures["ts_boundary_logs.jsonl"])).collect()[0]
     # i64::MAX-adjacent ns renders at µs precision
