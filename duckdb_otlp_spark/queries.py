@@ -3188,34 +3188,45 @@ def q_pmi_collocations(spark, sf_dir):
     token explode never shuffles by doc_id (the lead()-window
     formulation costs a full 10^8-row doc-keyed exchange at 2M docs —
     measured, then removed; positions are irrelevant to counts).
-    Bigram and unigram counts are token-keyed partial aggs whose
-    exchanges carry only (key, partial count) rows — O(vocab) /
-    O(vocab^2-observed); the two corpus totals ride along as a 1-row
-    broadcast (bm25's corpus-stats pattern); the final top-20 sorts
-    only the >= min-count survivors. Ranking orders by the ROUNDED
-    pmi (then bigram text), so engine-side FP noise below 1e-4 cannot
-    reorder the cut."""
+    The shuffle keys are the md5-derived 60-bit token HASHES, not the
+    token strings (contamination's r11 treatment applied here in r12):
+    the bigram exchange carries (h1, h2, partial count) fixed-width
+    longs instead of two text columns — the corpus-dominant stream.
+    The unigram agg carries the token text through the partial agg as
+    min(w) (one string per per-partition-distinct hash — the O(vocab)
+    reduced side the top-20 needs for display and tie-breaks), so no
+    extra vocab-map shuffle exists. Both engines compute the IDENTICAL
+    hash (_SQL_MD5INT), so a collision merges the same counts on both
+    sides and the oracle stays value-exact. The two corpus totals ride
+    along as a 1-row broadcast (bm25's corpus-stats pattern); the
+    final top-20 sorts only the >= min-count survivors. Ranking orders
+    by the ROUNDED pmi (then bigram text), so engine-side FP noise
+    below 1e-4 cannot reorder the cut."""
     docs = _docs_parallel(spark, sf_dir)
     arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
                    lambda t: t != "")
-    toks = docs.select(arr.alias("arr"))
+    toks = docs.select(arr.alias("arr"),
+                       F.transform(arr, lambda t: _md5int(t)).alias("ha"))
     bg = toks.select(F.explode(_bind1(
-        F.col("arr"),
+        F.col("ha"),
         lambda a: F.when(F.size(a) >= 2, F.transform(
             F.sequence(F.lit(0), F.size(a) - 2),
-            lambda i: F.struct(a[i].alias("w1"), a[i + 1].alias("w2"))))
+            lambda i: F.struct(a[i].alias("h1"), a[i + 1].alias("h2"))))
         .otherwise(F.array().cast(
-            "array<struct<w1:string,w2:string>>")))).alias("p")) \
-        .select("p.w1", "p.w2")
-    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-    uc = (toks.select(F.explode("arr").alias("w"))
-          .groupBy("w").agg(F.count("*").alias("c")))
+            "array<struct<h1:bigint,h2:bigint>>")))).alias("p")) \
+        .select("p.h1", "p.h2")
+    bc = bg.groupBy("h1", "h2").agg(F.count("*").alias("c_xy"))
+    uc = (toks.select(F.explode(F.arrays_zip("arr", "ha")).alias("z"))
+          .select(F.col("z.arr").alias("w"), F.col("z.ha").alias("h"))
+          .groupBy("h").agg(F.count("*").alias("c"), F.min("w").alias("w")))
     tot = (uc.agg(F.sum("c").alias("n_uni"))
            .crossJoin(bc.agg(F.sum("c_xy").alias("n_bi"))))
-    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
-    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    u1 = uc.select(F.col("h").alias("h1"), F.col("c").alias("c1"),
+                   F.col("w").alias("w1"))
+    u2 = uc.select(F.col("h").alias("h2"), F.col("c").alias("c2"),
+                   F.col("w").alias("w2"))
     return (bc.filter(F.col("c_xy") >= 5)
-            .join(u1, "w1").join(u2, "w2")
+            .join(u1, "h1").join(u2, "h2")
             .crossJoin(F.broadcast(tot))
             .select(
                 "w1", "w2", F.col("c_xy").cast("long").alias("pair_count"),
@@ -3227,22 +3238,23 @@ def q_pmi_collocations(spark, sf_dir):
             .limit(20))
 
 
-SQL_PMI_COLLOCATIONS = """
+SQL_PMI_COLLOCATIONS = f"""
 WITH toks AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)),
                                                        '\\s+'),
-                                 t -> t <> '') AS arr
+                                 x -> x <> '') AS arr
               FROM documents),
-bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM (
+bg AS (SELECT {_SQL_MD5INT % 'arr[i]'} AS h1,
+              {_SQL_MD5INT % 'arr[i + 1]'} AS h2 FROM (
            SELECT arr, unnest(range(1, len(arr))) AS i FROM toks)),
-bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
-uc AS (SELECT w, count(*) AS c FROM (
+bc AS (SELECT h1, h2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+uc AS (SELECT {_SQL_MD5INT % 'w'} AS h, count(*) AS c, min(w) AS w FROM (
            SELECT unnest(arr) AS w FROM toks) GROUP BY 1),
 tot AS (SELECT (SELECT sum(c) FROM uc) AS n_uni,
                (SELECT sum(c_xy) FROM bc) AS n_bi)
-SELECT w1, w2, CAST(c_xy AS BIGINT) AS pair_count,
+SELECT u1.w AS w1, u2.w AS w2, CAST(c_xy AS BIGINT) AS pair_count,
        round(log2((c_xy / n_bi)
                   / ((u1.c / n_uni) * (u2.c / n_uni))), 4) AS pmi
-FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN tot
+FROM bc JOIN uc u1 ON bc.h1 = u1.h JOIN uc u2 ON bc.h2 = u2.h CROSS JOIN tot
 WHERE c_xy >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20
 """
@@ -3260,28 +3272,35 @@ def q_bigram_surprisal(spark, sf_dir):
 
     Scale shape: bigram extraction is MAP-ONLY off the let-bound split
     array (pmi_collocations' shape — no window, no doc-keyed exchange
-    of the token explode); the LM tables are (w1, w2)- and w-keyed
-    partial aggs (O(vocab²-observed) / O(vocab)); V rides as a 1-row
-    broadcast; scoring joins the per-doc bigram list to the two LM
-    tables by token keys and rolls up per doc — only (doc_id, w1, w2)
-    triples ever shuffle, never text."""
+    of the token explode); nothing in the output needs token TEXT, so
+    every stream is keyed by the md5-derived 60-bit token hash
+    (contamination's r11 treatment, applied r12): the corpus-sized
+    bigram stream shuffles (doc_id, h1, h2) fixed-width longs, the LM
+    tables are (h1, h2)- and h-keyed partial aggs (O(vocab²-observed)
+    / O(vocab)), and V counts distinct hashes — identical on both
+    engines (same _SQL_MD5INT hash), so a collision shifts the same
+    smoothing denominator on both sides and the oracle stays
+    value-exact. V rides as a 1-row broadcast; scoring joins the
+    per-doc bigram stream to the two LM tables by hash and rolls up
+    per doc."""
     docs = _docs_parallel(spark, sf_dir)
     arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
                    lambda t: t != "")
-    toks = docs.select("doc_id", arr.alias("arr"))
+    toks = docs.select(
+        "doc_id", F.transform(arr, lambda t: _md5int(t)).alias("ha"))
     bg_col = _bind1(
-        F.col("arr"),
+        F.col("ha"),
         lambda a: F.when(F.size(a) >= 2, F.transform(
             F.sequence(F.lit(0), F.size(a) - 2),
-            lambda i: F.struct(a[i].alias("w1"), a[i + 1].alias("w2"))))
-        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>")))
+            lambda i: F.struct(a[i].alias("h1"), a[i + 1].alias("h2"))))
+        .otherwise(F.array().cast("array<struct<h1:bigint,h2:bigint>>")))
     bg = (toks.select("doc_id", F.explode(bg_col).alias("p"))
-          .select("doc_id", "p.w1", "p.w2"))
-    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-    uc = (toks.select(F.explode("arr").alias("w1"))
-          .groupBy("w1").agg(F.count("*").alias("c1")))
+          .select("doc_id", "p.h1", "p.h2"))
+    bc = bg.groupBy("h1", "h2").agg(F.count("*").alias("c_xy"))
+    uc = (toks.select(F.explode("ha").alias("h1"))
+          .groupBy("h1").agg(F.count("*").alias("c1")))
     vocab = uc.agg(F.count("*").alias("v"))
-    return (bg.join(bc, ["w1", "w2"]).join(uc, "w1")
+    return (bg.join(bc, ["h1", "h2"]).join(uc, "h1")
             .crossJoin(F.broadcast(vocab))
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_bigrams"),
@@ -3291,22 +3310,23 @@ def q_bigram_surprisal(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-SQL_BIGRAM_SURPRISAL = """
+SQL_BIGRAM_SURPRISAL = f"""
 WITH toks AS (SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(lower(text)),
-                                                       '\\s+'),
-                                 t -> t <> '') AS arr
+                     [{_SQL_MD5INT % 't'}
+                      for t in list_filter(
+                          regexp_split_to_array(trim(lower(text)), '\\s+'),
+                          x -> x <> '')] AS ha
               FROM documents),
-bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM (
-           SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM toks)),
-bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
-uc AS (SELECT w1, count(*) AS c1 FROM (
-           SELECT unnest(arr) AS w1 FROM toks) GROUP BY 1),
+bg AS (SELECT doc_id, ha[i] AS h1, ha[i + 1] AS h2 FROM (
+           SELECT doc_id, ha, unnest(range(1, len(ha))) AS i FROM toks)),
+bc AS (SELECT h1, h2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+uc AS (SELECT h1, count(*) AS c1 FROM (
+           SELECT unnest(ha) AS h1 FROM toks) GROUP BY 1),
 vocab AS (SELECT count(*) AS v FROM uc)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(avg(-log2((c_xy + 1.0) / (c1 + v))), 4)
            AS mean_bigram_surprisal
-FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+FROM bg JOIN bc USING (h1, h2) JOIN uc USING (h1) CROSS JOIN vocab
 GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -3430,8 +3450,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk_per_group": q_window_topk_per_group,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "tpch_q6": q_tpch_q6,
-    "dedup_exact": q_dedup_exact,
+    # tpch_q6 / dedup_exact / stratified_sample / embedding_bucket_ann
+    # rotated past the window in round 12 to admit the packing/budget
+    # family (token_budget / split_assign / sequence_pack /
+    # sequence_pack_nostraddle — the one registry family never
+    # driver-certified in rounds 1-11, r11 VERDICT #3).  In-window
+    # family coverage: tpch_q6's scan+filter+agg via tpch_q1 (same
+    # lineitem aggregate, heavier) and tail_topk (filter+sort);
+    # dedup_exact's md5-digest groupBy via split_leakage (digest
+    # equi-join over the same md5(text) expression) and passage_dedup
+    # (chunk-digest partial-agg counts); stratified_sample's map-only
+    # md5-mod-threshold filter via the incoming split_assign (the
+    # identical _md5int % N bucketing expression family);
+    # embedding_bucket_ann's sign-LSH bucket equi-join via
+    # dedup_embedding (same one-sided multi-probe bucket join).
+    # Overlap pinned by the window-coverage gate
+    # (tests/test_plans.py); all four keep their pytest DuckDB oracle
+    # differential.
     # minhash_signature rotated past the window in round 10 to admit
     # split_leakage (r9 VERDICT #2): the signature computation runs
     # verbatim inside the in-window minhash_lsh_pairs plan (same
@@ -3453,7 +3488,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Overlap pinned by the window-coverage gate; simhash keeps its
     # pytest DuckDB oracle differential like every past-window entry.
     "semdedup": q_semdedup,
-    "embedding_bucket_ann": q_embedding_bucket_ann,
+    # Packing/budget family rotated INTO the window in round 12 (r11
+    # VERDICT #3 — never driver-certified before): training-budget
+    # rollup, deterministic md5 split assignment, per-shard cumsum
+    # contiguous packing, and the applyInPandas next-fit no-straddle
+    # packer (the registry's only Python-stateful entry — its
+    # recursive-CTE oracle makes the driver gate certify the Python
+    # path end-to-end).  corpus_shuffle stays past-window: its radix
+    # enumeration + 32-row SinglePartition cumsum runs in-window as
+    # the core of token_offsets (the weighted generalization,
+    # driver-green since r9); source_cap's rank-cap window runs
+    # in-window via window_topk_per_group; feature_hash /
+    # source_mix_weights / length_buckets share the family's map-side
+    # hash + low-cardinality groupBy shapes certified by the four
+    # entries below.
+    "token_budget": q_token_budget,
+    "split_assign": q_split_assign,
+    "sequence_pack": q_sequence_pack,
+    "sequence_pack_nostraddle": q_sequence_pack_nostraddle,
     # text_quality / doc_fingerprint / lang_id / ngram_jaccard rotated past
     # the window in round 9 to admit the four flagship LLM-pipeline
     # operators below (r8 VERDICT #1): the three map-only text-expression
@@ -3476,7 +3528,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle) the window lacked.
     "diversity_sample": q_diversity_sample,
     "sessionize": q_sessionize,
-    "stratified_sample": q_stratified_sample,
     "dedup_cluster": q_dedup_cluster,
     "bm25_topk": q_bm25_topk,
     # Round-10 operators rotated INTO the window in round 11 (r10
@@ -3575,15 +3626,20 @@ QUERIES.update({
     "array_ops": q_array_ops,
     "union_all": q_union_all,
     "distinct": q_distinct,
-    "token_budget": q_token_budget,
     "feature_hash": q_feature_hash,
-    "split_assign": q_split_assign,
-    "sequence_pack": q_sequence_pack,
-    "sequence_pack_nostraddle": q_sequence_pack_nostraddle,
     "source_cap": q_source_cap,
     "corpus_shuffle": q_corpus_shuffle,
     "source_mix_weights": q_source_mix_weights,
     "length_buckets": q_length_buckets,
+    # tpch_q6 / dedup_exact / stratified_sample / embedding_bucket_ann
+    # rotated past the window in round 12 to admit the four
+    # packing/budget entries (see the in-window comment above tpch_q3
+    # for the family-coverage argument); each keeps its pytest DuckDB
+    # oracle differential and any dedicated plan pins.
+    "tpch_q6": q_tpch_q6,
+    "dedup_exact": q_dedup_exact,
+    "stratified_sample": q_stratified_sample,
+    "embedding_bucket_ann": q_embedding_bucket_ann,
     # agg_stats / percentile / minhash_signature / embedding_group_stats
     # rotated past the window in round 10 to admit the four r9 operators
     # tfidf_topk / split_leakage / diversity_sample / latency_quantiles
