@@ -350,7 +350,10 @@ def test_window_swap_family_coverage(spark):
     evicted in r10 to admit tfidf_topk / latency_quantiles /
     split_leakage / diversity_sample; point_lookup / regexp / time_bucket /
     except_all evicted in r11 to admit winnowing_pairs / pmi_collocations /
-    passage_dedup / bigram_surprisal):
+    passage_dedup / bigram_surprisal; tpch_q6 / dedup_exact /
+    stratified_sample / embedding_bucket_ann evicted in r12 to admit the
+    packing/budget family token_budget / split_assign / sequence_pack /
+    sequence_pack_nostraddle):
     each evicted entry's physical-operator / expression family must keep an
     in-window representative, so the swap trades certification
     *redundancy*, never certification *coverage* (r6 ADVICE)."""
@@ -366,7 +369,9 @@ def test_window_swap_family_coverage(spark):
                     "doc_fingerprint", "lang_id", "ngram_jaccard",
                     "agg_stats", "percentile", "minhash_signature",
                     "embedding_group_stats", "simhash",
-                    "point_lookup", "regexp", "time_bucket", "except_all"):
+                    "point_lookup", "regexp", "time_bucket", "except_all",
+                    "tpch_q6", "dedup_exact", "stratified_sample",
+                    "embedding_bucket_ann"):
         assert evicted in Q and evicted not in window
     for rep_name in ("join_multi", "tpch_q3", "asof_join",
                      "repetition_ratio", "pii_scrub", "vocab_topk",
@@ -381,7 +386,9 @@ def test_window_swap_family_coverage(spark):
                      "dedup_embedding", "ann_cosine_topk",
                      "minhash_lsh_pairs", "semdedup", "winnowing_pairs",
                      "pmi_collocations", "passage_dedup",
-                     "bigram_surprisal", "tail_topk"):
+                     "bigram_surprisal", "tail_topk",
+                     "token_budget", "split_assign", "sequence_pack",
+                     "sequence_pack_nostraddle"):
         assert rep_name in window, rep_name
 
     # join family: whichever equi-join strategy join_inner plans must
@@ -426,6 +433,46 @@ def test_window_swap_family_coverage(spark):
     nj_missing = _node_types(nj) - (_node_types(ac) | _node_types(bt)
                                     | _node_types(co) | text_covered)
     assert not nj_missing, nj_missing
+
+    # r12 evictions:
+    # tpch_q6 (scan+filter+agg on lineitem) is node-covered by tpch_q1
+    # (same table, heavier aggregate) + tail_topk (filter+sort)
+    q6 = _rep(spark, "tpch_q6")
+    q6_missing = _node_types(q6) - (_node_types(_rep(spark, "tpch_q1"))
+                                    | _node_types(_rep(spark, "tail_topk")))
+    assert not q6_missing, q6_missing
+    # dedup_exact's md5-digest groupBy: the md5( expression runs
+    # in-window in split_leakage (digest equi-join) and the digest
+    # partial-agg count in passage_dedup
+    de = _rep(spark, "dedup_exact")
+    sl = _rep(spark, "split_leakage")
+    assert "md5(" in de.text and "md5(" in sl.text
+    de_missing = _node_types(de) - (_node_types(sl)
+                                    | _node_types(_rep(spark,
+                                                       "passage_dedup")))
+    assert not de_missing, de_missing
+    # stratified_sample's map-only md5-mod-threshold filter is the
+    # incoming split_assign's exact expression family (both conv(md5)
+    # bucketing, no joins, no windows)
+    ss = _rep(spark, "stratified_sample")
+    sa = _rep(spark, "split_assign")
+    for rep in (ss, sa):
+        assert "md5(" in rep.text
+        assert rep.nested_loop_joins == 0
+        assert not rep.has_python_eval
+    ss_missing = _node_types(ss) - (_node_types(sa) | text_covered)
+    assert not ss_missing, ss_missing
+    # embedding_bucket_ann's sign-LSH bucket equi-join stays in-window
+    # via dedup_embedding (one-sided multi-probe bucket join)
+    eb = _rep(spark, "embedding_bucket_ann")
+    dm = _rep(spark, "dedup_embedding")
+    assert eb.broadcast_joins + eb.sort_merge_joins \
+        + eb.shuffled_hash_joins >= 1
+    assert dm.broadcast_joins + dm.sort_merge_joins \
+        + dm.shuffled_hash_joins >= 1
+    eb_missing = _node_types(eb) - (_node_types(dm)
+                                    | _node_types(ac) | text_covered)
+    assert not eb_missing, eb_missing
 
     # struct family: every physical node type in unnest_struct's plan is
     # exercised by an in-window sibling plan
