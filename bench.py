@@ -16,6 +16,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from duckdb_otlp_spark.queries import QUERIES  # noqa: E402
 from duckdb_otlp_spark.session import get_spark  # noqa: E402
 
@@ -697,6 +699,54 @@ def run_pruning_probe(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_pb_read_bench(spark, records: int = 1_000_000,
+                      files: int = 32) -> dict:
+    """Protobuf read-path row (r11 VERDICT #6): the pb reader became the
+    fastest path in r11 (typed Arrow emission, single parse) but was
+    covered only by the one-off PROBE_PB_DECODE.json, whose walls swing
+    ~2x with page cache. This per-round row regenerates a deterministic
+    1M-record pb file set (probe_pb_decode's envelope shape) and reads
+    it end-to-end through read_otlp_logs (decode + flatten + aggregate),
+    best-of-2, so decoder regressions are visible round-over-round."""
+    import multiprocessing as mp
+    import shutil
+    import tempfile
+
+    from probe_pb_decode import _write_one
+
+    from duckdb_otlp_spark.sources.otlp_json import read_otlp_logs
+
+    out_dir = tempfile.mkdtemp(prefix="bench_pb_")
+    try:
+        (Path(out_dir) / "pb").mkdir()
+        (Path(out_dir) / "jsonl").mkdir()  # _write_one emits the twin too
+        rec_per_file = records // files
+        t0 = time.perf_counter()
+        with mp.Pool(min(files, 16)) as pool:
+            n = sum(pool.map(_write_one,
+                             [(out_dir, i, rec_per_file)
+                              for i in range(files)]))
+        gen_s = round(time.perf_counter() - t0, 3)
+        pb_bytes = sum(p.stat().st_size
+                       for p in (Path(out_dir) / "pb").iterdir())
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            row = (read_otlp_logs(spark, f"{out_dir}/pb/*.pb")
+                   .agg(F.count("*").alias("n"),
+                        F.max(F.length("body")).alias("mb"))
+                   .collect()[0])
+            walls.append(round(time.perf_counter() - t0, 3))
+            assert row["n"] == n, (row["n"], n)
+        best = min(walls)
+        return {"records": n, "files": files, "pb_bytes": pb_bytes,
+                "gen_s": gen_s, "wall_s": walls, "best_s": best,
+                "rec_per_s": round(n / best),
+                "mb_per_s": round(pb_bytes / best / 1e6, 1)}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
@@ -813,6 +863,12 @@ def main() -> None:
             out["promotion"] = run_promotion_probe(spark)
         except Exception as e:  # noqa: BLE001
             out["promotion"] = {"error": str(e)[:200]}
+        # LAST: writes+deletes ~200 MB of scratch pb files — nothing
+        # downstream inherits its page-cache/writeback state
+        try:
+            out["pb_read"] = run_pb_read_bench(spark)
+        except Exception as e:  # noqa: BLE001
+            out["pb_read"] = {"error": str(e)[:200]}
     print(json.dumps(out))
     spark.stop()
 

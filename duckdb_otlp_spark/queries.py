@@ -3188,37 +3188,60 @@ def q_pmi_collocations(spark, sf_dir):
     token explode never shuffles by doc_id (the lead()-window
     formulation costs a full 10^8-row doc-keyed exchange at 2M docs —
     measured, then removed; positions are irrelevant to counts).
-    The shuffle keys are the md5-derived 60-bit token HASHES, not the
-    token strings (contamination's r11 treatment applied here in r12):
-    the bigram exchange carries (h1, h2, partial count) fixed-width
-    longs instead of two text columns — the corpus-dominant stream.
-    The unigram agg carries the token text through the partial agg as
-    min(w) (one string per per-partition-distinct hash — the O(vocab)
-    reduced side the top-20 needs for display and tie-breaks), so no
-    extra vocab-map shuffle exists. Both engines compute the IDENTICAL
-    hash (_SQL_MD5INT), so a collision merges the same counts on both
-    sides and the oracle stays value-exact. The two corpus totals ride
-    along as a 1-row broadcast (bm25's corpus-stats pattern); the
-    final top-20 sorts only the >= min-count survivors. Ranking orders
-    by the ROUNDED pmi (then bigram text), so engine-side FP noise
-    below 1e-4 cannot reorder the cut."""
+    The shuffle/agg keys are xxhash64 TOKEN HASHES, not the token
+    strings: the bigram aggregate's map-side state and exchange carry
+    (h1, h2, partial count) fixed-width longs instead of two text
+    columns — the corpus-dominant stream whose string form was the
+    documented 20M-doc spill cliff. WHERE the hash runs matters as
+    much as which hash (all three variants measured at the 20M tier,
+    PROBE_LLM_SCALE.json r12_token_hash_ab): hashing must happen in a
+    codegen'd projection AFTER the pair explode — inside the pair
+    transform lambda it rides the interpreted HOF path and costs
+    +54% at the 2M tier; and the unigram agg stays STRING-keyed (the
+    O(vocab) reduced side was never the spill; its token text feeds
+    the top-20 display and tie-breaks) with its join hash computed
+    POST-agg, O(vocab) times. Net: 648.1 s (r11 strings) -> 224.4 s
+    at 20M docs, 2M-doc wall unchanged (28.0 -> 28.25 s). The hash is
+    Spark-side ONLY (a JVM intrinsic): contamination's identical-
+    hash-both-engines md5 treatment was MEASURED here first and lost
+    (826.6 s — crypto cost exceeds agg-state savings because pmi's
+    instances never cross a join, unlike contamination where the hash
+    shrinks a corpus-sized join shuffle). The oracle keys by the
+    token itself; results are identical whenever xxhash64 is
+    injective on the corpus vocabulary (any-collision probability <
+    vocab^2/2^65: ~5e-6 at a 10M-token vocabulary, ~1e-11 at the
+    driver's sf0.01 gate), and a collision fans one survivor row out
+    into its two colliding token texts — a one-pair artifact far
+    below the >=5 count floor's stability, not a systematic drift. The two corpus totals ride along as a
+    1-row broadcast (bm25's corpus-stats pattern); the final top-20
+    sorts only the >= min-count survivors. Ranking orders by the
+    ROUNDED pmi (then bigram text), so engine-side FP noise below
+    1e-4 cannot reorder the cut."""
     docs = _docs_parallel(spark, sf_dir)
     arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
                    lambda t: t != "")
-    toks = docs.select(arr.alias("arr"),
-                       F.transform(arr, lambda t: _md5int(t)).alias("ha"))
+    toks = docs.select(arr.alias("arr"))
+    # pairs extract as STRINGS and hash in a codegen'd projection AFTER
+    # the explode: xxhash64 inside the transform lambda runs on the
+    # interpreted HOF path (~µs/token — measured +54% at the 2M tier);
+    # post-explode it is whole-stage-codegen'd and ~free
     bg = toks.select(F.explode(_bind1(
-        F.col("ha"),
+        F.col("arr"),
         lambda a: F.when(F.size(a) >= 2, F.transform(
             F.sequence(F.lit(0), F.size(a) - 2),
-            lambda i: F.struct(a[i].alias("h1"), a[i + 1].alias("h2"))))
+            lambda i: F.struct(a[i].alias("w1"), a[i + 1].alias("w2"))))
         .otherwise(F.array().cast(
-            "array<struct<h1:bigint,h2:bigint>>")))).alias("p")) \
-        .select("p.h1", "p.h2")
+            "array<struct<w1:string,w2:string>>")))).alias("p")) \
+        .select(F.xxhash64("p.w1").alias("h1"),
+                F.xxhash64("p.w2").alias("h2"))
     bc = bg.groupBy("h1", "h2").agg(F.count("*").alias("c_xy"))
-    uc = (toks.select(F.explode(F.arrays_zip("arr", "ha")).alias("z"))
-          .select(F.col("z.arr").alias("w"), F.col("z.ha").alias("h"))
-          .groupBy("h").agg(F.count("*").alias("c"), F.min("w").alias("w")))
+    # unigram counts stay string-keyed (the O(vocab) reduced side was
+    # never the spill) and the hash is computed POST-agg — O(vocab)
+    # xxhash64 calls, not O(corpus); the per-instance zip+hash variant
+    # measured +60% at the 2M tier for zero 10x benefit
+    uc = (docs.select(F.explode(arr).alias("w"))
+          .groupBy("w").agg(F.count("*").alias("c"))
+          .select(F.xxhash64("w").alias("h"), "c", "w"))
     tot = (uc.agg(F.sum("c").alias("n_uni"))
            .crossJoin(bc.agg(F.sum("c_xy").alias("n_bi"))))
     u1 = uc.select(F.col("h").alias("h1"), F.col("c").alias("c1"),
@@ -3238,23 +3261,22 @@ def q_pmi_collocations(spark, sf_dir):
             .limit(20))
 
 
-SQL_PMI_COLLOCATIONS = f"""
+SQL_PMI_COLLOCATIONS = """
 WITH toks AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)),
                                                        '\\s+'),
                                  x -> x <> '') AS arr
               FROM documents),
-bg AS (SELECT {_SQL_MD5INT % 'arr[i]'} AS h1,
-              {_SQL_MD5INT % 'arr[i + 1]'} AS h2 FROM (
+bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM (
            SELECT arr, unnest(range(1, len(arr))) AS i FROM toks)),
-bc AS (SELECT h1, h2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
-uc AS (SELECT {_SQL_MD5INT % 'w'} AS h, count(*) AS c, min(w) AS w FROM (
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+uc AS (SELECT w, count(*) AS c FROM (
            SELECT unnest(arr) AS w FROM toks) GROUP BY 1),
 tot AS (SELECT (SELECT sum(c) FROM uc) AS n_uni,
                (SELECT sum(c_xy) FROM bc) AS n_bi)
-SELECT u1.w AS w1, u2.w AS w2, CAST(c_xy AS BIGINT) AS pair_count,
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS pair_count,
        round(log2((c_xy / n_bi)
                   / ((u1.c / n_uni) * (u2.c / n_uni))), 4) AS pmi
-FROM bc JOIN uc u1 ON bc.h1 = u1.h JOIN uc u2 ON bc.h2 = u2.h CROSS JOIN tot
+FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN tot
 WHERE c_xy >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20
 """
@@ -3273,32 +3295,44 @@ def q_bigram_surprisal(spark, sf_dir):
     Scale shape: bigram extraction is MAP-ONLY off the let-bound split
     array (pmi_collocations' shape — no window, no doc-keyed exchange
     of the token explode); nothing in the output needs token TEXT, so
-    every stream is keyed by the md5-derived 60-bit token hash
-    (contamination's r11 treatment, applied r12): the corpus-sized
-    bigram stream shuffles (doc_id, h1, h2) fixed-width longs, the LM
-    tables are (h1, h2)- and h-keyed partial aggs (O(vocab²-observed)
-    / O(vocab)), and V counts distinct hashes — identical on both
-    engines (same _SQL_MD5INT hash), so a collision shifts the same
-    smoothing denominator on both sides and the oracle stays
-    value-exact. V rides as a 1-row broadcast; scoring joins the
-    per-doc bigram stream to the two LM tables by hash and rolls up
-    per doc."""
+    the corpus-sized streams are keyed by the xxhash64 token hash: the
+    bigram stream shuffles (doc_id, h1, h2) fixed-width longs and the
+    bigram LM table is an (h1, h2)-keyed partial agg
+    (O(vocab²-observed)), with the hash in a codegen'd projection
+    AFTER the pair explode, never inside the interpreted transform
+    lambda (q_pmi_collocations documents the three-variant A/B). The
+    unigram LM table stays STRING-keyed with its join hash computed
+    POST-agg (O(vocab) hashes, and V = distinct tokens exactly as the
+    oracle counts it). Net at the 20M tier: 946.6 s (r11 strings) ->
+    546.6 s, 2M wall flat (48.5 -> 51.4 s). The hash is Spark-side
+    ONLY — see q_pmi_collocations for the measured md5-both-engines
+    negative and the injectivity bound (any-collision p <
+    vocab^2/2^65, ~1e-11 at the driver's sf0.01 gate; a collision
+    double-matches the c1 lookup for docs containing the merged
+    tokens). The oracle keys by the token itself. V rides as a 1-row
+    broadcast; scoring joins the per-doc bigram stream to the two LM
+    tables by hash and rolls up per doc."""
     docs = _docs_parallel(spark, sf_dir)
     arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
                    lambda t: t != "")
-    toks = docs.select(
-        "doc_id", F.transform(arr, lambda t: _md5int(t)).alias("ha"))
+    toks = docs.select("doc_id", arr.alias("arr"))
+    # string pairs, hashed post-explode in codegen — not inside the
+    # interpreted transform lambda (see q_pmi_collocations)
     bg_col = _bind1(
-        F.col("ha"),
+        F.col("arr"),
         lambda a: F.when(F.size(a) >= 2, F.transform(
             F.sequence(F.lit(0), F.size(a) - 2),
-            lambda i: F.struct(a[i].alias("h1"), a[i + 1].alias("h2"))))
-        .otherwise(F.array().cast("array<struct<h1:bigint,h2:bigint>>")))
+            lambda i: F.struct(a[i].alias("w1"), a[i + 1].alias("w2"))))
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>")))
     bg = (toks.select("doc_id", F.explode(bg_col).alias("p"))
-          .select("doc_id", "p.h1", "p.h2"))
+          .select("doc_id", F.xxhash64("p.w1").alias("h1"),
+                  F.xxhash64("p.w2").alias("h2")))
     bc = bg.groupBy("h1", "h2").agg(F.count("*").alias("c_xy"))
-    uc = (toks.select(F.explode("ha").alias("h1"))
-          .groupBy("h1").agg(F.count("*").alias("c1")))
+    # string-keyed unigram agg + POST-agg hash: O(vocab) xxhash64
+    # calls instead of O(corpus) (see q_pmi_collocations)
+    uc = (docs.select(F.explode(arr).alias("w"))
+          .groupBy("w").agg(F.count("*").alias("c1"))
+          .select(F.xxhash64("w").alias("h1"), "c1"))
     vocab = uc.agg(F.count("*").alias("v"))
     return (bg.join(bc, ["h1", "h2"]).join(uc, "h1")
             .crossJoin(F.broadcast(vocab))
@@ -3310,23 +3344,22 @@ def q_bigram_surprisal(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-SQL_BIGRAM_SURPRISAL = f"""
+SQL_BIGRAM_SURPRISAL = """
 WITH toks AS (SELECT doc_id,
-                     [{_SQL_MD5INT % 't'}
-                      for t in list_filter(
-                          regexp_split_to_array(trim(lower(text)), '\\s+'),
-                          x -> x <> '')] AS ha
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+'),
+                                 t -> t <> '') AS arr
               FROM documents),
-bg AS (SELECT doc_id, ha[i] AS h1, ha[i + 1] AS h2 FROM (
-           SELECT doc_id, ha, unnest(range(1, len(ha))) AS i FROM toks)),
-bc AS (SELECT h1, h2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
-uc AS (SELECT h1, count(*) AS c1 FROM (
-           SELECT unnest(ha) AS h1 FROM toks) GROUP BY 1),
+bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM (
+           SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM toks)),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS c1 FROM (
+           SELECT unnest(arr) AS w1 FROM toks) GROUP BY 1),
 vocab AS (SELECT count(*) AS v FROM uc)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(avg(-log2((c_xy + 1.0) / (c1 + v))), 4)
            AS mean_bigram_surprisal
-FROM bg JOIN bc USING (h1, h2) JOIN uc USING (h1) CROSS JOIN vocab
+FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
 GROUP BY doc_id ORDER BY doc_id
 """
 
