@@ -46,7 +46,71 @@ from pyspark.sql import types as T
 # reference: src/include/otlp_ingest_limits.hpp MAX_READ_FILE_BYTES
 MAX_READ_FILE_BYTES = 100 * 1000 * 1000
 
+# Max innermost records (logRecords/spans/metrics) per typed envelope
+# ROW emitted by the protobuf decode path. A 100 MB single-envelope file
+# is legal under the reference's cap, but one envelope = one JVM struct
+# row downstream, and rows in the hundreds of MB are a heap cliff: at a
+# 4M-record/64-file tier (62.5k-record envelopes) the unsliced read
+# OOM'd a 16 GB JVM and GC-collapsed a 64 GB one (39.5 s best) — sliced
+# it runs in 7.4 s on 24 GB. Slicing is output-invariant: the flatten
+# explodes per record and every resource/scope-derived column is
+# recomputed identically per slice (pinned by
+# tests/test_read_otlp_proto.py slice parity tests).
+MAX_ENVELOPE_SLICE_RECORDS = 8192
+
 _I64_MAX = 9223372036854775807
+
+# (outer, middle, innermost) list keys per wire signal — the explode
+# spine the readers flatten and slice_envelope slices along.
+_ENVELOPE_KEYS = {
+    "logs": ("resourceLogs", "scopeLogs", "logRecords"),
+    "traces": ("resourceSpans", "scopeSpans", "spans"),
+    "metrics": ("resourceMetrics", "scopeMetrics", "metrics"),
+}
+
+
+def slice_envelope(env: dict, signal: str,
+                   max_records: int = MAX_ENVELOPE_SLICE_RECORDS):
+    """Yield envelopes jointly equivalent to ``env`` with at most
+    ``max_records`` innermost records each.
+
+    Flattened output is identical to the unsliced envelope: the readers
+    explode outer -> middle -> innermost and derive resource/scope
+    columns per (resource, scope) group, and each slice carries full
+    copies of its group's resource/scope fields. Groups that contain no
+    innermost records flatten to zero rows either way and are dropped
+    from slices. For metrics the innermost unit is the ``metrics`` list
+    entry (a metric's dataPoints stay together), so a single metric
+    with more than ``max_records`` dataPoints is not subdivided —
+    bounded in practice by the 100 MB file cap.
+    """
+    outer_k, mid_k, inner_k = _ENVELOPE_KEYS[signal]
+    rls = env.get(outer_k) or []
+    if sum(len(sl.get(inner_k) or []) for rl in rls
+           for sl in (rl.get(mid_k) or [])) <= max_records:
+        yield env
+        return
+    env_rest = {k: v for k, v in env.items() if k != outer_k}
+    acc: list = []
+    n = 0
+    for rl in rls:
+        rl_rest = {k: v for k, v in rl.items() if k != mid_k}
+        for sl in (rl.get(mid_k) or []):
+            recs = sl.get(inner_k) or []
+            sl_rest = {k: v for k, v in sl.items() if k != inner_k}
+            lo = 0
+            while lo < len(recs):
+                take = min(max_records - n, len(recs) - lo)
+                acc.append({**rl_rest,
+                            mid_k: [{**sl_rest,
+                                     inner_k: recs[lo:lo + take]}]})
+                n += take
+                lo += take
+                if n >= max_records:
+                    yield {**env_rest, outer_k: acc}
+                    acc, n = [], 0
+    if acc:
+        yield {**env_rest, outer_k: acc}
 
 # Depth to which nested attribute values (arrayValue / kvlistValue) are
 # decoded; deeper nesting degrades to JSON 'null' like any unknown value.
@@ -621,12 +685,17 @@ def _decoded_envelopes(spark: SparkSession, paths: list[str], signal: str,
                         envs.append(None)
                 else:
                     try:
-                        envs.append(otlp_proto.DECODERS[signal](b))
+                        decoded = otlp_proto.DECODERS[signal](b)
                     except ValueError as e:
                         raise ValueError(
                             f"OTLP parse error: invalid protobuf payload "
                             f"({e}): {fpath}") from e
-                    lines.append(None)
+                    # oversized envelopes slice into bounded rows — one
+                    # giant envelope otherwise becomes one giant JVM
+                    # struct row (heap cliff; see slice_envelope)
+                    before = len(envs)
+                    envs.extend(slice_envelope(decoded, signal))
+                    lines.extend([None] * (len(envs) - before))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(envs, type=env_type),
                  pa.array(lines, type=pa.string())], ["env", "value"])

@@ -149,3 +149,101 @@ def test_kv_cache_bounded_and_correct():
             raise AssertionError("cache exceeded its cap")
     assert op._key_value_cached(raw) == kv
     op._KV_CACHE.clear()
+
+
+# --- envelope slicing (r12: giant single-envelope files OOM'd a 16 GB
+#     JVM at the 4M-record probe tier; decode slices them into bounded
+#     envelope rows with provably identical flattened output) ---
+
+def _multi_group_logs_env(n_groups=3, recs_per_group=7):
+    return {"resourceLogs": [
+        {"resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": f"svc-{g}"}}]},
+         "scopeLogs": [
+             {"scope": {"name": f"scope-{g}-{s}", "version": "1"},
+              "logRecords": [
+                  {"timeUnixNano": str(1700000000000000000 + g*1000 + s*100 + i),
+                   "severityNumber": 9,
+                   "body": {"stringValue": f"m-{g}-{s}-{i}"}}
+                  for i in range(recs_per_group)]}
+             for s in range(2)]}
+        for g in range(n_groups)]}
+
+
+@pytest.mark.parametrize("max_records", [1, 3, 5, 8, 1000])
+def test_slice_envelope_logs_parity(max_records):
+    from duckdb_otlp_spark import reader_gate
+    from duckdb_otlp_spark.sources.otlp_json import slice_envelope
+
+    env = _multi_group_logs_env()
+    slices = list(slice_envelope(env, "logs", max_records=max_records))
+    for s in slices:
+        n = sum(len(sl["logRecords"]) for rl in s["resourceLogs"]
+                for sl in rl["scopeLogs"])
+        assert 0 < n <= max_records
+    assert reader_gate.expected_logs(envelopes=slices) \
+        == reader_gate.expected_logs(envelopes=[env])
+    if max_records >= 42:  # 3 groups x 2 scopes x 7 records
+        assert slices == [env]  # under the cap -> untouched, zero copies
+
+
+def test_slice_envelope_drops_empty_groups_only():
+    from duckdb_otlp_spark import reader_gate
+    from duckdb_otlp_spark.sources.otlp_json import slice_envelope
+
+    env = _multi_group_logs_env(n_groups=2, recs_per_group=3)
+    env["resourceLogs"].insert(1, {"resource": {}, "scopeLogs": [
+        {"scope": {"name": "empty"}, "logRecords": []}]})
+    slices = list(slice_envelope(env, "logs", max_records=2))
+    # empty groups flatten to zero rows either way
+    assert reader_gate.expected_logs(envelopes=slices) \
+        == reader_gate.expected_logs(envelopes=[env])
+
+
+def test_slice_envelope_metrics_keeps_datapoints_together():
+    from duckdb_otlp_spark import reader_gate
+    from duckdb_otlp_spark.sources.otlp_json import slice_envelope
+
+    env = {"resourceMetrics": [{"resource": {"attributes": []},
+        "scopeMetrics": [{"scope": {"name": "s"},
+            "metrics": [
+                {"name": f"m{i}", "unit": "1",
+                 "gauge": {"dataPoints": [
+                     {"timeUnixNano": str(1700000000000000000 + i*10 + j),
+                      "asInt": str(j)} for j in range(4)]}}
+                for i in range(6)]}]}]}
+    slices = list(slice_envelope(env, "metrics", max_records=2))
+    assert len(slices) == 3
+    for s in slices:
+        ms = [m for rl in s["resourceMetrics"]
+              for sl in rl["scopeMetrics"] for m in sl["metrics"]]
+        assert len(ms) == 2
+        assert all(len(m["gauge"]["dataPoints"]) == 4 for m in ms)
+    assert reader_gate.expected_gauge(envelopes=slices) \
+        == reader_gate.expected_gauge(envelopes=[env])
+
+
+def test_oversized_pb_envelope_reads_sliced_and_identical(spark, tmp_path):
+    """A pb file over MAX_ENVELOPE_SLICE_RECORDS records reads through
+    the sliced path with output identical to its JSONL twin (which the
+    JVM parses as one document and never slices)."""
+    import json as _json
+
+    from duckdb_otlp_spark.sources.otlp_json import (
+        MAX_ENVELOPE_SLICE_RECORDS, read_otlp_logs)
+
+    n = MAX_ENVELOPE_SLICE_RECORDS + 100
+    env = {"resourceLogs": [{"resource": {"attributes": [
+        {"key": "service.name", "value": {"stringValue": "big"}}]},
+        "scopeLogs": [{"scope": {"name": "s", "version": "1"},
+                       "logRecords": [
+            {"timeUnixNano": str(1700000000000000000 + i),
+             "severityNumber": 9 + (i % 3),
+             "body": {"stringValue": f"rec-{i}"}} for i in range(n)]}]}]}
+    (tmp_path / "big.pb").write_bytes(encode_envelope_pb(env))
+    (tmp_path / "big.jsonl").write_text(_json.dumps(env) + "\n")
+    pb = read_otlp_logs(spark, str(tmp_path / "big.pb"))
+    js = read_otlp_logs(spark, str(tmp_path / "big.jsonl"))
+    assert pb.count() == js.count() == n
+    assert pb.exceptAll(js).count() == 0
+    assert js.exceptAll(pb).count() == 0
