@@ -3478,8 +3478,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_subquery": q_correlated_subquery,
     "asof_join": q_asof_join,
     "contamination_overlap": q_contamination_overlap,
-    "repetition_ratio": q_repetition_ratio,
-    "vocab_topk": q_vocab_topk,
+    # repetition_ratio / vocab_topk rotated past the window in round 13
+    # to admit feature_hash / length_buckets (with source_cap /
+    # source_mix_weights below — the four entries never
+    # driver-certified in rounds 1-12, r12 VERDICT #2).  In-window
+    # family coverage: repetition_ratio's split(trim(text)) tokenizer
+    # expression runs verbatim inside the incoming feature_hash plan
+    # (and in sequence_pack/token_offsets' n_tokens map side);
+    # vocab_topk's explode -> groupBy-count shape is exactly
+    # feature_hash's aggregate (explode + groupBy + count) and its
+    # sort+limit tail stays in-window via tail_topk.  Map-only text
+    # expression coverage continues via pii_scrub.  Overlap pinned by
+    # the window-coverage gate (tests/test_plans.py); both keep their
+    # pytest DuckDB oracle differential.
     "window_topk_per_group": q_window_topk_per_group,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -3530,15 +3541,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # path end-to-end).  corpus_shuffle stays past-window: its radix
     # enumeration + 32-row SinglePartition cumsum runs in-window as
     # the core of token_offsets (the weighted generalization,
-    # driver-green since r9); source_cap's rank-cap window runs
-    # in-window via window_topk_per_group; feature_hash /
-    # source_mix_weights / length_buckets share the family's map-side
-    # hash + low-cardinality groupBy shapes certified by the four
-    # entries below.
-    "token_budget": q_token_budget,
-    "split_assign": q_split_assign,
+    # driver-green since r9).
+    # token_budget / split_assign rotated past the window in round 13
+    # (driver-certified green in CORRECTNESS_r12) to admit source_cap /
+    # source_mix_weights: token_budget's map-side n_tokens + one
+    # low-cardinality groupBy is exactly the incoming
+    # source_mix_weights / length_buckets shape (same
+    # size(split(trim(text))) expression, same small-key aggregate),
+    # and split_assign's md5-mod bucketing expression family runs
+    # in-window inside sequence_pack (32-way md5 shard key) and
+    # feature_hash (md5-bucket hashing).  Both keep their pytest
+    # DuckDB oracle differential; overlap pinned by the
+    # window-coverage gate (tests/test_plans.py).
     "sequence_pack": q_sequence_pack,
     "sequence_pack_nostraddle": q_sequence_pack_nostraddle,
+    # The last four never-driver-certified registry entries rotated
+    # INTO the window in round 13 (r12 VERDICT #2 — finishing 92/92
+    # lifetime certification): hashing-trick featurization
+    # (explode -> md5-bucket -> (doc_id, bucket) partial-agg counts),
+    # per-source rank cap (one source-hash exchange, text never
+    # shuffles), temperature-based training-mix weights (one
+    # low-cardinality groupBy + O(sources)-row normalizer window), and
+    # power-of-two length-bucket curriculum stats (bit-length bucket
+    # expression + ~60-bucket groupBy).
+    "feature_hash": q_feature_hash,
+    "source_cap": q_source_cap,
+    "source_mix_weights": q_source_mix_weights,
+    "length_buckets": q_length_buckets,
     # text_quality / doc_fingerprint / lang_id / ngram_jaccard rotated past
     # the window in round 9 to admit the four flagship LLM-pipeline
     # operators below (r8 VERDICT #1): the three map-only text-expression
@@ -3659,11 +3688,20 @@ QUERIES.update({
     "array_ops": q_array_ops,
     "union_all": q_union_all,
     "distinct": q_distinct,
-    "feature_hash": q_feature_hash,
-    "source_cap": q_source_cap,
+    # feature_hash / source_cap / source_mix_weights / length_buckets
+    # rotated INTO the window in round 13 (registered in the in-window
+    # section above — r12 VERDICT #2).  corpus_shuffle stays
+    # past-window: its radix enumeration + 32-row SinglePartition
+    # cumsum runs in-window as the core of token_offsets.
     "corpus_shuffle": q_corpus_shuffle,
-    "source_mix_weights": q_source_mix_weights,
-    "length_buckets": q_length_buckets,
+    # token_budget / split_assign / repetition_ratio / vocab_topk
+    # rotated past the window in round 13 to admit the four entries
+    # above (see the in-window comments for the family-coverage
+    # arguments); each keeps its pytest DuckDB oracle differential.
+    "token_budget": q_token_budget,
+    "split_assign": q_split_assign,
+    "repetition_ratio": q_repetition_ratio,
+    "vocab_topk": q_vocab_topk,
     # tpch_q6 / dedup_exact / stratified_sample / embedding_bucket_ann
     # rotated past the window in round 12 to admit the four
     # packing/budget entries (see the in-window comment above tpch_q3

@@ -50,6 +50,7 @@ from duckdb_otlp_spark.sources.otlp_json import (
     flatten_metrics_histogram,
     flatten_metrics_sum,
     flatten_traces,
+    slice_envelope,
 )
 from duckdb_otlp_spark.sources.otlp_proto import _fields
 
@@ -839,14 +840,28 @@ def _conform_to_schema(v, dt):
 
 
 def _otap_envelopes(spark: SparkSession, path: str | list[str],
-                    signal: str) -> DataFrame:
+                    signal: str,
+                    max_slice_records: int | None = None) -> DataFrame:
     """Typed single-parse read path: the executor-side decoder emits the
     envelope as ONE Arrow struct column matching the signal schema
     (``mapInArrow``), so the JVM flatten consumes typed data directly —
     no JSON text render, no second ``from_json`` parse. The JSON-text
     variant survives as :func:`_otap_envelopes_json`, the differential
     twin (tests/test_read_otap.py pins typed == json on the reference
-    fixtures)."""
+    fixtures).
+
+    Oversized envelopes are sliced into bounded rows before Arrow
+    emission (``slice_envelope``, the same guard the protobuf path
+    grew at the 4M-record probe tier): one self-contained OTAP message
+    per file is the reference contract (test/sql/read_otap.test), and
+    a 100 MB message would otherwise become ONE JVM struct row — the
+    heap-cliff shape that OOM'd the unsliced pb read. Slicing is
+    output-invariant (flatten explodes per record; resource/scope
+    columns recompute identically per slice) — pinned typed==json on
+    an over-cap file by tests/test_read_otap.py."""
+    from duckdb_otlp_spark.sources.otlp_json import MAX_ENVELOPE_SLICE_RECORDS
+    mr = MAX_ENVELOPE_SLICE_RECORDS if max_slice_records is None \
+        else max_slice_records
     paths = path if isinstance(path, list) else [path]
     files = spark.read.format("binaryFile").load(paths).select("path", "content")
     field, env_schema = _ENVELOPES[signal]
@@ -867,7 +882,8 @@ def _otap_envelopes(spark: SparkSession, path: str | list[str],
                     raise
                 except Exception as e:
                     raise _err(f"{e} ({fpath})") from e
-                envs.append(_conform_to_schema(env, env_schema))
+                for part in slice_envelope(env, signal, max_records=mr):
+                    envs.append(_conform_to_schema(part, env_schema))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(envs, type=env_type)], ["env"])
 

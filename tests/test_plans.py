@@ -353,7 +353,11 @@ def test_window_swap_family_coverage(spark):
     passage_dedup / bigram_surprisal; tpch_q6 / dedup_exact /
     stratified_sample / embedding_bucket_ann evicted in r12 to admit the
     packing/budget family token_budget / split_assign / sequence_pack /
-    sequence_pack_nostraddle):
+    sequence_pack_nostraddle; token_budget / split_assign /
+    repetition_ratio / vocab_topk evicted in r13 — all four
+    driver-certified by then — to admit the last never-certified
+    entries feature_hash / source_cap / source_mix_weights /
+    length_buckets):
     each evicted entry's physical-operator / expression family must keep an
     in-window representative, so the swap trades certification
     *redundancy*, never certification *coverage* (r6 ADVICE)."""
@@ -371,10 +375,12 @@ def test_window_swap_family_coverage(spark):
                     "embedding_group_stats", "simhash",
                     "point_lookup", "regexp", "time_bucket", "except_all",
                     "tpch_q6", "dedup_exact", "stratified_sample",
-                    "embedding_bucket_ann"):
+                    "embedding_bucket_ann",
+                    "token_budget", "split_assign", "repetition_ratio",
+                    "vocab_topk"):
         assert evicted in Q and evicted not in window
     for rep_name in ("join_multi", "tpch_q3", "asof_join",
-                     "repetition_ratio", "pii_scrub", "vocab_topk",
+                     "pii_scrub",
                      "bm25_topk", "contamination_overlap",
                      "multimodal_features", "read_otap_metrics_gauge",
                      "read_otap_metrics_sum", "read_otap_metrics_histogram",
@@ -387,8 +393,9 @@ def test_window_swap_family_coverage(spark):
                      "minhash_lsh_pairs", "semdedup", "winnowing_pairs",
                      "pmi_collocations", "passage_dedup",
                      "bigram_surprisal", "tail_topk",
-                     "token_budget", "split_assign", "sequence_pack",
-                     "sequence_pack_nostraddle"):
+                     "sequence_pack", "sequence_pack_nostraddle",
+                     "feature_hash", "source_cap", "source_mix_weights",
+                     "length_buckets"):
         assert rep_name in window, rep_name
 
     # join family: whichever equi-join strategy join_inner plans must
@@ -401,19 +408,23 @@ def test_window_swap_family_coverage(spark):
             assert getattr(jm, kind) + getattr(q3, kind) >= 1, kind
 
     # text family: token_count's split(trim(text)) tokenizer expression
-    # is evaluated verbatim inside the in-window repetition_ratio plan
-    tc, rr = _rep(spark, "token_count"), _rep(spark, "repetition_ratio")
+    # is evaluated verbatim inside the in-window feature_hash plan
+    # (r13: repetition_ratio, the previous anchor, is itself evicted)
+    tc = _rep(spark, "token_count")
+    fh = _rep(spark, "feature_hash")
     assert "split(trim(" in tc.text
-    assert "split(trim(" in rr.text
+    assert "split(trim(" in fh.text
 
-    # r9 text evictions: every physical node type in the three evicted
+    # r9 (+r13) text evictions: every physical node type in the evicted
     # map-only text plans is exercised by an in-window sibling (they are
     # all scan → project → [filter/agg] shapes), and each evicted plan
     # stays map-only text-expression work — no joins, no Python
-    text_covered = _node_types(rr) | _node_types(_rep(spark, "vocab_topk")) \
+    text_covered = _node_types(fh) \
+        | _node_types(_rep(spark, "length_buckets")) \
         | _node_types(_rep(spark, "pii_scrub")) \
         | _node_types(_rep(spark, "tail_topk"))
-    for evicted in ("text_quality", "doc_fingerprint", "lang_id"):
+    for evicted in ("text_quality", "doc_fingerprint", "lang_id",
+                    "repetition_ratio", "vocab_topk"):
         ev = _rep(spark, evicted)
         missing = _node_types(ev) - text_covered
         assert not missing, (evicted, missing)
@@ -451,17 +462,40 @@ def test_window_swap_family_coverage(spark):
                                     | _node_types(_rep(spark,
                                                        "passage_dedup")))
     assert not de_missing, de_missing
-    # stratified_sample's map-only md5-mod-threshold filter is the
-    # incoming split_assign's exact expression family (both conv(md5)
-    # bucketing, no joins, no windows)
+    # stratified_sample's map-only md5-mod-threshold filter: the
+    # conv(md5) bucketing expression family runs in-window inside
+    # feature_hash (md5-bucket hash) and sequence_pack (md5 shard key)
+    # — r13 re-anchor, split_assign (the r12 anchor) is itself evicted
     ss = _rep(spark, "stratified_sample")
     sa = _rep(spark, "split_assign")
+    sp = _rep(spark, "sequence_pack")
     for rep in (ss, sa):
         assert "md5(" in rep.text
         assert rep.nested_loop_joins == 0
         assert not rep.has_python_eval
-    ss_missing = _node_types(ss) - (_node_types(sa) | text_covered)
+    assert "md5(" in fh.text and "md5(" in sp.text
+    ss_missing = _node_types(ss) - (_node_types(fh) | text_covered)
     assert not ss_missing, ss_missing
+    # r13 evictions — token_budget / split_assign traded for
+    # source_cap / source_mix_weights (both donors driver-certified in
+    # r12): token_budget's map-side n_tokens + low-cardinality groupBy
+    # is the incoming source_mix_weights / length_buckets shape (same
+    # size(split(trim(text))) expression), split_assign's md5-mod
+    # bucketing stays in-window via feature_hash / sequence_pack
+    tb_ = _rep(spark, "token_budget")
+    smw = _rep(spark, "source_mix_weights")
+    assert "split(trim(" in tb_.text and "split(trim(" in smw.text
+    tb_missing = _node_types(tb_) - (_node_types(smw) | text_covered)
+    assert not tb_missing, tb_missing
+    sa_missing = _node_types(sa) - (_node_types(fh) | _node_types(sp)
+                                    | text_covered)
+    assert not sa_missing, sa_missing
+    for ev_rep13 in (tb_, sa):
+        assert not ev_rep13.has_python_eval
+    # source_cap's rank window keeps the rank-then-filter family
+    # in-window alongside window_topk_per_group
+    sc = _rep(spark, "source_cap")
+    assert "row_number()" in sc.text
     # embedding_bucket_ann's sign-LSH bucket equi-join stays in-window
     # via dedup_embedding (one-sided multi-probe bucket join)
     eb = _rep(spark, "embedding_bucket_ann")
@@ -478,7 +512,7 @@ def test_window_swap_family_coverage(spark):
     # exercised by an in-window sibling plan
     un = _rep(spark, "unnest_struct")
     covered = _node_types(_rep(spark, "multimodal_features")) \
-        | _node_types(_rep(spark, "tail_topk")) | _node_types(rr)
+        | _node_types(_rep(spark, "tail_topk")) | text_covered
     missing = _node_types(un) - covered
     assert not missing, missing
 

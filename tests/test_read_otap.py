@@ -144,3 +144,110 @@ def test_envelope_reconstruction_driverside():
         bar = (OTAP_DIR / f"{name}.bar").read_bytes()
         otlp = (OTAP_DIR / f"{name}.otlp").read_bytes()
         assert canon(bar_to_envelope(bar, sig)) == canon(DECODERS[sig](otlp)), sig
+
+
+# --- r13: oversized-envelope slicing on the typed OTAP path (one
+#     self-contained message per file is the reference contract,
+#     test/sql/read_otap.test — a near-cap message used to become ONE
+#     JVM struct row, the heap-cliff shape fixed for pb in r12) ---
+
+def _encode_bar_logs(n_records: int) -> bytes:
+    """Independent test-side OTAP encoder: a minimal canonical
+    BatchArrowRecords file whose LOGS payload (type 30) carries
+    ``n_records`` rows in one (resource, scope) group. Built from the
+    protobuf wire format + Arrow IPC directly — shares no code with
+    the production decoder."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    def varint(n: int) -> bytes:
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def ld(field: int, payload: bytes) -> bytes:
+        return varint((field << 3) | 2) + varint(len(payload)) + payload
+
+    def vi(field: int, val: int) -> bytes:
+        return varint((field << 3) | 0) + varint(val)
+
+    n = n_records
+    tbl = pa.table({
+        "id": pa.array([None] * n, pa.uint16()),
+        "resource": pa.array([{"id": 0}] * n,
+                             pa.struct([("id", pa.uint16())])),
+        "scope": pa.array([{"id": 0}] * n,
+                          pa.struct([("id", pa.uint16())])),
+        "schema_url": pa.array([None] * n, pa.string()),
+        "time_unix_nano": pa.array(
+            [1700000000000000000 + i for i in range(n)], pa.timestamp("ns")),
+        "observed_time_unix_nano": pa.array([0] * n, pa.timestamp("ns")),
+        "trace_id": pa.array([None] * n, pa.binary(16)),
+        "span_id": pa.array([None] * n, pa.binary(8)),
+        "severity_number": pa.array([9 + (i % 3) for i in range(n)],
+                                    pa.int32()),
+        "severity_text": pa.array([None] * n, pa.string()),
+        "body": pa.array([{"type": 1, "str": f"rec-{i}"} for i in range(n)],
+                         pa.struct([("type", pa.uint8()),
+                                    ("str", pa.string())])),
+        "dropped_attributes_count": pa.array([0] * n, pa.uint32()),
+        "flags": pa.array([None] * n, pa.uint32()),
+        "event_name": pa.array([None] * n, pa.string()),
+    })
+    sink = io.BytesIO()
+    with ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return ld(2, vi(2, 30) + ld(3, sink.getvalue()))
+
+
+def test_oversized_otap_envelope_reads_sliced_and_identical(spark, tmp_path):
+    """A .bar file over MAX_ENVELOPE_SLICE_RECORDS records reads through
+    the sliced typed path with output identical to the JSON-text twin
+    (which renders the whole envelope as one document and never
+    slices) — and the typed path demonstrably emits >1 bounded
+    envelope row where the twin emits one."""
+    from duckdb_otlp_spark.sources import otlp_json as oj
+    from duckdb_otlp_spark.sources.otap import (
+        _otap_envelopes,
+        _otap_envelopes_json,
+        read_otap_logs,
+    )
+    from duckdb_otlp_spark.sources.otlp_json import MAX_ENVELOPE_SLICE_RECORDS
+
+    n = MAX_ENVELOPE_SLICE_RECORDS + 100
+    p = tmp_path / "big.bar"
+    p.write_bytes(_encode_bar_logs(n))
+
+    typed = read_otap_logs(spark, str(p))
+    js = oj.flatten_logs(_otap_envelopes_json(spark, str(p), "logs"))
+    assert typed.count() == js.count() == n
+    assert typed.exceptAll(js).count() == 0
+    assert js.exceptAll(typed).count() == 0
+    # slicing engaged: 2 bounded envelope rows vs the twin's single row
+    assert _otap_envelopes(spark, str(p), "logs").count() == 2
+    assert _otap_envelopes_json(spark, str(p), "logs").count() == 1
+
+
+def test_undersized_otap_envelope_not_sliced(spark, tmp_path):
+    """Under the cap the envelope passes through untouched — one typed
+    row per file, rows identical to the JSON twin."""
+    from duckdb_otlp_spark.sources import otlp_json as oj
+    from duckdb_otlp_spark.sources.otap import (
+        _otap_envelopes,
+        _otap_envelopes_json,
+        read_otap_logs,
+    )
+
+    p = tmp_path / "small.bar"
+    p.write_bytes(_encode_bar_logs(37))
+    typed = read_otap_logs(spark, str(p))
+    js = oj.flatten_logs(_otap_envelopes_json(spark, str(p), "logs"))
+    assert typed.count() == js.count() == 37
+    assert typed.exceptAll(js).count() == 0
+    assert _otap_envelopes(spark, str(p), "logs").count() == 1
