@@ -315,6 +315,59 @@ def expected_logs(envelopes=None):
     return sorted(rows, key=lambda r: r["time_unix_nano"])
 
 
+LOGS_COLUMNS = (
+    "time_unix_nano", "observed_time_unix_nano", "trace_id", "span_id",
+    "service_name", "service_namespace", "service_instance_id",
+    "severity_number", "severity_text", "event_name", "body",
+    "resource_attributes", "scope_name", "scope_version",
+    "scope_attributes", "log_attributes", "dropped_attributes_count",
+    "flags")
+
+
+def expected_logs_columns(envelopes):
+    """Columnar twin of :func:`expected_logs` for the Python DataSource
+    hot path (r12 VERDICT #6): one walk emits per-record tuples (no
+    per-row dict build), sorts them on the same time key, and
+    transposes once with C-level ``zip`` — so the DataSource builds its
+    Arrow arrays straight from these columns instead of re-extracting
+    every value from 64k row dicts. Output is value-identical to
+    ``expected_logs`` (pinned by
+    tests/test_datasource.py::test_columnar_flatten_matches_rowwise);
+    the dict-returning flattener stays the reader-gate oracle.
+
+    Returns ``(LOGS_COLUMNS, columns)`` with one list per column."""
+    tuples = []
+    ap = tuples.append
+    for env in envelopes:
+        for rl in env["resourceLogs"]:
+            for sl in rl["scopeLogs"]:
+                resource, scope = rl.get("resource"), sl.get("scope") or {}
+                svc = _attr(resource, "service.name")
+                svc_ns = _attr(resource, "service.namespace")
+                svc_id = _attr(resource, "service.instance.id")
+                res_attrs = _attrs_json((resource or {}).get("attributes"))
+                scope_name = scope.get("name")
+                scope_version = scope.get("version")
+                scope_attrs = _attrs_json(scope.get("attributes"))
+                for r in sl["logRecords"]:
+                    get = r.get
+                    sev = _i(get("severityNumber"), None)
+                    ap((_ts(get("timeUnixNano")),
+                        _ts(get("observedTimeUnixNano")),
+                        _hex(get("traceId")), _hex(get("spanId")),
+                        svc, svc_ns, svc_id,
+                        sev if sev else None,
+                        get("severityText"), get("eventName"),
+                        _body(get("body")),
+                        res_attrs, scope_name, scope_version, scope_attrs,
+                        _attrs_json(get("attributes")),
+                        _i(get("droppedAttributesCount")), _i(get("flags"))))
+    tuples.sort(key=lambda t: t[0])
+    if not tuples:
+        return LOGS_COLUMNS, [() for _ in LOGS_COLUMNS]
+    return LOGS_COLUMNS, list(zip(*tuples))
+
+
 def _events_json(events):
     if events is None:
         return "[]"

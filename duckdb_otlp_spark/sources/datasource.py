@@ -143,11 +143,25 @@ class _OtlpReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("format('otlp') needs a path: .load('/dir/*.pb')")
-        # Strip only the matched prefix: 'file:///x' and 'file://x' drop
-        # the authority form, 'file:/x' (Path.toUri's single-slash form)
-        # drops just the scheme — a blanket 7-char slice mangled it.
+        # Strip only the matched prefix: 'file:///x' drops the empty
+        # authority, 'file:/x' (Path.toUri's single-slash form) drops
+        # just the scheme — a blanket 7-char slice mangled it.  A
+        # non-empty authority other than localhost ('file://host/x')
+        # names a remote host this local source cannot read — reject
+        # explicitly instead of misreading 'host/x' as a relative path
+        # and surfacing a baffling 0-match error (r12 ADVICE).
         if path.startswith("file://"):
-            path = path[len("file://"):] or "/"
+            rest = path[len("file://"):]
+            if rest and not rest.startswith("/"):
+                authority, sep, tail = rest.partition("/")
+                if authority != "localhost":
+                    raise ValueError(
+                        f"OTLP read error: unsupported non-local authority "
+                        f"{authority!r} in file URI {path!r} (only "
+                        f"'file:///path' or 'file://localhost/path' are "
+                        f"readable from this host)")
+                rest = sep + tail
+            path = rest or "/"
         elif path.startswith("file:"):
             path = path[len("file:"):]
         if "*" in path or "[" in path or "?" in path:
@@ -188,6 +202,22 @@ class _OtlpReader(DataSourceReader):
             return
         names = [f.name for f in self.schema.fields]
         atypes = [to_arrow_type(f.dataType) for f in self.schema.fields]
+        columnar = getattr(reader_gate, flatten_name + "_columns", None)
+        if columnar is not None:
+            # columnar fast path (r12 VERDICT #6): the flattener emits
+            # columns in one walk — Arrow arrays build from column
+            # slices with zero per-value dict extraction
+            col_names, cols = columnar(envelopes)
+            if list(col_names) != names:  # defensive: align by name
+                idx = {n: i for i, n in enumerate(col_names)}
+                cols = [cols[idx[n]] for n in names]
+            n_rows = len(cols[0])
+            for lo in range(0, n_rows, self._BATCH_ROWS):
+                hi = lo + self._BATCH_ROWS
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c[lo:hi], type=t)
+                     for c, t in zip(cols, atypes)], names=names)
+            return
         rows = flatten(envelopes=envelopes)
         for lo in range(0, len(rows), self._BATCH_ROWS):
             chunk = rows[lo:lo + self._BATCH_ROWS]

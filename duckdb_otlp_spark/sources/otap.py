@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_otlp_spark.sources.otlp_json import (
     _ENVELOPES,
+    _conform_to_schema,  # moved there in r13 (shared with the JSON doc route)
     flatten_logs,
     flatten_metrics_exp_histogram,
     flatten_metrics_gauge,
@@ -247,6 +248,29 @@ def _delta_ids(col) -> list[int | None]:
     return out
 
 
+class _NoneCol:
+    """All-null column stand-in: ``_NONE_COL[i]`` is None for any i.
+
+    The envelope builders index optional columns per record; the old
+    form ``cols.get(name, [None] * t.num_rows)[i]`` evaluated the
+    default EVERY call (dict.get is eager), allocating an O(n) list per
+    record — an accidental O(n²) that took the logs flatten to
+    ~200 µs/record at the 600k-record probe tier (PROBE_OTAP_SLICE).
+    ``_col`` returns the real column or this shared singleton."""
+    __slots__ = ()
+
+    def __getitem__(self, i):
+        return None
+
+
+_NONE_COL = _NoneCol()
+
+
+def _col(cols: dict, name: str):
+    got = cols.get(name)
+    return _NONE_COL if got is None else got
+
+
 def _plain_or_delta_ids(table, name: str) -> list[int | None]:
     col = table.column(name).to_pylist() if name in table.schema.names else []
     fld = table.schema.field(name) if name in table.schema.names else None
@@ -273,7 +297,7 @@ def _attr_rows(table) -> list[tuple[int, str, dict[str, Any]]]:
     for i in range(n):
         key = cols["key"][i]
         vtype = cols["type"][i]
-        raw = tuple(cols.get(c, [None] * n)[i] for c in _ATTR_VALUE_COLS)
+        raw = tuple(_col(cols, c)[i] for c in _ATTR_VALUE_COLS)
         stored = cols["parent_id"][i]
         if quasi and i > 0 and key == prev_key and raw == prev_val:
             parent = prev_parent + stored
@@ -550,9 +574,9 @@ def _logs_envelope(tables, res_attrs, scope_attrs) -> dict:
         rec: dict[str, Any] = {"timeUnixNano": str(times[i] or 0)}
         if obs[i]:
             rec["observedTimeUnixNano"] = str(obs[i])
-        _maybe(rec, "severityNumber", cols.get("severity_number", [None])[i])
-        _maybe(rec, "severityText", cols.get("severity_text", [None])[i])
-        body = cols.get("body", [None] * t.num_rows)[i]
+        _maybe(rec, "severityNumber", _col(cols, "severity_number")[i])
+        _maybe(rec, "severityText", _col(cols, "severity_text")[i])
+        body = _col(cols, "body")[i]
         if body is not None:
             btype = body.get("type")
             if body.get("ser") is not None:
@@ -567,16 +591,16 @@ def _logs_envelope(tables, res_attrs, scope_attrs) -> dict:
                         break
         if ids[i] is not None and attrs.get(ids[i]):
             rec["attributes"] = attrs[ids[i]]
-        dac = cols.get("dropped_attributes_count", [None])[i]
+        dac = _col(cols, "dropped_attributes_count")[i]
         if dac:
             rec["droppedAttributesCount"] = str(dac)
-        _maybe(rec, "flags", cols.get("flags", [None])[i])
+        _maybe(rec, "flags", _col(cols, "flags")[i])
         if trace_ids[i]:
             rec["traceId"] = trace_ids[i]
         if span_ids[i]:
             rec["spanId"] = span_ids[i]
-        _maybe(rec, "eventName", cols.get("event_name", [None])[i])
-        rows.append((cols.get("resource", [None])[i], cols.get("scope", [None])[i], rec))
+        _maybe(rec, "eventName", _col(cols, "event_name")[i])
+        rows.append((_col(cols, "resource")[i], _col(cols, "scope")[i], rec))
     g = _group_envelope(rows, "logRecords", "scopeLogs", "resourceLogs")
     return _render_envelope(g, res_attrs, scope_attrs)
 
@@ -601,10 +625,10 @@ def _traces_envelope(tables, res_attrs, scope_attrs) -> dict:
         ev_cols = {n: ev.column(n).to_pylist() for n in ev.schema.names}
         for i in range(ev.num_rows):
             e: dict[str, Any] = {"timeUnixNano": str(ev_times[i] or 0)}
-            _maybe(e, "name", ev_cols.get("name", [None])[i])
+            _maybe(e, "name", _col(ev_cols, "name")[i])
             if ev_ids[i] is not None and ev_attrs.get(ev_ids[i]):
                 e["attributes"] = ev_attrs[ev_ids[i]]
-            if ev_cols.get("dropped_attributes_count", [None])[i]:
+            if _col(ev_cols, "dropped_attributes_count")[i]:
                 e["droppedAttributesCount"] = \
                     str(ev_cols["dropped_attributes_count"][i])
             events_by_span.setdefault(ev_parents[i], []).append(e)
@@ -622,13 +646,13 @@ def _traces_envelope(tables, res_attrs, scope_attrs) -> dict:
                 ln["traceId"] = lk_tids[i]
             if lk_sids[i]:
                 ln["spanId"] = lk_sids[i]
-            _maybe(ln, "traceState", lk_cols.get("trace_state", [None])[i])
+            _maybe(ln, "traceState", _col(lk_cols, "trace_state")[i])
             if lk_ids[i] is not None and lk_attrs.get(lk_ids[i]):
                 ln["attributes"] = lk_attrs[lk_ids[i]]
-            if lk_cols.get("dropped_attributes_count", [None])[i]:
+            if _col(lk_cols, "dropped_attributes_count")[i]:
                 ln["droppedAttributesCount"] = \
                     str(lk_cols["dropped_attributes_count"][i])
-            _maybe(ln, "flags", lk_cols.get("flags", [None])[i])
+            _maybe(ln, "flags", _col(lk_cols, "flags")[i])
             links_by_span.setdefault(lk_parents[i], []).append(ln)
 
     rows = []
@@ -642,24 +666,24 @@ def _traces_envelope(tables, res_attrs, scope_attrs) -> dict:
             span["traceId"] = trace_ids[i]
         if span_ids[i]:
             span["spanId"] = span_ids[i]
-        _maybe(span, "traceState", cols.get("trace_state", [None])[i])
+        _maybe(span, "traceState", _col(cols, "trace_state")[i])
         if parent_ids[i]:
             span["parentSpanId"] = parent_ids[i]
-        _maybe(span, "flags", cols.get("flags", [None])[i])
-        _maybe(span, "name", cols.get("name", [None])[i])
-        _maybe(span, "kind", cols.get("kind", [None])[i])
+        _maybe(span, "flags", _col(cols, "flags")[i])
+        _maybe(span, "name", _col(cols, "name")[i])
+        _maybe(span, "kind", _col(cols, "kind")[i])
         if ids[i] is not None and attrs.get(ids[i]):
             span["attributes"] = attrs[ids[i]]
         for c, k in (("dropped_attributes_count", "droppedAttributesCount"),
                      ("dropped_events_count", "droppedEventsCount"),
                      ("dropped_links_count", "droppedLinksCount")):
-            if cols.get(c, [None])[i]:
+            if _col(cols, c)[i]:
                 span[k] = str(cols[c][i])
         if ids[i] is not None and events_by_span.get(ids[i]):
             span["events"] = events_by_span[ids[i]]
         if ids[i] is not None and links_by_span.get(ids[i]):
             span["links"] = links_by_span[ids[i]]
-        status = cols.get("status", [None])[i]
+        status = _col(cols, "status")[i]
         if status is not None:
             st: dict[str, Any] = {}
             if status.get("status_message") is not None:
@@ -667,7 +691,7 @@ def _traces_envelope(tables, res_attrs, scope_attrs) -> dict:
             if status.get("code") is not None:
                 st["code"] = str(status["code"])
             span["status"] = st
-        rows.append((cols.get("resource", [None])[i], cols.get("scope", [None])[i], span))
+        rows.append((_col(cols, "resource")[i], _col(cols, "scope")[i], span))
     g = _group_envelope(rows, "spans", "scopeSpans", "resourceSpans")
     return _render_envelope(g, res_attrs, scope_attrs)
 
@@ -687,9 +711,9 @@ def _exemplars_by_dp(tables, exemplar_type, attr_type) -> dict[int, list[dict]]:
     out: dict[int, list[dict]] = {}
     for i in range(ex.num_rows):
         e: dict[str, Any] = {"timeUnixNano": str(times[i] or 0)}
-        if cols.get("int_value", [None] * ex.num_rows)[i] is not None:
+        if _col(cols, "int_value")[i] is not None:
             e["asInt"] = str(cols["int_value"][i])
-        elif cols.get("double_value", [None] * ex.num_rows)[i] is not None:
+        elif _col(cols, "double_value")[i] is not None:
             e["asDouble"] = cols["double_value"][i]
         if sids[i]:
             e["spanId"] = sids[i]
@@ -730,39 +754,39 @@ def _metrics_envelope(tables, res_attrs, scope_attrs) -> dict:
         for i in range(dp.num_rows):
             d = _dp_common(starts[i], times[i])
             if ptype == NUMBER_DP:
-                if c.get("int_value", [None] * dp.num_rows)[i] is not None:
+                if _col(c, "int_value")[i] is not None:
                     d["asInt"] = str(c["int_value"][i])
-                elif c.get("double_value", [None] * dp.num_rows)[i] is not None:
+                elif _col(c, "double_value")[i] is not None:
                     d["asDouble"] = c["double_value"][i]
             elif ptype == HISTOGRAM_DP:
                 _maybe(d, "count", str(c["count"][i]) if c.get("count") else None)
-                _maybe(d, "sum", c.get("sum", [None])[i])
-                bc = c.get("bucket_counts", [None])[i]
+                _maybe(d, "sum", _col(c, "sum")[i])
+                bc = _col(c, "bucket_counts")[i]
                 if bc is not None:
                     d["bucketCounts"] = [str(x) for x in bc]
-                _maybe(d, "explicitBounds", c.get("explicit_bounds", [None])[i])
-                _maybe(d, "min", c.get("min", [None])[i])
-                _maybe(d, "max", c.get("max", [None])[i])
+                _maybe(d, "explicitBounds", _col(c, "explicit_bounds")[i])
+                _maybe(d, "min", _col(c, "min")[i])
+                _maybe(d, "max", _col(c, "max")[i])
             elif ptype == EXP_HISTOGRAM_DP:
                 _maybe(d, "count", str(c["count"][i]) if c.get("count") else None)
-                _maybe(d, "sum", c.get("sum", [None])[i])
-                _maybe(d, "scale", c.get("scale", [None])[i])
-                zc = c.get("zero_count", [None])[i]
+                _maybe(d, "sum", _col(c, "sum")[i])
+                _maybe(d, "scale", _col(c, "scale")[i])
+                zc = _col(c, "zero_count")[i]
                 if zc is not None:
                     d["zeroCount"] = str(zc)
                 for side in ("positive", "negative"):
-                    sv = c.get(side, [None])[i]
+                    sv = _col(c, side)[i]
                     if sv is not None:
                         d[side] = {"offset": str(sv.get("offset", 0)),
                                    "bucketCounts": [str(x) for x in
                                                     (sv.get("bucket_counts") or [])]}
-                _maybe(d, "min", c.get("min", [None])[i])
-                _maybe(d, "max", c.get("max", [None])[i])
-                _maybe(d, "zeroThreshold", c.get("zero_threshold", [None])[i])
+                _maybe(d, "min", _col(c, "min")[i])
+                _maybe(d, "max", _col(c, "max")[i])
+                _maybe(d, "zeroThreshold", _col(c, "zero_threshold")[i])
             elif ptype == SUMMARY_DP:
                 _maybe(d, "count", str(c["count"][i]) if c.get("count") else None)
-                _maybe(d, "sum", c.get("sum", [None])[i])
-            _maybe(d, "flags", c.get("flags", [None])[i])
+                _maybe(d, "sum", _col(c, "sum")[i])
+            _maybe(d, "flags", _col(c, "flags")[i])
             if dp_ids[i] is not None and attrs.get(dp_ids[i]):
                 d["attributes"] = attrs[dp_ids[i]]
             if dp_ids[i] is not None and exs.get(dp_ids[i]):
@@ -785,30 +809,30 @@ def _metrics_envelope(tables, res_attrs, scope_attrs) -> dict:
         if mtype is None:
             raise _err(f"unknown metric type {cols['metric_type'][i]}")
         m: dict[str, Any] = {}
-        _maybe(m, "name", cols.get("name", [None])[i])
-        _maybe(m, "description", cols.get("description", [None])[i])
-        _maybe(m, "unit", cols.get("unit", [None])[i])
+        _maybe(m, "name", _col(cols, "name")[i])
+        _maybe(m, "description", _col(cols, "description")[i])
+        _maybe(m, "unit", _col(cols, "unit")[i])
         if mtype == "gauge":
             m["gauge"] = {"dataPoints": number_dps.get(mid, [])}
         elif mtype == "sum":
             body: dict[str, Any] = {"dataPoints": number_dps.get(mid, [])}
             _maybe(body, "aggregationTemporality",
-                   cols.get("aggregation_temporality", [None])[i])
-            _maybe(body, "isMonotonic", cols.get("is_monotonic", [None])[i])
+                   _col(cols, "aggregation_temporality")[i])
+            _maybe(body, "isMonotonic", _col(cols, "is_monotonic")[i])
             m["sum"] = body
         elif mtype == "histogram":
             body = {"dataPoints": hist_dps.get(mid, [])}
             _maybe(body, "aggregationTemporality",
-                   cols.get("aggregation_temporality", [None])[i])
+                   _col(cols, "aggregation_temporality")[i])
             m["histogram"] = body
         elif mtype == "exponentialHistogram":
             body = {"dataPoints": exp_dps.get(mid, [])}
             _maybe(body, "aggregationTemporality",
-                   cols.get("aggregation_temporality", [None])[i])
+                   _col(cols, "aggregation_temporality")[i])
             m["exponentialHistogram"] = body
         elif mtype == "summary":
             m["summary"] = {"dataPoints": summary_dps.get(mid, [])}
-        rows.append((cols.get("resource", [None])[i], cols.get("scope", [None])[i], m))
+        rows.append((_col(cols, "resource")[i], _col(cols, "scope")[i], m))
     g = _group_envelope(rows, "metrics", "scopeMetrics", "resourceMetrics")
     return _render_envelope(g, res_attrs, scope_attrs)
 
@@ -816,28 +840,6 @@ def _metrics_envelope(tables, res_attrs, scope_attrs) -> dict:
 # ---------------------------------------------------------------------------
 # Spark readers
 # ---------------------------------------------------------------------------
-
-def _conform_to_schema(v, dt):
-    """Coerce a decoded envelope value tree to a Spark schema, mirroring
-    what ``from_json`` does on the rendered JSON text: numeric/bool
-    scalars landing on string-typed fields are stringified exactly as
-    Jackson-then-coerce would render them, unknown struct keys are
-    dropped, missing keys become null. Schema-driven and fixed-depth, so
-    one cheap walk per envelope replaces the old walk-to-JSON-text."""
-    from pyspark.sql.types import ArrayType, StringType, StructType
-    if v is None:
-        return None
-    if isinstance(dt, StructType):
-        return {f.name: _conform_to_schema(v.get(f.name), f.dataType)
-                for f in dt.fields if f.name in v}
-    if isinstance(dt, ArrayType):
-        return [_conform_to_schema(x, dt.elementType) for x in v]
-    if isinstance(dt, StringType) and not isinstance(v, str):
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        return str(v)
-    return v
-
 
 def _otap_envelopes(spark: SparkSession, path: str | list[str],
                     signal: str,

@@ -37,6 +37,7 @@ executors; use it when inputs are known-NDJSON.
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -111,6 +112,80 @@ def slice_envelope(env: dict, signal: str,
                     acc, n = [], 0
     if acc:
         yield {**env_rest, outer_k: acc}
+
+# JSON documents above this size (a whole-document file OR one NDJSON
+# line) route through the executor-side json.loads + slice_envelope
+# typed path instead of ONE from_json JVM row (the documented GC-stall
+# boundary for near-cap single-document files, r12 VERDICT #2 /
+# ADVICE).  Below it the JVM's Jackson parse is faster and owns the
+# error contract; a document that fails the Python parse, lacks the
+# signal spine, or carries a shape Jackson would not cleanly coerce
+# falls back to the JVM path so invalid-JSON / wrong-envelope errors
+# are byte-identical in both regimes (tests/test_read_otlp_json.py).
+MAX_WHOLE_DOC_TYPED_BYTES = 8 * 1000 * 1000
+
+
+def _conform_to_schema(v, dt, strict: bool = False):
+    """Coerce a decoded envelope value tree to a Spark schema, mirroring
+    what ``from_json`` does on the rendered JSON text: numeric/bool
+    scalars landing on string-typed fields are stringified exactly as
+    Jackson-then-coerce would render them, unknown struct keys are
+    dropped, missing keys become null. Schema-driven and fixed-depth, so
+    one cheap walk per envelope replaces the old walk-to-JSON-text.
+
+    ``strict=True`` (the oversized whole-document JSON route) raises
+    ``ValueError`` on any shape Jackson would NOT cleanly coerce —
+    non-dict where a struct is expected, non-list for an array, float
+    for a string field (Jackson keeps the raw token text, Python has
+    already lost it), bool for double — so the caller can fall back to
+    the JVM parse and keep the error/corrupt-record contract
+    byte-identical regardless of file size. The pb/OTAP decoders emit
+    schema-exact trees and keep the lenient default."""
+    if v is None:
+        return None
+    if isinstance(dt, T.StructType):
+        if strict and not isinstance(v, dict):
+            raise ValueError(f"expected object, got {type(v).__name__}")
+        return {f.name: _conform_to_schema(v.get(f.name), f.dataType, strict)
+                for f in dt.fields if f.name in v}
+    if isinstance(dt, T.ArrayType):
+        if strict and not isinstance(v, list):
+            raise ValueError(f"expected array, got {type(v).__name__}")
+        return [_conform_to_schema(x, dt.elementType, strict) for x in v]
+    if isinstance(dt, T.StringType) and not isinstance(v, str):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if strict and not isinstance(v, int):
+            raise ValueError(f"expected string, got {type(v).__name__}")
+        return str(v)
+    if strict:
+        if isinstance(dt, T.BooleanType) and not isinstance(v, bool):
+            raise ValueError(f"expected boolean, got {type(v).__name__}")
+        if isinstance(dt, T.DoubleType) and (isinstance(v, bool)
+                                             or not isinstance(v, (int, float))):
+            raise ValueError(f"expected number, got {type(v).__name__}")
+        if isinstance(dt, T.LongType) and (isinstance(v, bool)
+                                           or not isinstance(v, int)):
+            raise ValueError(f"expected integer, got {type(v).__name__}")
+    return v
+
+
+def _typed_doc_envelope(text: str, signal: str):
+    """json.loads route for an oversized single-document envelope.
+    Returns the envelope dict when the document parses cleanly and
+    carries the signal's spine key; ``None`` falls back to the JVM
+    parse, which owns the invalid-JSON / wrong-envelope error
+    contract (so error behavior never depends on file size)."""
+    def _reject(tok):
+        raise ValueError(f"non-finite constant {tok}")
+    try:
+        env = json.loads(text, parse_constant=_reject)
+    except ValueError:
+        return None
+    if not isinstance(env, dict) or _ENVELOPE_KEYS[signal][0] not in env:
+        return None
+    return env
+
 
 # Depth to which nested attribute values (arrayValue / kvlistValue) are
 # decoded; deeper nesting degrades to JSON 'null' like any unknown value.
@@ -654,6 +729,10 @@ def _decoded_envelopes(spark: SparkSession, paths: list[str], signal: str,
     _, env_schema = _ENVELOPES[signal]
     out_schema = T.StructType([T.StructField("env", env_schema),
                                T.StructField("value", T.StringType())])
+    # bound at plan-build time so the closure ships the value (a module
+    # global would re-resolve on the worker, ignoring driver-side
+    # monkeypatches — the tests rely on this capture)
+    doc_cap = MAX_WHOLE_DOC_TYPED_BYTES
 
     def decode(batches):
         import pyarrow as pa
@@ -677,12 +756,42 @@ def _decoded_envelopes(spark: SparkSession, paths: list[str], signal: str,
                 if fmt == "auto" and otlp_proto.looks_like_json(b):
                     text = b.decode("utf-8")
                     json_lines = [ln for ln in text.split("\n") if ln.strip()]
+
+                    def route_doc(doc: str) -> None:
+                        # oversized document (whole file or one NDJSON
+                        # line): ONE from_json row is the same heap
+                        # cliff slice_envelope fixes for pb — parse
+                        # executor-side and emit bounded typed rows;
+                        # parse/spine/shape failures fall back to the
+                        # JVM so the error contract is size-blind
+                        parts = None
+                        if len(doc) > doc_cap:
+                            jenv = _typed_doc_envelope(doc, signal)
+                            if jenv is not None:
+                                try:
+                                    parts = [
+                                        _conform_to_schema(p, env_schema,
+                                                           strict=True)
+                                        for p in slice_envelope(jenv, signal)]
+                                except (ValueError, TypeError,
+                                        AttributeError, KeyError):
+                                    parts = None  # JVM owns malformed shapes
+                        if parts is None:
+                            lines.append(doc)
+                            envs.append(None)
+                        else:
+                            envs.extend(parts)
+                            lines.extend([None] * len(parts))
+
                     if _is_ndjson(json_lines):
-                        lines.extend(json_lines)
-                        envs.extend([None] * len(json_lines))
+                        for ln in json_lines:
+                            if len(ln) > doc_cap:
+                                route_doc(ln)
+                            else:
+                                lines.append(ln)
+                                envs.append(None)
                     else:
-                        lines.append(text)  # whole (possibly pretty) document
-                        envs.append(None)
+                        route_doc(text)  # whole (possibly pretty) document
                 else:
                     try:
                         decoded = otlp_proto.DECODERS[signal](b)

@@ -164,3 +164,52 @@ def test_otap_format_wrong_signal_errors(ds_spark):
     with pytest.raises(Exception, match="OTAP decode error"):
         (ds_spark.read.format("otap").option("signal", "logs")
          .load(str(OTAP_DIR / "metrics-initial.bar")).count())
+
+
+# --- r13: columnar flatten fast path + file URI authority contract ---
+
+def test_columnar_flatten_matches_rowwise():
+    """expected_logs_columns is the DataSource hot path; it must stay
+    value-identical (same order, same values) to the row-wise
+    expected_logs oracle on every fixture envelope plus a generated
+    multi-group one."""
+    from duckdb_otlp_spark import reader_gate
+
+    gen = {"resourceLogs": [
+        {"resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": f"s{g}"}},
+            {"key": "extra", "value": {"intValue": str(g)}}]},
+         "scopeLogs": [{"scope": {"name": f"sc{g}", "version": "2"},
+                        "logRecords": [
+             {"timeUnixNano": str(1700000000000000000 + g * 100 + i),
+              "severityNumber": 9, "severityText": "INFO",
+              "body": {"stringValue": f"m-{g}-{i}"},
+              "attributes": [{"key": "k",
+                              "value": {"doubleValue": i + 0.5}}],
+              "droppedAttributesCount": i % 2,
+              "flags": 1} for i in range(5)]}]}
+        for g in range(3)]}
+    for envs in ([gen], reader_gate.LOGS_ENVELOPES):
+        rows = reader_gate.expected_logs(envelopes=envs)
+        names, cols = reader_gate.expected_logs_columns(envs)
+        assert len(cols) == len(names)
+        assert all(len(c) == len(rows) for c in cols)
+        for i, r in enumerate(rows):
+            assert dict(zip(names, (c[i] for c in cols))) == r, i
+
+
+def test_file_uri_remote_authority_rejected(ds_spark):
+    """'file://host/path' names a remote host — must raise the explicit
+    authority error, not misread 'host/path' as a relative local path
+    and surface a baffling 0-match (r12 ADVICE)."""
+    with pytest.raises(Exception, match="non-local authority 'evilhost'"):
+        (ds_spark.read.format("otlp").option("signal", "logs")
+         .load("file://evilhost/tmp/x.jsonl").count())
+
+
+def test_file_uri_localhost_authority_accepted(ds_spark, ds_dir):
+    n_plain = (ds_spark.read.format("otlp").option("signal", "logs")
+               .load(str(ds_dir / "logs.jsonl")).count())
+    n_local = (ds_spark.read.format("otlp").option("signal", "logs")
+               .load(f"file://localhost{ds_dir}/logs.jsonl").count())
+    assert n_plain == n_local > 0

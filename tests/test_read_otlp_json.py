@@ -353,3 +353,76 @@ def test_file_scheme_glob_error_contracts(spark, otlp_fixtures, tmp_path):
     per_file = read_otlp_logs(spark, str(d1 / "part1.jsonl")).count()
     n = read_otlp_logs(spark, f"file://{tmp_path}/*/b/part*.jsonl").count()
     assert n == 2 * per_file
+
+
+# --- r13: oversized whole-document JSON routes through the typed
+#     slice path (executor json.loads + slice_envelope) instead of ONE
+#     from_json JVM row — same heap-cliff guard the pb/OTAP paths have;
+#     error contracts stay size-blind via JVM fallback ---
+
+def _big_doc(n: int) -> str:
+    import json as _json
+    return _json.dumps({"resourceLogs": [{"resource": {"attributes": [
+        {"key": "service.name", "value": {"stringValue": "big"}}]},
+        "scopeLogs": [{"scope": {"name": "s", "version": "1"},
+                       "logRecords": [
+            {"timeUnixNano": str(1700000000000000000 + i),
+             "severityNumber": 9 + (i % 3),
+             "body": {"stringValue": f"rec-{i}"},
+             "attributes": [{"key": "k",
+                             "value": {"intValue": str(i % 7)}}]}
+            for i in range(n)]}]}]})
+
+
+@pytest.mark.parametrize("pretty", [False, True])
+def test_oversized_json_document_reads_typed_and_identical(
+        spark, tmp_path, monkeypatch, pretty):
+    """Both oversized shapes hit the typed route: a single giant NDJSON
+    line (one-line document) and a pretty-printed whole document."""
+    import json as _json
+
+    from duckdb_otlp_spark.sources import otlp_json as oj
+
+    n = oj.MAX_ENVELOPE_SLICE_RECORDS + 100
+    doc = _big_doc(n)
+    if pretty:
+        doc = _json.dumps(_json.loads(doc), indent=1)
+    p = tmp_path / "big.json"
+    p.write_text(doc)
+
+    jvm = read_otlp_logs(spark, str(p)).collect()  # under threshold: JVM path
+    monkeypatch.setattr(oj, "MAX_WHOLE_DOC_TYPED_BYTES", 100)
+    typed = read_otlp_logs(spark, str(p)).collect()
+    assert len(typed) == len(jvm) == n
+    assert sorted(map(tuple, typed)) == sorted(map(tuple, jvm))
+    # the typed route engaged: bounded envelope rows, no JSON text rows
+    env_df = oj._decoded_envelopes(spark, [str(p)], "logs", "auto")
+    assert env_df.filter("env IS NOT NULL").count() == 2
+    assert env_df.filter("value IS NOT NULL").count() == 0
+
+
+def test_oversized_json_error_contracts_size_blind(spark, tmp_path,
+                                                   monkeypatch):
+    """Invalid-JSON / wrong-envelope / malformed-shape documents classify
+    identically whether or not they exceed the typed-route threshold —
+    the Python route falls back to the JVM parse for all of them."""
+    from duckdb_otlp_spark.sources import otlp_json as oj
+    monkeypatch.setattr(oj, "MAX_WHOLE_DOC_TYPED_BYTES", 10)
+
+    pad = " " * 200
+    cases = [
+        ('{"resourceLogs": [' + pad, "invalid JSON"),
+        ('{"resourceLogs": 5}' + pad, "expected 'resourceLogs' envelope"),
+        ('{"wrong": 1}' + pad, "expected 'resourceLogs' envelope"),
+    ]
+    for i, (doc, err) in enumerate(cases):
+        p = tmp_path / f"bad{i}.json"
+        p.write_text(doc)
+        with pytest.raises(Exception, match=err):
+            read_otlp_logs(spark, str(p)).count()
+    # malformed INNER shape (struct expected, number found): strict
+    # conform rejects it and the JVM classifies — same class as small
+    p = tmp_path / "inner.json"
+    p.write_text('{"resourceLogs": [5]}' + pad)
+    with pytest.raises(Exception, match="expected 'resourceLogs' envelope"):
+        read_otlp_logs(spark, str(p)).count()
