@@ -1550,20 +1550,26 @@ def q_dedup_cluster(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     disk = StorageLevel.MEMORY_AND_DISK
-    pairs = _minhash_pairs_unsorted(spark, sf_dir).select("doc_a", "doc_b")
+    # Persist the PAIRS, not the symmetric explode: union-find needs no
+    # symmetrization, so the local regime collects half the rows and
+    # skips the explode entirely; the distributed loop symmetrizes off
+    # the persisted pairs (r13 — the 20M-doc probe showed the local
+    # regime holds even there, 49k pairs, PROBE_R13_10X.json).
+    pairs = (_minhash_pairs_unsorted(spark, sf_dir)
+             .select("doc_a", "doc_b").persist(disk))
+    n_pairs = pairs.count()             # materializes the persisted pairs
+
+    if 2 * n_pairs <= _LOCAL_CC_MAX_EDGES:
+        out = _local_cc_df(spark, [(r["doc_a"], r["doc_b"])
+                                   for r in pairs.collect()])
+        pairs.unpersist()
+        return out
+
     sym = (pairs.select(F.explode(F.array(
                 F.struct(F.col("doc_a"), F.col("doc_b")),
                 F.struct(F.col("doc_b").alias("doc_a"),
                          F.col("doc_a").alias("doc_b")))).alias("e"))
-           .select("e.doc_a", "e.doc_b").persist(disk))
-    n_edges = sym.count()               # materializes the persisted edges
-
-    if n_edges <= _LOCAL_CC_MAX_EDGES:
-        out = _local_cc_df(spark, [(r["doc_a"], r["doc_b"])
-                                   for r in sym.collect()])
-        sym.unpersist()
-        return out
-
+           .select("e.doc_a", "e.doc_b"))
     labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).persist(disk))
     persisted = labels
@@ -1601,7 +1607,7 @@ def q_dedup_cluster(spark, sf_dir):
                          (F.col("doc_id") == F.col("label"))
                          .alias("is_canonical"))
            .orderBy("cluster_id", "doc_id"))
-    sym.unpersist()
+    pairs.unpersist()
     return out
 
 
