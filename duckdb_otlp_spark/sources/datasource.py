@@ -185,8 +185,13 @@ class _OtlpReader(DataSourceReader):
         # one file per partition — the reference's parallelism unit
         return [InputPartition(f) for f in self.files]
 
-    # Arrow batch size: bounds peak column-list memory per task while
-    # keeping the per-batch JVM handoff amortized.
+    # Arrow batch size: bounds peak ARROW memory per handoff while
+    # keeping the per-batch JVM transfer amortized. The flattened rows
+    # themselves materialize fully per file first — inherent, not an
+    # oversight: the flatteners sort rows by time across the whole file
+    # (the reader-gate contract), so no streaming emission can start
+    # before the last record is seen; the 100 MB per-file cap bounds
+    # the worst case (r12 ADVICE, recorded boundary).
     _BATCH_ROWS = 65536
 
     def read(self, partition) -> Iterator:

@@ -169,10 +169,10 @@ def test_otap_format_wrong_signal_errors(ds_spark):
 # --- r13: columnar flatten fast path + file URI authority contract ---
 
 def test_columnar_flatten_matches_rowwise():
-    """expected_logs_columns is the DataSource hot path; it must stay
-    value-identical (same order, same values) to the row-wise
-    expected_logs oracle on every fixture envelope plus a generated
-    multi-group one."""
+    """expected_logs_columns / expected_traces_columns are the
+    DataSource hot path; they must stay value-identical (same order,
+    same values) to the row-wise oracles on every fixture envelope
+    plus a generated multi-group one."""
     from duckdb_otlp_spark import reader_gate
 
     gen = {"resourceLogs": [
@@ -196,6 +196,17 @@ def test_columnar_flatten_matches_rowwise():
         assert all(len(c) == len(rows) for c in cols)
         for i, r in enumerate(rows):
             assert dict(zip(names, (c[i] for c in cols))) == r, i
+
+    trows = reader_gate.expected_traces(
+        envelopes=reader_gate.TRACES_ENVELOPES)
+    tnames, tcols = reader_gate.expected_traces_columns(
+        reader_gate.TRACES_ENVELOPES)
+    assert all(len(c) == len(trows) for c in tcols)
+    for i, r in enumerate(trows):
+        assert dict(zip(tnames, (c[i] for c in tcols))) == r, i
+    # empty input: zero-length columns, stable shape
+    enames, ecols = reader_gate.expected_traces_columns([])
+    assert len(ecols) == len(enames) and all(len(c) == 0 for c in ecols)
 
 
 def test_file_uri_remote_authority_rejected(ds_spark):
