@@ -24,11 +24,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Process-local memo of inferred parquet schemas, keyed by full path.
+# Relation resolution WITH schema inference costs ~97 ms per table per
+# query build (footer read + infer, PROBE_R13_DRIVER.json) vs ~23 ms
+# with an explicit schema; the bench pays that for every one of ~32
+# table reads per pass. The memo holds only metadata (StructType),
+# never rows: every process still infers each table once from the
+# parquet inputs, so no result or data state crosses invocations.
+_SCHEMAS: dict[str, T.StructType] = {}
+
+
+def _read(spark: SparkSession, path: str) -> tuple[DataFrame, T.StructType]:
+    sch = _SCHEMAS.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMAS[path] = sch
+    return spark.read.schema(sch).parquet(path), sch
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df, sch = _read(spark, f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS): read as long ns (see session.py)
     # and truncate to µs TimestampNTZ — exact via decimal division.
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+    if name == "events" and isinstance(sch["ts"].dataType, T.LongType):
         us = F.floor(F.col("ts").cast(T.DecimalType(38, 0)) / 1000).try_cast("long")
         df = df.withColumn("ts", F.timestamp_micros(us).cast(T.TimestampNTZType()))
     return df
@@ -44,8 +62,8 @@ def _events_between(spark: SparkSession, sf_dir: str,
     bound is translated to raw int64 ns and pushed BEFORE the
     conversion; tests/test_plans.py asserts the pushdown."""
     from datetime import datetime, timezone
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    raw_ns = isinstance(df.schema["ts"].dataType, T.LongType)
+    df, sch = _read(spark, f"{sf_dir}/events.parquet")
+    raw_ns = isinstance(sch["ts"].dataType, T.LongType)
 
     def ns(s):
         dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
@@ -902,7 +920,7 @@ def q_ngram_jaccard(spark, sf_dir):
     broadcasts; the scan side is repartitioned because the CPU cost is
     in shingling, not IO (locally one parquet file = one split)."""
     docs = _docs_parallel(spark, sf_dir)
-    with_sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    with_sh = docs.select("doc_id", _shingles("text").alias("sh"))
     target = with_sh.filter(F.col("doc_id") == 0).select(F.col("sh").alias("sh0"))
     joined = with_sh.filter(F.col("doc_id") != 0).crossJoin(F.broadcast(target))
     inter = F.size(F.array_intersect(F.col("sh"), F.col("sh0")))
@@ -984,17 +1002,26 @@ def _bind1(col, body):
     return F.transform(F.array(col), body)[0]
 
 
-def _shingles(text_col):
-    """Distinct word 3-gram shingles; empty array below 3 words."""
-    return _bind1(
-        F.split(F.trim(text_col), r"\s+"),
-        lambda words: F.when(
-            F.size(words) >= 3,
-            F.array_distinct(F.transform(
-                F.sequence(F.lit(0), F.size(words) - 3),
-                lambda i: F.concat_ws(" ", words[i], words[i + 1],
-                                      words[i + 2])))
-        ).otherwise(F.array().cast("array<string>")))
+def _shingles(text_col="text"):
+    """Distinct word 3-gram shingles; empty array below 3 words.
+
+    Built from ONE parsed SQL string (``_shingles_sql``) instead of a
+    nested py4j Column tree: constructing this expression per-Column
+    cost ~250 ms of driver time per MinHash query build
+    (PROBE_R13_DRIVER.json, guide §7.3); a single ``F.expr`` parse is
+    ~1 ms and yields the identical analyzed expression (the split is
+    still let-bound once via transform-over-one-element-array, see
+    ``_bind1``)."""
+    return F.expr(_shingles_sql(text_col))
+
+
+def _shingles_sql(c: str = "text") -> str:
+    return (
+        f"transform(array(split(trim({c}), '\\\\s+')), words -> "
+        "CASE WHEN size(words) >= 3 THEN array_distinct(transform("
+        "sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], "
+        "words[i + 1], words[i + 2]))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END)[0]")
 
 
 _SQL_SHINGLES = """
@@ -1010,27 +1037,71 @@ _MINHASH_B = (12345, 6789, 42, 777, 2468, 97531)
 _MINHASH_K = 6
 
 
-def _base_hashes(sh):
-    """Shingle array -> 31-bit base-hash array (one md5 per shingle).
+def _base_hashes_sql(sh_sql: str) -> str:
+    """Shingle array -> 31-bit base-hash array (one md5 per shingle),
+    as a SQL expression string (single parse, see ``_shingles``).
 
     The md5 runs ONCE per shingle; the K seed hashes below are cheap
     affine re-hashes (a*h + b) mod 2^31-1 whose products stay under
     2^62 — overflow-safe in Spark ANSI mode and DuckDB alike."""
-    return F.transform(sh, lambda s: _md5int(s) % _MINHASH_P)
+    return (f"transform({sh_sql}, s -> "
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) "
+            f"% {_MINHASH_P})")
 
 
-def _minhash_cols(hs):
+def _base_hashes(sh_sql: str | None = None, text: str = "text"):
+    return F.expr(_base_hashes_sql(sh_sql or _shingles_sql(text)))
+
+
+def _minhash_cols(hs: str = "hs"):
     """K minhashes from the base-hash array via affine re-hashing."""
-    def mixer(a, b):
-        return lambda h: (h * a + b) % _MINHASH_P
-    return [F.array_min(F.transform(hs, mixer(_MINHASH_A[i], _MINHASH_B[i])))
-            .alias(f"m{i}") for i in range(_MINHASH_K)]
+    return [F.expr(f"array_min(transform({hs}, h -> (h * {_MINHASH_A[i]} "
+                   f"+ {_MINHASH_B[i]}) % {_MINHASH_P}))").alias(f"m{i}")
+            for i in range(_MINHASH_K)]
 
 
 _SQL_BASE_HASHES = f"list_transform(sh, s -> {_SQL_MD5INT % 's'} % {_MINHASH_P})"
 _SQL_MINHASH_LIST = ", ".join(
     f"list_min(list_transform(hs, h -> (h * {_MINHASH_A[i]} + {_MINHASH_B[i]}) "
     f"% {_MINHASH_P})) AS m{i}" for i in range(_MINHASH_K))
+
+
+def _est_scan_splits(spark, path: str) -> int:
+    """Estimate the scan's split count from os file sizes with the same
+    math FilePartition.getFilePartitions uses (maxSplitBytes from
+    maxPartitionBytes / openCostInBytes / defaultParallelism, greedy
+    packing with the open-cost padding).  Replaces the former
+    ``.rdd.getNumPartitions()`` probe, which built a full RDD
+    conversion plan per query build (~126 ms each,
+    PROBE_R13_DRIVER.json) for a number derivable from the listing."""
+    from pathlib import Path as _P
+
+    p = _P(path)
+    files = ([f for f in p.iterdir()
+              if f.is_file() and not f.name.startswith(("_", "."))]
+             if p.is_dir() else [p])
+    sizes = sorted((f.stat().st_size for f in files), reverse=True)
+    if not sizes:
+        return 0
+    max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                  str(128 * 1024 * 1024)))
+    open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes",
+                                   str(4 * 1024 * 1024)))
+    par = spark.sparkContext.defaultParallelism
+    bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(par, 1)
+    max_split = min(max_part, max(open_cost, int(bytes_per_core)))
+    chunks: list[int] = []
+    for sz in sizes:
+        while sz > max_split:
+            chunks.append(max_split)
+            sz -= max_split
+        chunks.append(sz)
+    n, cur = 0, 0
+    for c in chunks:
+        if cur + c > max_split and cur > 0:
+            n, cur = n + 1, 0
+        cur += c + open_cost
+    return n + (1 if cur > 0 else 0)
 
 
 def _docs_parallel(spark, sf_dir):
@@ -1041,10 +1112,10 @@ def _docs_parallel(spark, sf_dir):
     splits, and an unconditional ``repartition()`` would be a full
     shuffle of the text corpus before every MinHash/SimHash query —
     exactly the shape that dies at 100 TB.  The split count comes from
-    the planned partitioning (file listing only, no job)."""
+    the file listing only (no job, no RDD plan)."""
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= par:
+    if _est_scan_splits(spark, f"{sf_dir}/documents.parquet") >= par:
         return docs
     return docs.repartition(par)
 
@@ -1054,9 +1125,9 @@ def q_minhash_signature(spark, sf_dir):
     shuffle-free half of MinHash-LSH dedup; everything stays JVM-side
     (array_min/transform over the shingle array, no UDF, no explode)."""
     docs = _docs_parallel(spark, sf_dir)
-    hs = _base_hashes(_shingles(F.col("text")))
+    hs = _base_hashes()
     return (docs.select("doc_id", hs.alias("hs"))
-            .select("doc_id", *_minhash_cols(F.col("hs")))
+            .select("doc_id", *_minhash_cols("hs"))
             .orderBy("doc_id").limit(200))
 
 
@@ -1102,39 +1173,47 @@ def _minhash_pairs_unsorted(spark, sf_dir):
     # engines (array_distinct here, list_distinct in the twin), so
     # oracle parity is exact; the 31-bit space makes an intra-doc
     # collision a ~1e-5 event that both engines share identically.
-    docs_hs = (docs.select(
+    docs_hs = (docs.selectExpr(
         "doc_id",
-        F.array_distinct(_base_hashes(_shingles(F.col("text"))))
-        .alias("hs"))
+        f"array_distinct({_base_hashes_sql(_shingles_sql('text'))}) AS hs")
         .persist(disk))
-    sig = docs_hs.select("doc_id", *_minhash_cols(F.col("hs")))
     # persisted: the self-join below otherwise re-derives the md5
     # signature pipeline on BOTH branches (docs_hs caches only the
-    # hashed shingles) — tiny rows of cache buy back the second pass
-    bands = (sig.select(
+    # hashed shingles) — tiny rows of cache buy back the second pass.
+    # The K minhash columns are inlined into the band structs (each m_i
+    # feeds exactly one band key, so no work is duplicated) and
+    # ``inline`` flattens the struct array in the same projection: one
+    # Dataset op where the former sig->explode->flatten chain paid
+    # three rounds of eager JVM analysis (~25 ms each, guide §7.3).
+    mh = [f"array_min(transform(hs, h -> (h * {_MINHASH_A[i]} "
+          f"+ {_MINHASH_B[i]}) % {_MINHASH_P}))" for i in range(_MINHASH_K)]
+    bands = (docs_hs.selectExpr(
         "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"),
-                     F.concat_ws("_", f"m{2 * b}", f"m{2 * b + 1}").alias("key"))
-            for b in range(3)])).alias("band"))
-        .select("doc_id", "band.band_idx", "band.key")
+        "inline(array(" + ", ".join(
+            f"struct({b} AS band_idx, concat_ws('_', {mh[2 * b]}, "
+            f"{mh[2 * b + 1]}) AS key)" for b in range(3)) + "))")
         .persist(disk))
+    # DataFrame-API joins, NOT parameterized spark.sql("{df}"): the
+    # {df} substitution re-analyzes the referenced plan under fresh
+    # expression ids, which silently defeats CacheManager's sameResult
+    # match — the persisted stages above would recompute per consumer
+    # branch (measured 3x wall at sf0.1 before this was caught).
     cand = (bands.alias("a")
-            .join(bands.alias("b"), ["band_idx", "key"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+            .join(bands.alias("b"),
+                  F.expr("a.band_idx = b.band_idx AND a.key = b.key "
+                         "AND a.doc_id < b.doc_id"))
+            .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
             .distinct()
             .persist(disk))
-    verified = (cand
-                .join(docs_hs.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("hs").alias("hs_a")), "doc_a")
-                .join(docs_hs.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("hs").alias("hs_b")), "doc_b"))
-    jac = F.round(F.size(F.array_intersect("hs_a", "hs_b"))
-                  / F.size(F.array_union("hs_a", "hs_b")), 4)
-    return (verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.7))
+    return (cand
+            .join(docs_hs.selectExpr("doc_id AS doc_a", "hs AS hs_a"),
+                  "doc_a")
+            .join(docs_hs.selectExpr("doc_id AS doc_b", "hs AS hs_b"),
+                  "doc_b")
+            .selectExpr("doc_a", "doc_b",
+                        "round(size(array_intersect(hs_a, hs_b)) "
+                        "/ size(array_union(hs_a, hs_b)), 4) AS jaccard")
+            .filter("jaccard >= 0.7"))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -2258,7 +2337,7 @@ def _incr_docs_bands(spark, sf_dir):
     in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
     docs_hs = (docs.select(
         "doc_id", in_corpus.alias("in_corpus"),
-        F.array_distinct(_base_hashes(_shingles(F.col("text"))))
+        F.array_distinct(_base_hashes())
         .alias("hs"))
         .persist(disk))
     # sub-shingle docs (under 3 words) have EMPTY shingle sets: their
@@ -2268,7 +2347,7 @@ def _incr_docs_bands(spark, sf_dir):
     # Jaccard is null). Keep them out of the band stream entirely; the
     # verdict still covers them (is_dup=false via the left join).
     sig = (docs_hs.filter(F.size("hs") > 0)
-           .select("doc_id", "in_corpus", *_minhash_cols(F.col("hs"))))
+           .select("doc_id", "in_corpus", *_minhash_cols("hs")))
     bands = _incr_bands_from_sig(sig, extra=("in_corpus",)).persist(disk)
     return docs_hs, bands
 
@@ -2316,9 +2395,9 @@ def build_incremental_band_index(spark, sf_dir):
     # null minhashes (see _incr_docs_bands) — never index them
     sig = (docs.filter(in_corpus)
            .select("doc_id",
-                   _base_hashes(_shingles(F.col("text"))).alias("hs"))
+                   _base_hashes().alias("hs"))
            .filter(F.size("hs") > 0)
-           .select("doc_id", *_minhash_cols(F.col("hs"))))
+           .select("doc_id", *_minhash_cols("hs")))
     return (_incr_bands_from_sig(sig)
             .select("band_idx", "key", F.col("doc_id").alias("corpus_doc")))
 
@@ -2407,11 +2486,11 @@ def dedup_incremental_from_index(spark, sf_dir, index):
     batch_hs = (docs.filter(~in_corpus)
                 .select("doc_id",
                         F.array_distinct(
-                            _base_hashes(_shingles(F.col("text"))))
+                            _base_hashes())
                         .alias("hs"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
     sig = (batch_hs.filter(F.size("hs") > 0)
-           .select("doc_id", *_minhash_cols(F.col("hs"))))
+           .select("doc_id", *_minhash_cols("hs")))
     bands = _incr_bands_from_sig(sig)
     cand = (bands.select(F.col("doc_id").alias("batch_doc"),
                          "band_idx", "key")
@@ -2422,7 +2501,7 @@ def dedup_incremental_from_index(spark, sf_dir, index):
                                    "text"), "corpus_doc")
                  .select("corpus_doc",
                          F.array_distinct(
-                             _base_hashes(_shingles(F.col("text"))))
+                             _base_hashes())
                          .alias("sh_b")))
     return _incr_verdict(
         batch_hs.select(F.col("doc_id").alias("batch_doc"),

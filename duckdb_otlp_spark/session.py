@@ -73,6 +73,13 @@ def get_spark(app_name: str = "duckdb-otlp-spark", cpus: int | None = None) -> S
         .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # PySpark 4's per-API-call site capture walks the Python stack
+        # with inspect on EVERY DataFrame/Column call (~2.8 ms each,
+        # ~100 ms per complex query build — PROBE_R13_DRIVER.json);
+        # the upstream-documented switch trades error-message call-site
+        # decoration for driver latency, worthwhile for an engine that
+        # builds plans programmatically at any scale.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Spark has no ns-precision timestamp; surface parquet NANOS as raw
         # long ns (the same compromise the reference documents, schemas.md:182)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
