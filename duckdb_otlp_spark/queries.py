@@ -1198,13 +1198,16 @@ def _minhash_pairs_unsorted(spark, sf_dir):
     # expression ids, which silently defeats CacheManager's sameResult
     # match — the persisted stages above would recompute per consumer
     # branch (measured 3x wall at sf0.1 before this was caught).
+    # cand is SINGLE-USE (the verification chain reads it once), so it
+    # is not persisted: an r13 A/B measured the persist barrier at
+    # ~0.33 s for nothing saved (consumers that fan out — dedup_cluster
+    # — persist the returned pairs themselves).
     cand = (bands.alias("a")
             .join(bands.alias("b"),
                   F.expr("a.band_idx = b.band_idx AND a.key = b.key "
                          "AND a.doc_id < b.doc_id"))
             .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
-            .distinct()
-            .persist(disk))
+            .distinct())
     return (cand
             .join(docs_hs.selectExpr("doc_id AS doc_a", "hs AS hs_a"),
                   "doc_a")
@@ -1713,19 +1716,33 @@ def q_bm25_topk(spark, sf_dir):
     — the retrieval/quality-scoring primitive of a data pipeline
     (Okapi BM25, k1=1.2 b=0.75, natural-log idf).
 
-    Scale shape: the term filter applies DIRECTLY under the explode, so
-    only query-term tokens ever reach a shuffle — the groupBys run on a
-    vanishingly small slice of the corpus. Document frequency (3 rows)
-    and the corpus stats (1 row) broadcast; nothing re-shuffles the
-    documents table itself."""
+    Scale shape (r13: ONE corpus pass, was three): a persisted map-only
+    projection keeps (doc_id, dl, query-term tokens) — tiny rows, no
+    text — and every downstream branch (corpus stats, tf, document
+    frequency) reads it instead of re-scanning and re-splitting the
+    corpus. Only query-term tokens ever reach a shuffle; document
+    frequency (3 rows) and the corpus stats (1 row) broadcast; nothing
+    re-shuffles the documents table itself."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    toks = (docs.select("doc_id", F.size(words).alias("dl"),
-                        F.explode(words).alias("term"))
-            .filter(F.col("term").isin(*_BM25_TERMS)))
-    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
-    stats = docs.agg(F.count("*").alias("n_docs"),
-                     F.avg(F.size(words)).alias("avgdl"))
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    base = (docs.selectExpr(
+        "doc_id",
+        "transform(array(split(trim(lower(text)), '\\\\s+')), words -> "
+        f"struct(size(words) AS dl, filter(words, w -> w IN {terms_sql}) "
+        "AS qt))[0] AS w")
+        .selectExpr("doc_id", "w.dl AS dl", "w.qt AS qt")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    # tf feeds both dfreq and the scoring join but is NOT persisted:
+    # both derivations read the persisted base (query-term rows only —
+    # tiny), and an A/B showed persisting this post-shuffle aggregate
+    # costs ~0.9 s in materialization barriers vs ~nothing saved
+    # (OPTIMIZATION_r13.md, bm25 section).
+    tf = (base.select("doc_id", "dl", F.explode("qt").alias("term"))
+          .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -1855,6 +1872,13 @@ def q_contamination_overlap(spark, sf_dir):
                          lambda g: _md5int(g))
     sh = (docs.select("doc_id", gh_arr.alias("ghs"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+    # Two-branch shape kept DELIBERATELY (r13 negative result): fusing
+    # totals into the hits aggregation via explode + left join + one
+    # groupBy reads as one fewer join, but it routes EVERY gram
+    # instance through the aggregation hash table where this shape
+    # aggregates only join matches and computes totals as a map-only
+    # size() — measured 0.95 s -> 1.32 s at sf0.1 on clean brackets,
+    # reverted (OPTIMIZATION_r13.md).
     is_eval = F.col("doc_id") % 17 == 0
     eval_grams = (sh.filter(is_eval)
                   .select(F.explode("ghs").alias("gh")).distinct())

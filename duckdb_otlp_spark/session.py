@@ -86,6 +86,18 @@ def get_spark(app_name: str = "duckdb-otlp-spark", cpus: int | None = None) -> S
         # ~128 MiB scan partitions: matches the reference's own seal/file sizing
         # and keeps task counts sane at 100 TB (reference: otlp_ingest_limits.hpp).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Open-cost models per-file open overhead in scan-split packing;
+        # the 4 MiB default also FLOORS maxSplitBytes, so any table under
+        # 4 MiB scans as one task and serializes its per-row work (JSON
+        # parse, window prep) on one core. 512 KiB reflects parquet-on-
+        # SSD/object-store open costs and lets small hot tables fan out;
+        # large files are unaffected (maxPartitionBytes caps), and for
+        # many-tiny-file dirs a lower pad packs MORE files per task.
+        # Interleaved A/B at sf0.1: sessionize/time_bucket -10%,
+        # json_extract -3%, none slower (OPTIMIZATION_r13.md). Env-
+        # overridable for cluster tuning.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "524288"))
         # bucketed+sorted index tables (operators.dedup.save_band_index)
         # are written one-sorted-file-per-bucket so probe sort-merge
         # joins can skip BOTH the exchange and the sort on the index
