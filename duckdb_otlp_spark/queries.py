@@ -1050,7 +1050,8 @@ def _base_hashes_sql(sh_sql: str) -> str:
 
 
 def _base_hashes(sh_sql: str | None = None, text: str = "text"):
-    return F.expr(_base_hashes_sql(sh_sql or _shingles_sql(text)))
+    return F.expr(_base_hashes_sql(
+        sh_sql if sh_sql is not None else _shingles_sql(text)))
 
 
 def _minhash_cols(hs: str = "hs"):

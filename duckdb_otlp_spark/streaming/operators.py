@@ -493,12 +493,12 @@ class BandProbe:
         """Append ``mark_col`` (true = LSH candidate vs the index) to
         ``docs``; all other columns pass through untouched."""
         from duckdb_otlp_spark.queries import (INCR_BANDS, _base_hashes,
-                                               _minhash_cols, _shingles,
+                                               _minhash_cols,
                                                incr_band_key)
 
-        hs = _base_hashes(_shingles(F.col(text_col)))
+        hs = _base_hashes(text=text_col)
         sig = docs.withColumn("__hs", hs)
-        mcols = _minhash_cols(F.col("__hs"))
+        mcols = _minhash_cols("__hs")
         sig = sig.select(
             "*", *[c.alias(f"__m{i}") for i, c in enumerate(mcols)])
         keyed = sig

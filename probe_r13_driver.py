@@ -60,15 +60,14 @@ def main() -> None:
 
     # 3. expression-tree build: the minhash signature select via py4j
     #    Columns vs one selectExpr string (results not executed)
-    from duckdb_otlp_spark.queries import (_base_hashes, _minhash_cols,
-                                           _shingles)
+    from duckdb_otlp_spark.queries import _base_hashes, _minhash_cols
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def build_py4j():
-        hs = _base_hashes(_shingles(F.col("text")))
+        hs = _base_hashes(text="text")
         d = docs.select("doc_id", hs.alias("hs"))
-        return d.select("doc_id", *_minhash_cols(F.col("hs")))
+        return d.select("doc_id", *_minhash_cols("hs"))
 
     out["minhash_build_py4j_ms"] = t(build_py4j)
 

@@ -200,16 +200,16 @@ def test_band_probe_regimes_agree_and_flag_exact_dups(spark, docs, n_dup):
     from pyspark.sql import functions as F
 
     from duckdb_otlp_spark.queries import (_base_hashes, _incr_bands_from_sig,
-                                           _minhash_cols, _shingles)
+                                           _minhash_cols)
     from duckdb_otlp_spark.streaming.operators import build_band_probe
 
     corpus_rows = [(100 + i, DUP_TEXT) for i in range(n_dup)] + \
         [(200 + i, t) for i, t in enumerate(docs)]
     corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
     sig = (corpus.select(
-        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        "doc_id", _base_hashes(text="text").alias("hs"))
         .filter(F.size("hs") > 0)
-        .select("doc_id", *_minhash_cols(F.col("hs"))))
+        .select("doc_id", *_minhash_cols("hs")))
     index = _incr_bands_from_sig(sig).select("band_idx", "key")
 
     batch_rows = ([(1, DUP_TEXT)]                       # exact dup
@@ -232,9 +232,9 @@ def test_band_probe_regimes_agree_and_flag_exact_dups(spark, docs, n_dup):
         batch_bands = _incr_bands_from_sig(
             batch.select(
                 "doc_id",
-                _base_hashes(_shingles(F.col("text"))).alias("hs"))
+                _base_hashes(text="text").alias("hs"))
             .filter(F.size("hs") > 0)
-            .select("doc_id", *_minhash_cols(F.col("hs")))
+            .select("doc_id", *_minhash_cols("hs"))
         ).select("doc_id", "band_idx", "key")
         shared = {r["doc_id"] for r in batch_bands.join(
             index, ["band_idx", "key"], "left_semi").collect()}

@@ -164,16 +164,16 @@ def test_flag_near_dups_at_seal(spark, tmp_path_factory):
 
     from duckdb_otlp_spark.operators.dedup import save_band_index
     from duckdb_otlp_spark.queries import (_base_hashes, _incr_bands_from_sig,
-                                           _minhash_cols, _shingles)
+                                           _minhash_cols)
 
     corpus_text = ("the quick brown fox jumps over the lazy dog and then "
                    "naps in the warm afternoon sun by the old barn door")
     corpus = spark.createDataFrame([(100, corpus_text)],
                                    "doc_id long, text string")
     sig = (corpus.select(
-        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        "doc_id", _base_hashes(text="text").alias("hs"))
         .filter(F.size("hs") > 0)
-        .select("doc_id", *_minhash_cols(F.col("hs"))))
+        .select("doc_id", *_minhash_cols("hs")))
     bands = _incr_bands_from_sig(sig).select(
         "band_idx", "key", F.col("doc_id").alias("corpus_doc"))
     work = tmp_path_factory.mktemp("neardup")
@@ -221,16 +221,16 @@ def test_flag_near_dups_catalog_sink_join_regime(spark, tmp_path_factory):
 
     from duckdb_otlp_spark.operators.dedup import save_band_index
     from duckdb_otlp_spark.queries import (_base_hashes, _incr_bands_from_sig,
-                                           _minhash_cols, _shingles)
+                                           _minhash_cols)
 
     corpus_text = ("the quick brown fox jumps over the lazy dog and then "
                    "naps in the warm afternoon sun by the old barn door")
     corpus = spark.createDataFrame([(100, corpus_text)],
                                    "doc_id long, text string")
     sig = (corpus.select(
-        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        "doc_id", _base_hashes(text="text").alias("hs"))
         .filter(F.size("hs") > 0)
-        .select("doc_id", *_minhash_cols(F.col("hs"))))
+        .select("doc_id", *_minhash_cols("hs")))
     bands = _incr_bands_from_sig(sig).select(
         "band_idx", "key", F.col("doc_id").alias("corpus_doc"))
     work = tmp_path_factory.mktemp("neardup_cat")

@@ -579,7 +579,7 @@ def test_near_dedup_screen_stream_vs_index(spark, tmp_path):
                                                    save_band_index)
     from duckdb_otlp_spark.plans import audit
     from duckdb_otlp_spark.queries import (_base_hashes, _incr_bands_from_sig,
-                                           _minhash_cols, _shingles)
+                                           _minhash_cols)
     from duckdb_otlp_spark.streaming import near_dedup_screen_stream
 
     corpus_text = ("the quick brown fox jumps over the lazy dog and then "
@@ -591,9 +591,9 @@ def test_near_dedup_screen_stream_vs_index(spark, tmp_path):
          (102, "hi")],   # sub-shingle corpus doc: must not enter the index
         "doc_id long, text string")
     sig = (corpus.select(
-        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        "doc_id", _base_hashes(text="text").alias("hs"))
         .filter(F.size("hs") > 0)
-        .select("doc_id", *_minhash_cols(F.col("hs"))))
+        .select("doc_id", *_minhash_cols("hs")))
     bands = _incr_bands_from_sig(sig).select(
         "band_idx", "key", F.col("doc_id").alias("corpus_doc"))
     # the empty-shingle guard: null minhashes render the SAME '' key
@@ -805,7 +805,7 @@ def test_band_probe_regimes_parity_and_plan(spark):
     from duckdb_otlp_spark.plans import audit
     from duckdb_otlp_spark.queries import (INCR_BANDS, _base_hashes,
                                            _incr_bands_from_sig,
-                                           _minhash_cols, _shingles)
+                                           _minhash_cols)
     from duckdb_otlp_spark.streaming.operators import BandProbe, build_band_probe
 
     corpus = spark.createDataFrame(
@@ -815,9 +815,9 @@ def test_band_probe_regimes_parity_and_plan(spark):
                "volcanic rock formations across the northern ranges")],
         "doc_id long, text string")
     sig = (corpus.select(
-        "doc_id", _base_hashes(_shingles(F.col("text"))).alias("hs"))
+        "doc_id", _base_hashes(text="text").alias("hs"))
         .filter(F.size("hs") > 0)
-        .select("doc_id", *_minhash_cols(F.col("hs"))))
+        .select("doc_id", *_minhash_cols("hs")))
     index = _incr_bands_from_sig(sig).select("band_idx", "key")
 
     docs = spark.createDataFrame(
