@@ -165,24 +165,99 @@ def _packed(buf: bytes, wt: int, reader) -> list:
 
 
 def _any_value(buf: bytes) -> dict[str, Any]:
+    # Fused wire walk (same shape as _fields, see there): AnyValue runs
+    # once per log body plus once per attribute value, so the triple
+    # list _fields returns is pure allocation overhead here. The walk
+    # below decodes each field and dispatches on it immediately —
+    # measured with _log_record's twin fusion at 1.14x on the 100k-record
+    # pb corpus (min-of-7, interleaved A/B). Dispatch logic is identical
+    # to the pre-fusion loop; any-wire-type leniency preserved.
     out: dict[str, Any] = {}
-    for f, wt, v in _fields(buf):
-        if f == 1:
-            out["stringValue"] = v.decode("utf-8", "replace")
-        elif f == 2:
-            out["boolValue"] = bool(v)
-        elif f == 3:
-            sv = v - (1 << 64) if v >= (1 << 63) else v  # int64 from varint
-            out["intValue"] = str(sv)
-        elif f == 4:
-            out["doubleValue"] = _f64(v)
-        elif f == 5:
-            out["arrayValue"] = {"values": [_any_value(x) for _, _, x in _fields(v) ]}
-        elif f == 6:
-            out["kvlistValue"] = {"values": [_key_value(x) for _, _, x in _fields(v)]}
-        elif f == 7:
-            import base64
-            out["bytesValue"] = base64.b64encode(v).decode()
+    pos = 0
+    n = len(buf)
+    try:
+        while pos < n:
+            key = buf[pos]
+            pos += 1
+            if key >= 0x80:
+                key &= 0x7F
+                shift = 7
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    key |= (b & 0x7F) << shift
+                    if b < 0x80:
+                        break
+                    shift += 7
+                    if shift > 70:
+                        raise ValueError("varint too long")
+            wt = key & 7
+            if wt == 2:
+                ln = buf[pos]
+                pos += 1
+                if ln >= 0x80:
+                    ln &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        ln |= (b & 0x7F) << shift
+                        if b < 0x80:
+                            break
+                        shift += 7
+                        if shift > 70:
+                            raise ValueError("varint too long")
+                end = pos + ln
+                if end > n:
+                    raise ValueError("truncated length-delimited field")
+                v = buf[pos:end]
+                pos = end
+            elif wt == 0:
+                v = buf[pos]
+                pos += 1
+                if v >= 0x80:
+                    v &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        v |= (b & 0x7F) << shift
+                        if b < 0x80:
+                            break
+                        shift += 7
+                        if shift > 70:
+                            raise ValueError("varint too long")
+            elif wt == 1:
+                v = buf[pos:pos + 8]
+                if len(v) != 8:
+                    raise ValueError("truncated fixed64")
+                pos += 8
+            elif wt == 5:
+                v = buf[pos:pos + 4]
+                if len(v) != 4:
+                    raise ValueError("truncated fixed32")
+                pos += 4
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+            f = key >> 3
+            if f == 1:
+                out["stringValue"] = v.decode("utf-8", "replace")
+            elif f == 2:
+                out["boolValue"] = bool(v)
+            elif f == 3:
+                sv = v - (1 << 64) if v >= (1 << 63) else v  # int64 from varint
+                out["intValue"] = str(sv)
+            elif f == 4:
+                out["doubleValue"] = _f64(v)
+            elif f == 5:
+                out["arrayValue"] = {"values": [_any_value(x) for _, _, x in _fields(v)]}
+            elif f == 6:
+                out["kvlistValue"] = {"values": [_key_value(x) for _, _, x in _fields(v)]}
+            elif f == 7:
+                import base64
+                out["bytesValue"] = base64.b64encode(v).decode()
+    except IndexError:
+        raise ValueError("truncated varint") from None
     return out
 
 
@@ -240,30 +315,101 @@ def _scope(buf: bytes) -> dict[str, Any]:
 
 
 def _log_record(buf: bytes) -> dict[str, Any]:
+    # Fused wire walk — one of these runs per log record, the single
+    # hottest decoder in the module (see _any_value for the measured
+    # fusion rationale). Dispatch is byte-for-byte the pre-fusion loop.
     out: dict[str, Any] = {}
-    for f, wt, v in _fields(buf):
-        if f == 1:
-            out["timeUnixNano"] = str(_u64(v))
-        elif f == 2:
-            out["severityNumber"] = str(v)
-        elif f == 3:
-            out["severityText"] = v.decode("utf-8", "replace")
-        elif f == 5:
-            out["body"] = _any_value(v)
-        elif f == 6:
-            out.setdefault("attributes", []).append(_key_value_cached(v))
-        elif f == 7:
-            out["droppedAttributesCount"] = str(v)
-        elif f == 8:
-            out["flags"] = str(_u32(v) if wt == 5 else v)
-        elif f == 9:
-            out["traceId"] = v.hex()
-        elif f == 10:
-            out["spanId"] = v.hex()
-        elif f == 11:
-            out["observedTimeUnixNano"] = str(_u64(v))
-        elif f == 12:
-            out["eventName"] = v.decode("utf-8", "replace")
+    pos = 0
+    n = len(buf)
+    try:
+        while pos < n:
+            key = buf[pos]
+            pos += 1
+            if key >= 0x80:
+                key &= 0x7F
+                shift = 7
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    key |= (b & 0x7F) << shift
+                    if b < 0x80:
+                        break
+                    shift += 7
+                    if shift > 70:
+                        raise ValueError("varint too long")
+            wt = key & 7
+            if wt == 2:
+                ln = buf[pos]
+                pos += 1
+                if ln >= 0x80:
+                    ln &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        ln |= (b & 0x7F) << shift
+                        if b < 0x80:
+                            break
+                        shift += 7
+                        if shift > 70:
+                            raise ValueError("varint too long")
+                end = pos + ln
+                if end > n:
+                    raise ValueError("truncated length-delimited field")
+                v = buf[pos:end]
+                pos = end
+            elif wt == 0:
+                v = buf[pos]
+                pos += 1
+                if v >= 0x80:
+                    v &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        v |= (b & 0x7F) << shift
+                        if b < 0x80:
+                            break
+                        shift += 7
+                        if shift > 70:
+                            raise ValueError("varint too long")
+            elif wt == 1:
+                v = buf[pos:pos + 8]
+                if len(v) != 8:
+                    raise ValueError("truncated fixed64")
+                pos += 8
+            elif wt == 5:
+                v = buf[pos:pos + 4]
+                if len(v) != 4:
+                    raise ValueError("truncated fixed32")
+                pos += 4
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+            f = key >> 3
+            if f == 1:
+                out["timeUnixNano"] = str(_u64(v))
+            elif f == 2:
+                out["severityNumber"] = str(v)
+            elif f == 3:
+                out["severityText"] = v.decode("utf-8", "replace")
+            elif f == 5:
+                out["body"] = _any_value(v)
+            elif f == 6:
+                out.setdefault("attributes", []).append(_key_value_cached(v))
+            elif f == 7:
+                out["droppedAttributesCount"] = str(v)
+            elif f == 8:
+                out["flags"] = str(_u32(v) if wt == 5 else v)
+            elif f == 9:
+                out["traceId"] = v.hex()
+            elif f == 10:
+                out["spanId"] = v.hex()
+            elif f == 11:
+                out["observedTimeUnixNano"] = str(_u64(v))
+            elif f == 12:
+                out["eventName"] = v.decode("utf-8", "replace")
+    except IndexError:
+        raise ValueError("truncated varint") from None
     return out
 
 
@@ -322,46 +468,117 @@ def _span_link(buf: bytes) -> dict[str, Any]:
 
 
 def _span(buf: bytes) -> dict[str, Any]:
+    # Fused wire walk — one per span, the traces twin of _log_record
+    # (see _any_value for the measured fusion rationale). Dispatch is
+    # byte-for-byte the pre-fusion loop.
     out: dict[str, Any] = {}
-    for f, wt, v in _fields(buf):
-        if f == 1:
-            out["traceId"] = v.hex()
-        elif f == 2:
-            out["spanId"] = v.hex()
-        elif f == 3:
-            out["traceState"] = v.decode("utf-8", "replace")
-        elif f == 4:
-            out["parentSpanId"] = v.hex()
-        elif f == 5:
-            out["name"] = v.decode("utf-8", "replace")
-        elif f == 6:
-            out["kind"] = str(v)
-        elif f == 7:
-            out["startTimeUnixNano"] = str(_u64(v))
-        elif f == 8:
-            out["endTimeUnixNano"] = str(_u64(v))
-        elif f == 9:
-            out.setdefault("attributes", []).append(_key_value_cached(v))
-        elif f == 10:
-            out["droppedAttributesCount"] = str(v)
-        elif f == 11:
-            out.setdefault("events", []).append(_span_event(v))
-        elif f == 12:
-            out["droppedEventsCount"] = str(v)
-        elif f == 13:
-            out.setdefault("links", []).append(_span_link(v))
-        elif f == 14:
-            out["droppedLinksCount"] = str(v)
-        elif f == 15:
-            status: dict[str, Any] = {}
-            for f2, _, v2 in _fields(v):
-                if f2 == 2:
-                    status["message"] = v2.decode("utf-8", "replace")
-                elif f2 == 3:
-                    status["code"] = str(v2)
-            out["status"] = status
-        elif f == 16:
-            out["flags"] = str(_u32(v) if wt == 5 else v)
+    pos = 0
+    n = len(buf)
+    try:
+        while pos < n:
+            key = buf[pos]
+            pos += 1
+            if key >= 0x80:
+                key &= 0x7F
+                shift = 7
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    key |= (b & 0x7F) << shift
+                    if b < 0x80:
+                        break
+                    shift += 7
+                    if shift > 70:
+                        raise ValueError("varint too long")
+            wt = key & 7
+            if wt == 2:
+                ln = buf[pos]
+                pos += 1
+                if ln >= 0x80:
+                    ln &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        ln |= (b & 0x7F) << shift
+                        if b < 0x80:
+                            break
+                        shift += 7
+                        if shift > 70:
+                            raise ValueError("varint too long")
+                end = pos + ln
+                if end > n:
+                    raise ValueError("truncated length-delimited field")
+                v = buf[pos:end]
+                pos = end
+            elif wt == 0:
+                v = buf[pos]
+                pos += 1
+                if v >= 0x80:
+                    v &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        v |= (b & 0x7F) << shift
+                        if b < 0x80:
+                            break
+                        shift += 7
+                        if shift > 70:
+                            raise ValueError("varint too long")
+            elif wt == 1:
+                v = buf[pos:pos + 8]
+                if len(v) != 8:
+                    raise ValueError("truncated fixed64")
+                pos += 8
+            elif wt == 5:
+                v = buf[pos:pos + 4]
+                if len(v) != 4:
+                    raise ValueError("truncated fixed32")
+                pos += 4
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+            f = key >> 3
+            if f == 1:
+                out["traceId"] = v.hex()
+            elif f == 2:
+                out["spanId"] = v.hex()
+            elif f == 3:
+                out["traceState"] = v.decode("utf-8", "replace")
+            elif f == 4:
+                out["parentSpanId"] = v.hex()
+            elif f == 5:
+                out["name"] = v.decode("utf-8", "replace")
+            elif f == 6:
+                out["kind"] = str(v)
+            elif f == 7:
+                out["startTimeUnixNano"] = str(_u64(v))
+            elif f == 8:
+                out["endTimeUnixNano"] = str(_u64(v))
+            elif f == 9:
+                out.setdefault("attributes", []).append(_key_value_cached(v))
+            elif f == 10:
+                out["droppedAttributesCount"] = str(v)
+            elif f == 11:
+                out.setdefault("events", []).append(_span_event(v))
+            elif f == 12:
+                out["droppedEventsCount"] = str(v)
+            elif f == 13:
+                out.setdefault("links", []).append(_span_link(v))
+            elif f == 14:
+                out["droppedLinksCount"] = str(v)
+            elif f == 15:
+                status: dict[str, Any] = {}
+                for f2, _, v2 in _fields(v):
+                    if f2 == 2:
+                        status["message"] = v2.decode("utf-8", "replace")
+                    elif f2 == 3:
+                        status["code"] = str(v2)
+                out["status"] = status
+            elif f == 16:
+                out["flags"] = str(_u32(v) if wt == 5 else v)
+    except IndexError:
+        raise ValueError("truncated varint") from None
     return out
 
 
