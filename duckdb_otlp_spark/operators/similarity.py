@@ -152,15 +152,27 @@ def build_ivf_index(df: DataFrame, id_col: str, vec_col: str,
 
 
 def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast join)."""
-    joined = v.crossJoin(F.broadcast(
-        centroids.groupBy().agg(
-            F.collect_list(F.struct("centroid_id", "centroid")).alias("cands"))))
+    """Assign each vector to its nearest centroid (broadcast join).
+
+    Norms are hoisted out of the per-candidate lambda (r13): ||v|| is
+    computed once per VECTOR (was once per (vector, candidate) — C extra
+    O(d) folds per row) and each centroid's norm once on the C-row side
+    of the broadcast (was per (vector, candidate)). The negcos value is
+    the same expression over the same doubles in the same order, so the
+    array_min ranking — and the oracle-pinned assignment — is bitwise
+    unchanged."""
+    joined = (v.withColumn("__vn", l2_norm(F.col("__v")))
+              .crossJoin(F.broadcast(
+                  centroids.groupBy().agg(
+                      F.collect_list(F.struct(
+                          F.col("centroid_id"), F.col("centroid"),
+                          l2_norm(F.col("centroid")).alias("cnorm")))
+                      .alias("cands")))))
     best = F.array_min(F.transform(
         F.col("cands"),
         lambda c: F.struct(
             (-dot(F.col("__v"), c["centroid"])
-             / (l2_norm(F.col("__v")) * l2_norm(c["centroid"]))).alias("negcos"),
+             / (F.col("__vn") * c["cnorm"])).alias("negcos"),
             c["centroid_id"].alias("cid"))))
     return joined.select("__id", "__v", best["cid"].alias("centroid_id"))
 

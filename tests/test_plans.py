@@ -72,6 +72,32 @@ def test_dimension_joins_broadcast(spark):
     assert rep.nested_loop_joins == 0
 
 
+def test_json_extract_single_parse(spark):
+    """json_extract must evaluate get_json_object exactly ONCE per row:
+    the old filter-before-agg shape let Catalyst push the predicate
+    below the Project, duplicating the JSON parse (Filter + Project, a
+    1.5x per-row cost at any scale — r13, PROBE_R13_CONT.json). The
+    post-agg OR-guarded filter keeps the parse single; this pin catches
+    a refactor that reintroduces the pushdown."""
+    rep = _rep(spark, "json_extract")
+    assert rep.text.count("get_json_object") == 1, \
+        rep.text.count("get_json_object")
+
+
+def test_embedding_ann_norms_hoisted(spark):
+    """embedding_bucket_ann computes each vector's L2 norm once per ROW
+    (pre-join projection), never per candidate pair: per-pair norms are
+    O(pairs * d) folds where the hoisted shape is O(n * d) — measured
+    -29% at sf0.1 and the gap grows with bucket occupancy (r13,
+    PROBE_R13_CONT.json). One fold per join SIDE appears in the plan
+    (the `nrm` column on each scan branch); a third occurrence means a
+    norm is being recomputed in the pair projection."""
+    rep = _rep(spark, "embedding_bucket_ann")
+    # the SQRT(aggregate(...)) fold appears once per join branch
+    assert rep.text.count("SQRT(aggregate(") == 2, \
+        rep.text.count("SQRT(aggregate(")
+
+
 def test_no_python_eval_in_relational_queries(spark):
     """Every §2B query stays JVM-side (UDFs are the slow path)."""
     for name in ("tpch_q1", "tpch_q3", "join_multi", "agg_stats",
