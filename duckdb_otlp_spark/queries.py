@@ -875,12 +875,16 @@ def q_dedup_embedding(spark, sf_dir):
            .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
     bucket = F.concat_ws("", F.transform(
         F.slice("v", 1, 6), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
-    e = emb.withColumn("bucket", bucket)
+    # Norm hoist (r13, same as q_embedding_bucket_ann): ||v|| once per
+    # row before the self-join instead of twice per candidate pair —
+    # identical doubles, identical cos, so the >= 0.45 verdicts and the
+    # oracle hash are unchanged.
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    e = emb.withColumn("bucket", bucket).withColumn("nrm", norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     dups = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .filter(cos >= 0.45)
