@@ -36,7 +36,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 from pathlib import Path
-from typing import Any, Iterator
+from typing import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
@@ -81,24 +81,14 @@ _NON_NULLABLE = {
                               "aggregation_temporality"},
 }
 
-# Envelope leaves the pb wire decoder emits as strings (their signal
-# schema type is STRING) but whose row-wise flattener consumes proto3
-# ints — reverted before flattening. Digits-only guard keeps JSON enum
-# NAMES (e.g. AGGREGATION_TEMPORALITY_DELTA) untouched.
-_INT_KEYS = frozenset({
-    "severityNumber", "flags", "kind", "aggregationTemporality", "scale",
-    "droppedAttributesCount", "droppedEventsCount", "droppedLinksCount",
-    "offset", "code"})
-
-
-def _intify(v: Any, key: str | None = None) -> Any:
-    if isinstance(v, dict):
-        return {k: _intify(x, k) for k, x in v.items()}
-    if isinstance(v, list):
-        return [_intify(x, key) for x in v]
-    if key in _INT_KEYS and isinstance(v, str) and v.lstrip("-").isdigit():
-        return int(v)
-    return v
+# The wire decoders emit proto3 int leaves as decimal strings (their
+# envelope schema type); the reader-gate flatteners coerce every such
+# leaf at its consumption point (reader_gate._i and the explicit
+# int()/bool() casts), so the decoded envelope feeds the flatten
+# directly. A recursive str->int pre-pass (_intify) used to rebuild the
+# whole envelope tree here — a full extra walk per file for coercions
+# the flatten already performs; dropped in r13 with the DataSource
+# differential (tests/test_datasource.py) pinning output parity.
 
 
 def _file_envelopes(fpath: str, wire_signal: str,
@@ -114,7 +104,7 @@ def _file_envelopes(fpath: str, wire_signal: str,
         return []
     if container == "otap":
         from duckdb_otlp_spark.sources.otap import bar_to_envelope
-        return [_intify(bar_to_envelope(b, wire_signal))]
+        return [bar_to_envelope(b, wire_signal)]
     if not b.lstrip(b"\xef\xbb\xbf").strip():
         raise ValueError(f"OTLP parse error: whitespace-only file: {fpath}")
     if otlp_proto.looks_like_json(b):
@@ -124,7 +114,7 @@ def _file_envelopes(fpath: str, wire_signal: str,
             return [json.loads(ln) for ln in lines]
         return [json.loads(text)]
     try:
-        return [_intify(otlp_proto.DECODERS[wire_signal](b))]
+        return [otlp_proto.DECODERS[wire_signal](b)]
     except ValueError as e:
         raise ValueError(f"OTLP parse error: invalid protobuf payload "
                          f"({e}): {fpath}") from e

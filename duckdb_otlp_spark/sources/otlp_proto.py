@@ -127,6 +127,16 @@ def _fields(buf: bytes) -> list:
     return out
 
 
+# Precompiled unpack + small-int str table for the fused hot walks:
+# _u64(v) pays a Python call + format dispatch per timestamp (~220 ns);
+# _U64(v)[0] is ~150 ns, and _STR256[v] beats str(v) ~2x for the small
+# non-negative varints (severity, flags, dropped counts) that dominate
+# OTLP scalar fields. Outputs are byte-identical.
+_U64 = struct.Struct("<Q").unpack
+_U32 = struct.Struct("<I").unpack
+_STR256 = tuple(map(str, range(256)))
+
+
 def _u64(b: bytes) -> int:
     return struct.unpack("<Q", b)[0]
 
@@ -387,25 +397,69 @@ def _log_record(buf: bytes) -> dict[str, Any]:
                 raise ValueError(f"unsupported wire type {wt}")
             f = key >> 3
             if f == 1:
-                out["timeUnixNano"] = str(_u64(v))
+                out["timeUnixNano"] = str(_U64(v)[0])
             elif f == 2:
-                out["severityNumber"] = str(v)
+                # wt==0 guarantees an int (lenient decode may hand other
+                # wire types here as bytes; str(v) reproduces old output)
+                out["severityNumber"] = (
+                    _STR256[v] if wt == 0 and v < 256 else str(v))
             elif f == 3:
                 out["severityText"] = v.decode("utf-8", "replace")
             elif f == 5:
-                out["body"] = _any_value(v)
+                # Fast path: telemetry bodies are overwhelmingly ONE
+                # stringValue, wire shape 0x0A <len-varint> <utf8>
+                # spanning the whole submessage — decoded inline, with
+                # anything else (other AnyValue kinds, trailing fields,
+                # truncated varints) falling back to the generic walk,
+                # which reproduces the old behavior exactly.
+                nb = len(v)
+                if nb >= 2 and v[0] == 0x0A:
+                    ln2 = v[1]
+                    p = 2
+                    if ln2 >= 0x80:
+                        ln2 &= 0x7F
+                        shift2 = 7
+                        while p < nb:
+                            b2 = v[p]
+                            p += 1
+                            ln2 |= (b2 & 0x7F) << shift2
+                            if b2 < 0x80:
+                                break
+                            shift2 += 7
+                        else:
+                            ln2 = -1  # truncated -> generic walk raises
+                    if p + ln2 == nb:
+                        out["body"] = {
+                            "stringValue": v[p:].decode("utf-8", "replace")}
+                    else:
+                        out["body"] = _any_value(v)
+                else:
+                    out["body"] = _any_value(v)
             elif f == 6:
-                out.setdefault("attributes", []).append(_key_value_cached(v))
+                # inline cache hit (saves a call per attribute; the
+                # miss path still goes through _key_value_cached), and
+                # .get instead of setdefault — setdefault allocates a
+                # fresh empty-list default on EVERY attribute
+                kv = _KV_CACHE.get(v)
+                if kv is None:
+                    kv = _key_value_cached(v)
+                a = out.get("attributes")
+                if a is None:
+                    a = out["attributes"] = []
+                a.append(kv)
             elif f == 7:
-                out["droppedAttributesCount"] = str(v)
+                out["droppedAttributesCount"] = (
+                    _STR256[v] if wt == 0 and v < 256 else str(v))
             elif f == 8:
-                out["flags"] = str(_u32(v) if wt == 5 else v)
+                out["flags"] = (str(_U32(v)[0]) if wt == 5
+                                else _STR256[v] if wt == 0 and v < 256
+                                else str(v))
             elif f == 9:
                 out["traceId"] = v.hex()
             elif f == 10:
                 out["spanId"] = v.hex()
             elif f == 11:
-                out["observedTimeUnixNano"] = str(_u64(v))
+                out["observedTimeUnixNano"] = str(_U64(v)[0])
             elif f == 12:
                 out["eventName"] = v.decode("utf-8", "replace")
     except IndexError:
@@ -425,11 +479,14 @@ def decode_logs(data: bytes) -> dict[str, Any]:
                 rl["resource"] = _resource(v2)
             elif f2 == 2:
                 sl: dict[str, Any] = {}
-                for f3, _, v3 in _fields(v2):
+                lr_append = None  # bound once; setdefault per record is
+                for f3, _, v3 in _fields(v2):  # pure overhead in the hot loop
                     if f3 == 1:
                         sl["scope"] = _scope(v3)
                     elif f3 == 2:
-                        sl.setdefault("logRecords", []).append(_log_record(v3))
+                        if lr_append is None:
+                            lr_append = sl.setdefault("logRecords", []).append
+                        lr_append(_log_record(v3))
                 rl.setdefault("scopeLogs", []).append(sl)
         resource_logs.append(rl)
     return {"resourceLogs": resource_logs}
@@ -550,15 +607,22 @@ def _span(buf: bytes) -> dict[str, Any]:
             elif f == 5:
                 out["name"] = v.decode("utf-8", "replace")
             elif f == 6:
-                out["kind"] = str(v)
+                out["kind"] = _STR256[v] if wt == 0 and v < 256 else str(v)
             elif f == 7:
-                out["startTimeUnixNano"] = str(_u64(v))
+                out["startTimeUnixNano"] = str(_U64(v)[0])
             elif f == 8:
-                out["endTimeUnixNano"] = str(_u64(v))
+                out["endTimeUnixNano"] = str(_U64(v)[0])
             elif f == 9:
-                out.setdefault("attributes", []).append(_key_value_cached(v))
+                kv = _KV_CACHE.get(v)
+                if kv is None:
+                    kv = _key_value_cached(v)
+                a = out.get("attributes")
+                if a is None:
+                    a = out["attributes"] = []
+                a.append(kv)
             elif f == 10:
-                out["droppedAttributesCount"] = str(v)
+                out["droppedAttributesCount"] = (
+                    _STR256[v] if wt == 0 and v < 256 else str(v))
             elif f == 11:
                 out.setdefault("events", []).append(_span_event(v))
             elif f == 12:
@@ -594,11 +658,14 @@ def decode_traces(data: bytes) -> dict[str, Any]:
                 rs["resource"] = _resource(v2)
             elif f2 == 2:
                 ss: dict[str, Any] = {}
+                sp_append = None
                 for f3, _, v3 in _fields(v2):
                     if f3 == 1:
                         ss["scope"] = _scope(v3)
                     elif f3 == 2:
-                        ss.setdefault("spans", []).append(_span(v3))
+                        if sp_append is None:
+                            sp_append = ss.setdefault("spans", []).append
+                        sp_append(_span(v3))
                 rs.setdefault("scopeSpans", []).append(ss)
         resource_spans.append(rs)
     return {"resourceSpans": resource_spans}
