@@ -873,21 +873,17 @@ def q_dedup_embedding(spark, sf_dir):
     test_embedding_mega_bucket_cap."""
     emb = (_t(spark, sf_dir, "embeddings")
            .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
-    bucket = F.concat_ws("", F.transform(
-        F.slice("v", 1, 6), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
     # Norm hoist (r13, same as q_embedding_bucket_ann): ||v|| once per
     # row before the self-join instead of twice per candidate pair —
     # identical doubles, identical cos, so the >= 0.45 verdicts and the
-    # oracle hash are unchanged.
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    e = emb.withColumn("bucket", bucket).withColumn("nrm", norm(F.col("v")))
+    # oracle hash are unchanged. Bucket/norm/dot are single-parse SQL
+    # twins of the former py4j lambda trees (see _sql_norm).
+    e = emb.selectExpr("vec_id", "v", f"{_SQL_SIGN_BUCKET} AS bucket",
+                       f"{_sql_norm('v')} AS nrm")
     a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    dups = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .filter(cos >= 0.45)
+    dups = (a.join(b, F.expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"))
+            .filter(F.expr(
+                f"{_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.45D"))
             .select(F.col("b.vec_id").alias("vec_id")).distinct())
     return (emb.join(dups, "vec_id", "left_anti")
             .select("vec_id").orderBy("vec_id"))
@@ -1004,14 +1000,13 @@ def q_ann_cosine_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     target = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
     joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(target))
-    dot = F.aggregate(F.zip_with("v", "q", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm_v = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    norm_q = F.sqrt(F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = F.round(dot / (norm_v * norm_q), 4)
-    return (joined.select("vec_id", cos.alias("cos_sim"))
-            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-            .limit(10))
+    # dot/norm folds parse from one SQL string each (see _sql_norm)
+    return (joined.selectExpr(
+        "vec_id",
+        f"round({_sql_dot('v', 'q')} / ({_sql_norm('v')} * {_sql_norm('q')}),"
+        " 4) AS cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10))
 
 
 SQL_ANN_COSINE_TOPK = """
@@ -1033,7 +1028,31 @@ def _md5int(c):
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+# Spark-SQL text twin of _md5int (single parse, see _shingles) — the
+# same Cast(Conv(Substring(Md5(..)))) tree _md5int builds through py4j.
+_MD5INT_SQL = "CAST(conv(substring(md5(%s), 1, 15), 16, 10) AS BIGINT)"
+
 _SQL_MD5INT = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
+
+# Single-parse SQL twins of the embedding HOF expressions. A py4j
+# lambda tree (F.aggregate / F.zip_with / F.transform with Python
+# lambdas) costs 7-14 ms of driver round-trips per Column BUILD
+# (PROBE_R13_DRIVER.json:expr_build); one F.expr parse is ~0.4 ms and
+# yields the identical Catalyst tree (0.0D/0.45D pin the literals to
+# the same doubles F.lit produced), so every score is bitwise-unchanged
+# — re-pinned against the DuckDB oracle at sf0.01.
+def _sql_norm(c: str) -> str:
+    return f"sqrt(aggregate({c}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x)")
+
+
+_SQL_SIGN_BUCKET = ("concat_ws('', transform(slice(v, 1, 6), "
+                    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
 
 
 def _bind1(col, body):
@@ -1359,26 +1378,21 @@ def q_embedding_bucket_ann(spark, sf_dir):
     tests/test_operators.py::test_embedding_mega_bucket_cap)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    bucket = F.concat_ws("", F.transform(
-        F.slice("v", 1, 6), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
     # Norm hoist (r13): ||v|| is a per-VECTOR quantity, so it is computed
     # once per row BEFORE the self-join — the old per-pair norm folds ran
     # O(pairs * d) interpreted HOF work (two extra array folds on every
     # candidate pair); this shape runs them O(n * d). Same expression on
     # the same doubles -> bitwise-identical cos_sim (oracle re-pinned).
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    e = emb.withColumn("bucket", bucket).withColumn("nrm", norm(F.col("v")))
+    # Bucket/norm/dot parse from one SQL string each (see _sql_norm).
+    e = emb.selectExpr("vec_id", "v", f"{_SQL_SIGN_BUCKET} AS bucket",
+                       f"{_sql_norm('v')} AS nrm")
     a, b = e.alias("a"), e.alias("b")
-    joined = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
-    return (joined.select(F.col("a.vec_id").alias("vec_a"),
-                          F.col("b.vec_id").alias("vec_b"),
-                          cos.alias("cos_sim"))
-            .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
-            .limit(10))
+    joined = a.join(b, F.expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"))
+    return (joined.selectExpr(
+        "a.vec_id AS vec_a", "b.vec_id AS vec_b",
+        f"round({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 4) AS cos_sim")
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(10))
 
 
 SQL_EMBEDDING_BUCKET_ANN = """
@@ -1874,19 +1888,19 @@ ORDER BY p.event_id
 """
 
 
-def _grams5(text_col):
-    """Distinct word 5-gram shingles; empty array below 5 words.
-    split() bound once via _bind1 — see its docstring (O(L^2) trap)."""
-    return _bind1(
-        F.split(F.trim(text_col), r"\s+"),
-        lambda words: F.when(
-            F.size(words) >= 5,
-            F.array_distinct(F.transform(
-                F.sequence(F.lit(0), F.size(words) - 5),
-                lambda i: F.concat_ws(" ", words[i], words[i + 1],
-                                      words[i + 2], words[i + 3],
-                                      words[i + 4])))
-        ).otherwise(F.array().cast("array<string>")))
+def _grams5_sql(c: str = "text") -> str:
+    """Distinct word 5-gram shingles as a SQL expression string; empty
+    array below 5 words. The split stays let-bound once via the
+    transform-over-one-element-array form (see _bind1's O(L^2) trap),
+    and the single F.expr parse replaces a ~32 ms py4j Column tree
+    (PROBE_R13_DRIVER.json:expr_build) — the parsed tree is identical,
+    so the gram sets (and everything hashed from them) are unchanged."""
+    return (
+        f"transform(array(split(trim({c}), '\\\\s+')), words -> "
+        "CASE WHEN size(words) >= 5 THEN array_distinct(transform("
+        "sequence(0, size(words) - 5), i -> concat_ws(' ', words[i], "
+        "words[i + 1], words[i + 2], words[i + 3], words[i + 4]))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END)[0]")
 
 
 def q_contamination_overlap(spark, sf_dir):
@@ -1924,9 +1938,9 @@ def q_contamination_overlap(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs_parallel(spark, sf_dir)
-    gh_arr = F.transform(_grams5(F.col("text")),
-                         lambda g: _md5int(g))
-    sh = (docs.select("doc_id", gh_arr.alias("ghs"))
+    sh = (docs.selectExpr(
+        "doc_id",
+        f"transform({_grams5_sql('text')}, g -> {_MD5INT_SQL % 'g'}) AS ghs")
           .persist(StorageLevel.MEMORY_AND_DISK))
     # Two-branch shape kept DELIBERATELY (r13 negative result): fusing
     # totals into the hits aggregation via explode + left join + one

@@ -41,7 +41,7 @@ def test_repetition_and_shingle_invariants(spark, docs):
            .select("doc_id", F.size(grams).alias("n_grams"),
                    (F.size(grams) - F.size(F.array_distinct(grams)))
                    .alias("n_dup"),
-                   q._grams5(F.col("text")).alias("g5"))
+                   F.expr(q._grams5_sql("text")).alias("g5"))
            .collect())
     for r in out:
         text = docs[r["doc_id"]]
