@@ -97,11 +97,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         F.struct(F.col(right_ts).alias(right_ts + suffix),
                  *[F.col(c).alias(c + suffix) for c in r_pay])
         .alias("__rp"))
+    # __rp's struct type is fetched once and reused for BOTH null casts
+    # below; the former out.schema access analyzed the whole union+window
+    # plan to re-read these same field types. (Measured neutral on build
+    # wall at sf0.1 — the build cost sits in the ~20 plan ops, not the
+    # schema fetch — kept for the fewer analysis passes.)
+    rp_t = r.schema["__rp"].dataType
     l = left.filter(ok_l).select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(r.schema["__rp"].dataType).alias("__rp"),
+        F.lit(None).cast(rp_t).alias("__rp"),
         F.struct(*[F.col(c) for c in l_pay]).alias("__lp"))
     r = r.withColumn("__lp", F.lit(None).cast(l.schema["__lp"].dataType))
 
@@ -130,13 +136,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
 
     out = _out(matched, "__lp.", "__ts", "__m.")
     # null-key / null-ts left rows: SQL semantics say they never match —
-    # pass them through with null right columns, typed via the matched
-    # side (kept lazy: no isEmpty() probe — a plan build must never run
-    # a job; the empty-side union costs nothing at execution)
+    # pass them through with null right columns, typed via the __rp
+    # struct fields (identical to the matched side's types: __m.<c> is a
+    # field access on that same struct). Kept lazy: no isEmpty() probe —
+    # a plan build must never run a job; the empty-side union costs
+    # nothing at execution.
     null_right = left.filter(~ok_l).select(
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(out.schema[c].dataType).alias(c)
-          for c in [right_ts + suffix] + [c + suffix for c in r_pay]])
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in rp_t.fields])
     return out.unionByName(null_right)
 
 

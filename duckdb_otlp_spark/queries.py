@@ -2008,22 +2008,24 @@ def q_repetition_ratio(spark, sf_dir):
     through _docs_parallel: gram-building is CPU-bound, so the local
     one-file-one-split case must still fan out across cores."""
     docs = _docs_parallel(spark, sf_dir)
-    words = F.split(F.trim(F.col("text")), r"\s+")
     # split bound once per gram build (_bind1 docstring: the inlined
     # form re-evaluates split per gram — O(L^2) per doc), and the gram
     # array materialized through a PROJECTION boundary so the three
     # consumers read one computed column instead of re-running the
     # build per output expression (CollapseProject keeps the boundary:
-    # the alias is expensive and referenced more than once)
-    grams = _bind1(words, lambda w: F.transform(
-        F.sequence(F.lit(0), F.size(w) - 3),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2])))
-    n = F.size(F.col("grams"))
-    n_dup = n - F.size(F.array_distinct("grams"))
-    return (docs.filter(F.size(words) >= 3)
-            .select("doc_id", grams.alias("grams"))
-            .select("doc_id", n.alias("n_grams"), n_dup.alias("n_dup"),
-                    F.round(n_dup / n, 4).alias("dup_frac"))
+    # the alias is expensive and referenced more than once). The gram
+    # expression parses from one SQL string (see _shingles) — the same
+    # tree the former py4j lambda build produced.
+    grams_sql = (
+        "transform(array(split(trim(text), '\\\\s+')), words -> "
+        "transform(sequence(0, size(words) - 3), i -> "
+        "concat_ws(' ', words[i], words[i + 1], words[i + 2])))[0]")
+    return (docs.filter(F.expr("size(split(trim(text), '\\\\s+')) >= 3"))
+            .selectExpr("doc_id", f"{grams_sql} AS grams")
+            .selectExpr("doc_id", "size(grams) AS n_grams",
+                        "size(grams) - size(array_distinct(grams)) AS n_dup",
+                        "round((size(grams) - size(array_distinct(grams))) "
+                        "/ size(grams), 4) AS dup_frac")
             .orderBy("doc_id"))
 
 
