@@ -54,6 +54,38 @@ def _rel_memo(spark: SparkSession) -> dict:
     return memo
 
 
+# Persist hygiene (r14, VERDICT "What's wrong" #4): query builders
+# persist single-query intermediates that only the CALLER's action
+# materializes, so they cannot unpersist in-function (the plan they
+# return still reads the persisted node). Each such persist registers
+# here so long-lived sessions can release the cache entries between
+# queries; bench.py's clearCache() between reps already covers the
+# bench/oracle paths, so this changes nothing measured. Builders whose
+# function body runs the action (q_dedup_cluster) unpersist in-function
+# and do not register.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame, level) -> DataFrame:
+    _PERSISTED.append(df.persist(level))
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every intermediate a query builder persisted; returns
+    the count released. Safe anytime: unpersisting a never-materialized
+    plan only drops its CacheManager entry."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped: entry is gone anyway
+            pass
+    return n
+
+
 def _read(spark: SparkSession, path: str) -> tuple[DataFrame, T.StructType]:
     memo = _rel_memo(spark)
     got = memo.get(path)
@@ -1243,10 +1275,10 @@ def _minhash_pairs_unsorted(spark, sf_dir):
     # engines (array_distinct here, list_distinct in the twin), so
     # oracle parity is exact; the 31-bit space makes an intra-doc
     # collision a ~1e-5 event that both engines share identically.
-    docs_hs = (docs.selectExpr(
+    docs_hs = _persist(docs.selectExpr(
         "doc_id",
-        f"array_distinct({_base_hashes_sql(_shingles_sql('text'))}) AS hs")
-        .persist(disk))
+        f"array_distinct({_base_hashes_sql(_shingles_sql('text'))}) AS hs"),
+        disk)
     # persisted: the self-join below otherwise re-derives the md5
     # signature pipeline on BOTH branches (docs_hs caches only the
     # hashed shingles) — tiny rows of cache buy back the second pass.
@@ -1257,12 +1289,12 @@ def _minhash_pairs_unsorted(spark, sf_dir):
     # three rounds of eager JVM analysis (~25 ms each, guide §7.3).
     mh = [f"array_min(transform(hs, h -> (h * {_MINHASH_A[i]} "
           f"+ {_MINHASH_B[i]}) % {_MINHASH_P}))" for i in range(_MINHASH_K)]
-    bands = (docs_hs.selectExpr(
+    bands = _persist(docs_hs.selectExpr(
         "doc_id",
         "inline(array(" + ", ".join(
             f"struct({b} AS band_idx, concat_ws('_', {mh[2 * b]}, "
-            f"{mh[2 * b + 1]}) AS key)" for b in range(3)) + "))")
-        .persist(disk))
+            f"{mh[2 * b + 1]}) AS key)" for b in range(3)) + "))"),
+        disk)
     # DataFrame-API joins, NOT parameterized spark.sql("{df}"): the
     # {df} substitution re-analyzes the referenced plan under fresh
     # expression ids, which silently defeats CacheManager's sameResult
@@ -1797,13 +1829,13 @@ def q_bm25_topk(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
-    base = (docs.selectExpr(
+    base = _persist(docs.selectExpr(
         "doc_id",
         "transform(array(split(trim(lower(text)), '\\\\s+')), words -> "
         f"struct(size(words) AS dl, filter(words, w -> w IN {terms_sql}) "
         "AS qt))[0] AS w")
-        .selectExpr("doc_id", "w.dl AS dl", "w.qt AS qt")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .selectExpr("doc_id", "w.dl AS dl", "w.qt AS qt"),
+        StorageLevel.MEMORY_AND_DISK)
     # tf feeds both dfreq and the scoring join but is NOT persisted:
     # both derivations read the persisted base (query-term rows only —
     # tiny), and an A/B showed persisting this post-shuffle aggregate
@@ -1938,10 +1970,10 @@ def q_contamination_overlap(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs_parallel(spark, sf_dir)
-    sh = (docs.selectExpr(
+    sh = _persist(docs.selectExpr(
         "doc_id",
-        f"transform({_grams5_sql('text')}, g -> {_MD5INT_SQL % 'g'}) AS ghs")
-          .persist(StorageLevel.MEMORY_AND_DISK))
+        f"transform({_grams5_sql('text')}, g -> {_MD5INT_SQL % 'g'}) AS ghs"),
+        StorageLevel.MEMORY_AND_DISK)
     # Two-branch shape kept DELIBERATELY (r13 negative result): fusing
     # totals into the hits aggregation via explode + left join + one
     # groupBy reads as one fewer join, but it routes EVERY gram
@@ -2431,11 +2463,11 @@ def _incr_docs_bands(spark, sf_dir):
     disk = StorageLevel.MEMORY_AND_DISK
     docs = _docs_parallel(spark, sf_dir)
     in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
-    docs_hs = (docs.select(
+    docs_hs = _persist(docs.select(
         "doc_id", in_corpus.alias("in_corpus"),
         F.array_distinct(_base_hashes())
-        .alias("hs"))
-        .persist(disk))
+        .alias("hs")),
+        disk)
     # sub-shingle docs (under 3 words) have EMPTY shingle sets: their
     # minhashes are all null and concat_ws renders the same '' key for
     # every one of them, so banding them makes all short docs mutual
@@ -2444,7 +2476,7 @@ def _incr_docs_bands(spark, sf_dir):
     # verdict still covers them (is_dup=false via the left join).
     sig = (docs_hs.filter(F.size("hs") > 0)
            .select("doc_id", "in_corpus", *_minhash_cols("hs")))
-    bands = _incr_bands_from_sig(sig, extra=("in_corpus",)).persist(disk)
+    bands = _persist(_incr_bands_from_sig(sig, extra=("in_corpus",)), disk)
     return docs_hs, bands
 
 
@@ -2579,12 +2611,12 @@ def dedup_incremental_from_index(spark, sf_dir, index):
 
     docs = _docs_parallel(spark, sf_dir)
     in_corpus = _md5int(F.col("doc_id").cast("string")) % 10 < 8
-    batch_hs = (docs.filter(~in_corpus)
-                .select("doc_id",
-                        F.array_distinct(
-                            _base_hashes())
-                        .alias("hs"))
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    batch_hs = _persist(docs.filter(~in_corpus)
+                        .select("doc_id",
+                                F.array_distinct(
+                                    _base_hashes())
+                                .alias("hs")),
+                        StorageLevel.MEMORY_AND_DISK)
     sig = (batch_hs.filter(F.size("hs") > 0)
            .select("doc_id", *_minhash_cols("hs")))
     bands = _incr_bands_from_sig(sig)

@@ -426,6 +426,9 @@ def _log_record(buf: bytes) -> dict[str, Any]:
                             if b2 < 0x80:
                                 break
                             shift2 += 7
+                            if shift2 > 70:
+                                ln2 = -1  # oversized -> generic walk raises
+                                break
                         else:
                             ln2 = -1  # truncated -> generic walk raises
                     if p + ln2 == nb:

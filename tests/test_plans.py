@@ -932,3 +932,22 @@ def test_registry_global_python_hygiene(spark):
     assert not offenders, f"row-wise Python UDFs: {offenders}"
     assert not missing_whitelist, \
         f"unwhitelisted Python-boundary entries: {missing_whitelist}"
+
+
+def test_release_intermediates_unpersists_builder_caches(spark):
+    """r14 persist hygiene: builders that persist plan intermediates the
+    caller's action materializes (bm25 base, contamination shingles, the
+    incremental-dedup family) register them for release_intermediates();
+    in a long session the cache entries must be releasable without
+    nuking the whole catalog cache."""
+    from duckdb_otlp_spark import queries as q
+
+    spark.catalog.clearCache()
+    q.release_intermediates()                 # drain earlier registrations
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    df = q.QUERIES["bm25_topk"](spark, SF)
+    assert not jcache.isEmpty()               # builder registered a persist
+    df.collect()                              # materialize via the caller
+    released = q.release_intermediates()
+    assert released >= 1
+    assert jcache.isEmpty()                   # cache fully released

@@ -151,6 +151,33 @@ def test_kv_cache_bounded_and_correct():
     op._KV_CACHE.clear()
 
 
+def test_body_fastpath_oversized_length_varint_raises_fast():
+    """r14 (ADVICE): the body fast path's length-varint loop must bail at
+    the same shift bound as every other varint loop. A malformed body of
+    0x0A followed by ~1MB of continuation bytes previously grew a
+    multi-megabit bigint with O(size) work per byte (quadratic blowup);
+    it must instead fall through to the generic walk's prompt ValueError."""
+    from duckdb_otlp_spark.sources.otlp_proto import _log_record
+
+    # LogRecord { body (field 5, wire type 2) = 0x0A + endless varint }
+    body = b"\x0a" + b"\x80" * 1_000_000
+    rec = b"\x2a" + _pb_varint(len(body)) + body
+    with pytest.raises(ValueError, match="varint too long|truncated"):
+        _log_record(rec)
+
+
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
 # --- envelope slicing (r12: giant single-envelope files OOM'd a 16 GB
 #     JVM at the 4M-record probe tier; decode slices them into bounded
 #     envelope rows with provably identical flattened output) ---
