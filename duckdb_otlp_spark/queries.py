@@ -1062,8 +1062,13 @@ def _md5int(c):
 
 # Spark-SQL text twin of _md5int (single parse, see _shingles) — the
 # same Cast(Conv(Substring(Md5(..)))) tree _md5int builds through py4j.
+# SPARK syntax only (conv() is a Spark builtin); its DuckDB twin is
+# _SQL_MD5INT below — grab the one matching the engine the string is
+# headed for (ADVICE r13).
 _MD5INT_SQL = "CAST(conv(substring(md5(%s), 1, 15), 16, 10) AS BIGINT)"
 
+# DuckDB syntax only ('0x'||hex literal cast): the oracle-side twin of
+# _MD5INT_SQL, embedded in the SQL_* oracle strings.
 _SQL_MD5INT = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
 
@@ -1083,6 +1088,10 @@ def _sql_dot(a: str, b: str) -> str:
             "(acc, x) -> acc + x)")
 
 
+# Hardcodes the embedding column name 'v' (unlike the parameterized
+# _sql_norm/_sql_dot): both call sites (q_embedding_bucket_ann,
+# q_dedup_embedding's bucket probe) select the vector AS v first —
+# a differently-named caller must alias to v or parameterize this.
 _SQL_SIGN_BUCKET = ("concat_ws('', transform(slice(v, 1, 6), "
                     "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
 
@@ -1116,13 +1125,35 @@ def _shingles(text_col="text"):
     return F.expr(_shingles_sql(text_col))
 
 
+def _words_bound_sql(c: str, body: str) -> str:
+    """Let-bind ``split(trim(c))`` ONCE as ``words`` and evaluate
+    ``body`` over it — the SQL-string form of ``_bind1``'s
+    transform-over-one-element-array idiom (HOF lambdas get no CSE, so
+    an inlined split is O(L²) per doc). Shared by every word-gram
+    builder so the binding trap is written exactly once (ADVICE r13)."""
+    return f"transform(array(split(trim({c}), '\\\\s+')), words -> {body})[0]"
+
+
+def _ngrams_sql(n: int) -> str:
+    """Word n-gram array over a bound ``words`` variable (duplicates
+    kept, no length guard — callers add their own)."""
+    terms = ", ".join(f"words[i + {j}]" if j else "words[i]"
+                      for j in range(n))
+    return (f"transform(sequence(0, size(words) - {n}), i -> "
+            f"concat_ws(' ', {terms}))")
+
+
+def _distinct_ngrams_sql(c: str, n: int) -> str:
+    """Distinct word n-gram shingles as one SQL string; empty array
+    below n words."""
+    return _words_bound_sql(
+        c,
+        f"CASE WHEN size(words) >= {n} THEN array_distinct({_ngrams_sql(n)}) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+
+
 def _shingles_sql(c: str = "text") -> str:
-    return (
-        f"transform(array(split(trim({c}), '\\\\s+')), words -> "
-        "CASE WHEN size(words) >= 3 THEN array_distinct(transform("
-        "sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], "
-        "words[i + 1], words[i + 2]))) "
-        "ELSE CAST(array() AS ARRAY<STRING>) END)[0]")
+    return _distinct_ngrams_sql(c, 3)
 
 
 _SQL_SHINGLES = """
@@ -1927,12 +1958,7 @@ def _grams5_sql(c: str = "text") -> str:
     and the single F.expr parse replaces a ~32 ms py4j Column tree
     (PROBE_R13_DRIVER.json:expr_build) — the parsed tree is identical,
     so the gram sets (and everything hashed from them) are unchanged."""
-    return (
-        f"transform(array(split(trim({c}), '\\\\s+')), words -> "
-        "CASE WHEN size(words) >= 5 THEN array_distinct(transform("
-        "sequence(0, size(words) - 5), i -> concat_ws(' ', words[i], "
-        "words[i + 1], words[i + 2], words[i + 3], words[i + 4]))) "
-        "ELSE CAST(array() AS ARRAY<STRING>) END)[0]")
+    return _distinct_ngrams_sql(c, 5)
 
 
 def q_contamination_overlap(spark, sf_dir):
@@ -2040,18 +2066,14 @@ def q_repetition_ratio(spark, sf_dir):
     through _docs_parallel: gram-building is CPU-bound, so the local
     one-file-one-split case must still fan out across cores."""
     docs = _docs_parallel(spark, sf_dir)
-    # split bound once per gram build (_bind1 docstring: the inlined
-    # form re-evaluates split per gram — O(L^2) per doc), and the gram
-    # array materialized through a PROJECTION boundary so the three
-    # consumers read one computed column instead of re-running the
+    # split bound once per gram build (shared _words_bound_sql binding —
+    # the inlined form re-evaluates split per gram, O(L^2) per doc), and
+    # the gram array materialized through a PROJECTION boundary so the
+    # three consumers read one computed column instead of re-running the
     # build per output expression (CollapseProject keeps the boundary:
-    # the alias is expensive and referenced more than once). The gram
-    # expression parses from one SQL string (see _shingles) — the same
-    # tree the former py4j lambda build produced.
-    grams_sql = (
-        "transform(array(split(trim(text), '\\\\s+')), words -> "
-        "transform(sequence(0, size(words) - 3), i -> "
-        "concat_ws(' ', words[i], words[i + 1], words[i + 2])))[0]")
+    # the alias is expensive and referenced more than once). Duplicates
+    # KEPT (that is the measurement), so no array_distinct here.
+    grams_sql = _words_bound_sql("text", _ngrams_sql(3))
     return (docs.filter(F.expr("size(split(trim(text), '\\\\s+')) >= 3"))
             .selectExpr("doc_id", f"{grams_sql} AS grams")
             .selectExpr("doc_id", "size(grams) AS n_grams",
@@ -3430,6 +3452,8 @@ def q_pmi_collocations(spark, sf_dir):
     sorts only the >= min-count survivors. Ranking orders by the
     ROUNDED pmi (then bigram text), so engine-side FP noise below
     1e-4 cannot reorder the cut."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs_parallel(spark, sf_dir)
     arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
                    lambda t: t != "")
@@ -3447,14 +3471,24 @@ def q_pmi_collocations(spark, sf_dir):
             "array<struct<w1:string,w2:string>>")))).alias("p")) \
         .select(F.xxhash64("p.w1").alias("h1"),
                 F.xxhash64("p.w2").alias("h2"))
-    bc = bg.groupBy("h1", "h2").agg(F.count("*").alias("c_xy"))
+    # PERSIST the two reduced aggregates (r14): bc is consumed by tot
+    # and by the final join, uc by tot/u1/u2 — without the persist each
+    # consumer re-ran its FULL corpus explode+agg subtree (the sf0.01
+    # plan carried 5 documents scans / 5 corpus-sized Generates; no
+    # ReusedExchange fires across the branches). Both frames are
+    # vocabulary-sized (O(distinct bigrams) / O(distinct tokens)), not
+    # corpus-sized, so the cache cannot hit the string-array evict
+    # cliff; corpus passes drop 5 -> 2, the two fundamental ones.
+    bc = _persist(bg.groupBy("h1", "h2").agg(F.count("*").alias("c_xy")),
+                  StorageLevel.MEMORY_AND_DISK)
     # unigram counts stay string-keyed (the O(vocab) reduced side was
     # never the spill) and the hash is computed POST-agg — O(vocab)
     # xxhash64 calls, not O(corpus); the per-instance zip+hash variant
     # measured +60% at the 2M tier for zero 10x benefit
-    uc = (docs.select(F.explode(arr).alias("w"))
-          .groupBy("w").agg(F.count("*").alias("c"))
-          .select(F.xxhash64("w").alias("h"), "c", "w"))
+    uc = _persist(docs.select(F.explode(arr).alias("w"))
+                  .groupBy("w").agg(F.count("*").alias("c"))
+                  .select(F.xxhash64("w").alias("h"), "c", "w"),
+                  StorageLevel.MEMORY_AND_DISK)
     tot = (uc.agg(F.sum("c").alias("n_uni"))
            .crossJoin(bc.agg(F.sum("c_xy").alias("n_bi"))))
     u1 = uc.select(F.col("h").alias("h1"), F.col("c").alias("c1"),
@@ -3525,6 +3559,8 @@ def q_bigram_surprisal(spark, sf_dir):
     tokens). The oracle keys by the token itself. V rides as a 1-row
     broadcast; scoring joins the per-doc bigram stream to the two LM
     tables by hash and rolls up per doc."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs_parallel(spark, sf_dir)
     arr = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
                    lambda t: t != "")
@@ -3537,23 +3573,44 @@ def q_bigram_surprisal(spark, sf_dir):
             F.sequence(F.lit(0), F.size(a) - 2),
             lambda i: F.struct(a[i].alias("w1"), a[i + 1].alias("w2"))))
         .otherwise(F.array().cast("array<struct<w1:string,w2:string>>")))
+    # An explicit repartition("h1","h2") shared by the aggregate and the
+    # scoring join was tried first (one corpus shuffle via
+    # ReusedExchange) — column pruning projects doc_id out of the
+    # aggregate branch BELOW the exchange, the subtrees stop matching,
+    # and the raw instance stream shuffles twice (captured at sf0.01);
+    # reverted to the plain shape, where the aggregate branch shuffles
+    # partial-aggregated (h1, h2, count) rows instead of raw instances.
     bg = (toks.select("doc_id", F.explode(bg_col).alias("p"))
           .select("doc_id", F.xxhash64("p.w1").alias("h1"),
                   F.xxhash64("p.w2").alias("h2")))
     bc = bg.groupBy("h1", "h2").agg(F.count("*").alias("c_xy"))
     # string-keyed unigram agg + POST-agg hash: O(vocab) xxhash64
-    # calls instead of O(corpus) (see q_pmi_collocations)
-    uc = (docs.select(F.explode(arr).alias("w"))
-          .groupBy("w").agg(F.count("*").alias("c1"))
-          .select(F.xxhash64("w").alias("h1"), "c1"))
+    # calls instead of O(corpus) (see q_pmi_collocations); persisted —
+    # vocabulary-sized — so the LM-score join and the V total don't
+    # each re-run the unigram corpus pass.
+    uc = _persist(docs.select(F.explode(arr).alias("w"))
+                  .groupBy("w").agg(F.count("*").alias("c1"))
+                  .select(F.xxhash64("w").alias("h1"), "c1"),
+                  StorageLevel.MEMORY_AND_DISK)
     vocab = uc.agg(F.count("*").alias("v"))
-    return (bg.join(bc, ["h1", "h2"]).join(uc, "h1")
-            .crossJoin(F.broadcast(vocab))
+    # r14 shape: score each DISTINCT bigram once on the reduced
+    # (h1, h2) table — -log2((c_xy+1)/(c1+V)) depends only on the
+    # bigram, so joining the pre-scored table to the instance stream
+    # removes the old h1 join exchange of the CORPUS-SIZED joined
+    # stream entirely (the uc lookup now runs O(distinct bigrams)
+    # times); the per-doc avg aggregates the identical multiset of
+    # doubles per doc_id. Corpus-sized exchanges: 3 -> 2 (the scoring
+    # SMJ + the doc_id rollup); corpus explodes 4 -> 3 (vocab reads
+    # the persisted uc).
+    scored = (bc.join(uc, "h1")
+              .crossJoin(F.broadcast(vocab))
+              .select("h1", "h2",
+                      (-F.log2((F.col("c_xy") + 1.0)
+                               / (F.col("c1") + F.col("v")))).alias("s")))
+    return (bg.join(scored, ["h1", "h2"])
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_bigrams"),
-                 F.round(F.avg(-F.log2((F.col("c_xy") + 1.0)
-                                       / (F.col("c1") + F.col("v")))), 4)
-                 .alias("mean_bigram_surprisal"))
+                 F.round(F.avg("s"), 4).alias("mean_bigram_surprisal"))
             .orderBy("doc_id"))
 
 

@@ -951,3 +951,33 @@ def test_release_intermediates_unpersists_builder_caches(spark):
     released = q.release_intermediates()
     assert released >= 1
     assert jcache.isEmpty()                   # cache fully released
+
+
+def test_token_stream_reduced_aggregates_cached(spark):
+    """r14: pmi/bigram persist their vocabulary-sized reduced aggregates
+    (bc/uc) so the stats branches (tot, u1/u2, vocab, the scoring join)
+    stop re-running corpus-sized explode passes — the r13 plans carried
+    5 (pmi) / 4 (bigram) documents scans; and bigram's unigram lookup
+    joins the pre-scored DISTINCT-bigram table, never the corpus-sized
+    instance stream."""
+    from duckdb_otlp_spark import queries as q
+
+    spark.catalog.clearCache()
+    q.release_intermediates()
+
+    pc = _rep(spark, "pmi_collocations")
+    assert "InMemoryTableScan" in pc.text          # bc/uc cached
+    # exactly the two fundamental corpus passes execute (bigram agg +
+    # unigram agg); every other consumer reads the cache
+    assert pc.text.count("Location: InMemoryFileIndex") == 2, \
+        pc.text.count("Location: InMemoryFileIndex")
+    q.release_intermediates()
+
+    bs = _rep(spark, "bigram_surprisal")
+    assert "InMemoryTableScan" in bs.text          # uc cached
+    # three corpus subtrees: instance stream, bigram-count agg, unigram
+    # agg (the r13 shape ran four — vocab re-derived uc)
+    assert bs.text.count("Location: InMemoryFileIndex") == 3, \
+        bs.text.count("Location: InMemoryFileIndex")
+    q.release_intermediates()
+    spark.catalog.clearCache()
