@@ -974,8 +974,26 @@ def _load_envelopes(spark: SparkSession, path: str | list[str], signal: str,
 # Public readers
 # ---------------------------------------------------------------------------
 
+def _pb_fast_path(spark: SparkSession, path, mode: str, signal: str):
+    """Route all-protobuf inputs through the executor-side flat decode
+    (sources/flat_decode — measured ~3x the envelope+JVM-flatten route
+    on the 1M-record pb bench corpus, r14). ``mode='protobuf'`` always
+    takes it; ``mode='auto'`` takes it only when a bounded driver-side
+    head sniff proves every input file is protobuf (mixed or oversized
+    listings keep the generic per-file-detected plan)."""
+    from duckdb_otlp_spark.sources import flat_decode
+
+    if mode == "protobuf" or (mode == "auto"
+                              and flat_decode.all_protobuf(spark, path)):
+        return flat_decode.read_pb_flat(spark, path, signal)
+    return None
+
+
 def read_otlp_logs(spark: SparkSession, path: str | list[str], mode: str = "auto") -> DataFrame:
     """Equivalent of ``read_otlp_logs`` (reference: src/function/read_otlp.cpp:139-142)."""
+    fast = _pb_fast_path(spark, path, mode, "logs")
+    if fast is not None:
+        return fast
     return flatten_logs(_load_envelopes(spark, path, "logs", mode))
 
 
@@ -1037,6 +1055,9 @@ def read_otlp_traces(spark: SparkSession, path: str | list[str], mode: str = "au
     ``duration_time_unix_nano`` = end − start in raw ns
     (reference: test/sql/read_otlp_json.test:55-60).
     """
+    fast = _pb_fast_path(spark, path, mode, "traces")
+    if fast is not None:
+        return fast
     return flatten_traces(_load_envelopes(spark, path, "traces", mode))
 
 
