@@ -1187,7 +1187,16 @@ def _base_hashes(sh_sql: str | None = None, text: str = "text"):
 
 
 def _minhash_cols(hs: str = "hs"):
-    """K minhashes from the base-hash array via affine re-hashing."""
+    """K minhashes from the base-hash array via affine re-hashing.
+
+    r14 recorded negative: fusing the K transform passes into ONE
+    aggregate() with a least()-accumulator array (sample-verified
+    value-identical) measured NEUTRAL at the 2M tier (interleaved
+    noop mins 4.0 s old vs 3.8 s fused, inside the swing) — the
+    HOF-invocation count is not the cost, the per-element array
+    allocations balance. The pipeline's real floor is the md5 base-hash
+    pass (11.2 s of the 25 s 2M pair build), which is oracle-pinned
+    (both engines compute identical md5-derived band keys)."""
     return [F.expr(f"array_min(transform({hs}, h -> (h * {_MINHASH_A[i]} "
                    f"+ {_MINHASH_B[i]}) % {_MINHASH_P}))").alias(f"m{i}")
             for i in range(_MINHASH_K)]
@@ -1620,11 +1629,17 @@ def q_sessionize(spark, sf_dir):
     aggregation all share that partitioning, so Catalyst plans a single
     Exchange (pinned by tests/test_plans.py) — at 100 TB the sort
     within each user partition is the only per-row cost after the
-    shuffle."""
+    shuffle. r14: the lag runs on ``ts`` itself and the epoch seconds
+    are taken AFTER the window — lagging a derived ``unix_timestamp``
+    column made Catalyst pre-project it BELOW the exchange, shuffling
+    an extra long per event row (guide §2.3). Rows verified identical;
+    sf0.1 walls neutral (0.741 vs 0.737 s interleaved mins) — the win
+    is shuffle bytes at scale, not local wall."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     sec = F.unix_timestamp(F.col("ts"))
-    new_sess = F.when(sec - F.lag(sec).over(w) > 6 * 3600, 1).otherwise(0)
+    lag_sec = F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(sec - lag_sec > 6 * 3600, 1).otherwise(0)
     run = (W.partitionBy("user_id").orderBy("ts", "event_id")
            .rowsBetween(W.unboundedPreceding, W.currentRow))
     sess = (ev.withColumn("new_sess", new_sess)
